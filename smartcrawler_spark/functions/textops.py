@@ -1,0 +1,116 @@
+"""Text cleaning + training-data text-analysis functions.
+
+`clean_text` re-expresses the reference's trim_and_clean_text
+(/root/reference/src/utils.rs:3-14): trim, drop blank lines, join with a
+single space, collapse all whitespace runs. As one JVM regexp pipeline it is
+exactly: trim then replace \\s+ with ' ' (blank-line dropping falls out of
+whitespace collapsing once lines are joined by whitespace).
+
+The rest are the large-scale training-data-pipeline text ops (language ID,
+quality score, token count, fingerprint) — all pure column expressions so
+they run inside whole-stage codegen at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword heuristic
+# language identifier. Chosen to be high-frequency + disjoint-ish.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "une", "pour", "dans"],
+    "es": ["el", "los", "las", "es", "una", "por", "para", "con"],
+    "zh": ["de5", "shi4", "zai4", "le5", "he2", "you3", "wo3", "ta1"],
+}
+
+EN_STOPWORDS = LANG_MARKERS["en"] + ["a", "an", "it", "on", "for", "as", "at", "by"]
+
+# BPE-ish token splitter: word pieces, numbers, or single non-space symbols.
+TOKEN_REGEX = r"[A-Za-z]+|\d+|[^\sA-Za-z\d]"
+
+
+def clean_text(col: Column) -> Column:
+    """trim + collapse whitespace (reference trim_and_clean_text).
+
+    Collapse-then-trim, because Spark's trim() strips only spaces — after
+    collapsing, any leading/trailing whitespace IS a space."""
+    return F.trim(F.regexp_replace(col, r"\s+", " "))
+
+
+def word_tokens(col: Column) -> Column:
+    """Lowercased whitespace tokens (empty array for blank text)."""
+    return F.filter(F.split(F.lower(clean_text(col)), " "), lambda w: w != "")
+
+
+def token_count(col: Column) -> Column:
+    """BPE-ish token count via regexp extraction (JVM-side)."""
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_REGEX), F.lit(0)))
+
+
+def lang_scores(tokens: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts over a token array column."""
+    return {
+        lang: F.size(F.array_intersect(tokens, F.array(*[F.lit(m) for m in markers])))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def detect_language(text: Column) -> Column:
+    """Heuristic language ID: argmax of marker-token hits, 'und' if none.
+
+    Deterministic tie-break: language name ascending (via stable greatest on
+    packed (score, inverted-name) keys is overkill — we chain WHENs in sorted
+    order and require strictly-greater to switch).
+    """
+    toks = word_tokens(text)
+    scores = lang_scores(toks)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(scores):  # sorted => deterministic tie-break (first wins)
+        s = scores[lang]
+        switch = s > best_score
+        best_lang = F.when(switch, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(switch, s).otherwise(best_score)
+    return best_lang
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Document quality features (length / punctuation / stopword ratios)."""
+    cleaned = clean_text(text)
+    toks = word_tokens(text)
+    n_chars = F.length(cleaned)
+    n_words = F.size(toks)
+    n_punct = F.size(F.regexp_extract_all(cleaned, F.lit(r"[^\w\s]"), F.lit(0)))
+    n_stop = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(w) for w in EN_STOPWORDS]))
+    )
+    safe_words = F.greatest(n_words, F.lit(1))
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "mean_word_len": F.round(n_chars / safe_words, 4),
+        "punct_ratio": F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4),
+        "stopword_ratio": F.round(n_stop / safe_words, 4),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality score in [0,1]: favors mid-length docs with some
+    stopwords and sane punctuation. Deterministic, fully JVM-side."""
+    f = quality_features(text)
+    len_score = F.least(f["n_words"] / F.lit(100.0), F.lit(1.0))
+    stop_score = F.least(f["stopword_ratio"] * 4.0, F.lit(1.0))
+    punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - f["punct_ratio"] * 5.0)
+    return F.round((len_score + stop_score + punct_penalty) / 3.0, 4)
+
+
+def fingerprint64(text: Column) -> Column:
+    """64-bit document fingerprint: xxhash64 over cleaned, lowercased text.
+
+    The 'rolling hash' of the reference survey maps to xxhash64 on the
+    canonical normal form — stable across partitions and runs.
+    """
+    return F.xxhash64(F.lower(clean_text(text)))

@@ -1,0 +1,158 @@
+"""URL canonicalization / predicates as Spark column expressions.
+
+Reference semantics re-expressed (NOT ported):
+* canonicalization       — Rust `Url::parse(u).to_string()` behavior for the
+                           URL shapes the crawler sees: lowercase scheme+host,
+                           strip default port, empty path -> '/'
+                           (/root/reference/src/utils.rs:22-30, src/cli.rs:45-65)
+* host extraction        — `Url::host_str()` (/root/reference/src/utils.rs:16-20)
+* is_root_url            — path in {'','/'}, no query, no fragment
+                           (/root/reference/src/utils.rs:32-43)
+* resolve_href           — relative-link resolution, branch order preserved:
+                           http(s) passthrough, then '/'-prefix (which also
+                           captures protocol-relative '//x' — the reference
+                           checks '/' BEFORE '//', /root/reference/src/html_parser.rs:249-259)
+* same_domain            — host == base or host endswith '.'+base
+                           (/root/reference/src/html_parser.rs:261-268)
+
+Everything here is a pure Column expression → stays inside whole-stage
+codegen on the JVM; no Python in the hot path. `canonicalize_url_udf` is an
+Arrow-vectorized pandas UDF used only as the spec oracle in tests.
+
+The frontier key is `url_hash = xxhash64(url_canon)` (64-bit). At 10^10 URLs
+the birthday-collision expectation is ~2.7 pairs in 2^64 — the exact
+anti-join keys on (url_hash, url_canon) so collisions cannot corrupt the
+seen set; the hash exists to make shuffles/bucketing cheap (8-byte key).
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urlsplit
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+_SCHEME_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://"
+
+
+def with_default_scheme(url: Column) -> Column:
+    """Prepend https:// when schemeless (reference CLI canonicalization)."""
+    return F.when(url.rlike(_SCHEME_RE), url).otherwise(
+        F.concat(F.lit("https://"), url)
+    )
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical URL as a pure column expression (JVM, codegen-friendly).
+
+    scheme -> lower; host -> lower; default port stripped; empty path -> '/'.
+    Query/fragment preserved verbatim (the reference keeps them; is_root
+    filters on them separately).
+    """
+    u = with_default_scheme(url)
+    scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://", 1))
+    authority = F.regexp_extract(u, _SCHEME_RE + r"([^/?#]*)", 1)
+    rest = F.regexp_extract(u, _SCHEME_RE + r"[^/?#]*(.*)$", 1)
+    host = F.lower(F.regexp_extract(authority, r"^([^:]*)", 1))
+    port = F.regexp_extract(authority, r":(\d+)$", 1)
+    keep_port = (port != "") & ~(
+        ((scheme == "https") & (port == "443")) | ((scheme == "http") & (port == "80"))
+    )
+    norm_auth = F.when(keep_port, F.concat(host, F.lit(":"), port)).otherwise(host)
+    norm_rest = F.when(rest == "", F.lit("/")).otherwise(
+        # ensure a path component exists before '?'/'#'
+        F.when(rest.rlike(r"^[?#]"), F.concat(F.lit("/"), rest)).otherwise(rest)
+    )
+    return F.concat(scheme, F.lit("://"), norm_auth, norm_rest)
+
+
+def url_host(url: Column) -> Column:
+    """Host (lowercased) of an already-canonical URL."""
+    return F.lower(F.parse_url(url, F.lit("HOST")))
+
+
+def url_path(url: Column) -> Column:
+    return F.parse_url(url, F.lit("PATH"))
+
+
+def url_query(url: Column) -> Column:
+    return F.parse_url(url, F.lit("QUERY"))
+
+
+def url_hash(url_canon: Column) -> Column:
+    """64-bit frontier key (JVM xxhash64 over the canonical URL string)."""
+    return F.xxhash64(url_canon)
+
+
+def is_root_url(url_canon: Column) -> Column:
+    """Reference is_root: path in {'', '/'}, no query, no fragment."""
+    return (
+        url_path(url_canon).isin("", "/")
+        & url_query(url_canon).isNull()
+        & ~url_canon.contains("#")
+    )
+
+
+def root_url_for_host(host: Column) -> Column:
+    """construct_root_url: host -> https://{host}/ (already canonical)."""
+    return F.concat(F.lit("https://"), F.lower(host), F.lit("/"))
+
+
+def resolve_href(href: Column, base_host: Column) -> Column:
+    """Resolve an href against a base host — reference branch order.
+
+    NOTE the reference checks startswith('/') before startswith('//'), so a
+    protocol-relative href lands in the '/'-branch and becomes
+    https://{base}//other.com/p. We preserve that exact behavior (its own
+    test only asserts 'contains page4', /root/reference/src/html_parser.rs:368-385).
+    """
+    return (
+        F.when(href.rlike(r"^https?://"), href)
+        .when(href.startswith("/"), F.concat(F.lit("https://"), base_host, href))
+        .otherwise(F.concat(F.lit("https://"), base_host, F.lit("/"), href))
+    )
+
+
+def same_domain(url: Column, base_host: Column) -> Column:
+    h = url_host(url)
+    return (h == base_host) | h.endswith(F.concat(F.lit("."), base_host))
+
+
+# ---------------------------------------------------------------------------
+# Arrow-vectorized spec oracle (tests only — the hot path is the column expr)
+# ---------------------------------------------------------------------------
+
+def _canon_one(u: str | None) -> str | None:
+    if u is None:
+        return None
+    if "://" not in u.split("/", 1)[0] and not u.startswith(("http://", "https://")):
+        # schemeless per reference CLI: prepend https://
+        if "://" not in u:
+            u = "https://" + u
+    try:
+        parts = urlsplit(u)
+    except ValueError:
+        return u
+    scheme = parts.scheme.lower()
+    host = (parts.hostname or "").lower()
+    port = parts.port
+    if port and not ((scheme == "https" and port == 443) or (scheme == "http" and port == 80)):
+        host = f"{host}:{port}"
+    path = parts.path or "/"
+    out = f"{scheme}://{host}{path}"
+    if parts.query:
+        out += "?" + parts.query
+    if parts.fragment:
+        out += "#" + parts.fragment
+    return out
+
+
+from pyspark.sql.types import StringType  # noqa: E402
+
+
+@pandas_udf(StringType())
+def canonicalize_url_udf(urls: pd.Series) -> pd.Series:
+    """Arrow-batched canonicalizer (urllib) — cross-check oracle for tests."""
+    return urls.map(_canon_one)
