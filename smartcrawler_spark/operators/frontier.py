@@ -1,0 +1,255 @@
+"""Frontier dataflow operators — the relational core of the crawl engine.
+
+Each function is a pure DataFrame -> DataFrame transform; the driver loop in
+plans.crawl composes them per round. Reference semantics being re-expressed:
+
+* seen-set insert-if-absent  -> exact LEFT ANTI join on (url_hash, url_canon)
+  (/root/reference/src/storage.rs:78-89), with partitioned bloom+cuckoo
+  prefilters (operators.filters) splitting off definitely-novel candidates
+  so only "maybe seen" rows pay the join;
+* per-domain URL cap         -> per-host row_number window against remaining
+  room (/root/reference/src/main.rs:60,82-89);
+* politeness                 -> per-host budget top-k window, TWO-PHASE over
+  an explicit salt so one hot host cannot serialize a single window
+  partition (the reference approximates politeness with a 2 s sleep,
+  /root/reference/src/browser.rs:55 — we use budgets instead);
+* robots gating              -> broadcast per-host prefix lists + EXISTS
+  (no theta join: prefix lists are tiny per host).
+
+Scale notes (100 TB / 10^10-URL design point):
+* every join/window keys on `host` or `url_hash` — bucket the frontier
+  table on url_hash and these become shuffle-free co-located joins;
+* the two-phase salted window bounds any single task's input to
+  |host partition| / n_salts regardless of skew; AQE skew-join handles the
+  residual fetch-join skew;
+* candidate volumes per round are ~politeness_budget x n_hosts, orders of
+  magnitude below frontier size — the bloom prefilter keeps the exact
+  anti-join's probe side small, and the big (frontier) side is only ever
+  scanned, never collected.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+from ..functions import urls as U
+from ..functions.relevance import relevance_score_udf
+from .filters import BloomFilter
+
+# ---------------------------------------------------------------------------
+# candidate preparation
+# ---------------------------------------------------------------------------
+
+
+def with_url_columns(df: DataFrame, url_col: str, keywords: dict[str, float]) -> DataFrame:
+    """url -> (url_canon, url_hash, host, is_root, score), dropping the raw col.
+
+    Scoring uses the Arrow pandas UDF (the north-star surface); it shares its
+    kernel with the pure-Python oracle, so ordering ties out bit-for-bit.
+    """
+    score = relevance_score_udf(keywords)
+    canon = U.canonicalize_url(F.col(url_col))
+    return (
+        df.withColumn("url_canon", canon)
+        .withColumn("url_hash", U.url_hash(F.col("url_canon")))
+        .withColumn("host", U.url_host(F.col("url_canon")))
+        .withColumn("is_root", U.is_root_url(F.col("url_canon")))
+        .withColumn("score", score(F.col("url_canon")))
+        .drop(url_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# robots gating (J5)
+# ---------------------------------------------------------------------------
+
+
+def robots_gate(candidates: DataFrame, robots: DataFrame) -> DataFrame:
+    """Tag candidates with robots_blocked via a BROADCAST join of per-host
+    prefix lists + EXISTS over the array (prefix anti-join without a theta
+    join). robots(host, disallow_prefix)."""
+    rules = robots.groupBy("host").agg(
+        F.collect_list("disallow_prefix").alias("_prefixes")
+    )
+    path = F.coalesce(U.url_path(F.col("url_canon")), F.lit(""))
+    blocked = F.exists("_prefixes", lambda p: path.startswith(p))
+    return (
+        candidates.join(F.broadcast(rules), "host", "left")
+        .withColumn("robots_blocked", F.coalesce(blocked, F.lit(False)))
+        .drop("_prefixes")
+    )
+
+
+# ---------------------------------------------------------------------------
+# bloom/cuckoo prefilter + exact seen anti-join (D1/J1)
+# ---------------------------------------------------------------------------
+
+
+def build_bucket_blooms(
+    frontier: DataFrame, n_buckets: int = 16, fp_rate: float = 0.01
+) -> dict[int, bytes]:
+    """Build one bloom filter per url_hash bucket ON THE EXECUTORS
+    (applyInPandas: one task per bucket; only the finished blobs reach the
+    driver). At production scale persist these blobs beside each frontier
+    snapshot and rebuild only missed buckets."""
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        b = int(pdf["bucket"].iloc[0])
+        bf = BloomFilter(capacity=max(len(pdf), 64), fp_rate=fp_rate)
+        bf.add_many(pdf["url_hash"].to_numpy())
+        return pd.DataFrame({"bucket": [b], "blob": [bf.to_bytes()]})
+
+    rows = (
+        frontier.select(
+            F.pmod(F.col("url_hash"), F.lit(n_buckets)).cast("int").alias("bucket"),
+            "url_hash",
+        )
+        .groupBy("bucket")
+        .applyInPandas(build, "bucket int, blob binary")
+        .collect()
+    )
+    return {r["bucket"]: bytes(r["blob"]) for r in rows}
+
+
+def bloom_maybe_seen(
+    spark: SparkSession, candidates: DataFrame, blooms: dict[int, bytes], n_buckets: int
+) -> DataFrame:
+    """Add `maybe_seen` by probing the broadcast bucket blooms in an Arrow
+    pandas UDF. False => DEFINITELY novel (bloom has no false negatives)."""
+    bcast = spark.sparkContext.broadcast(blooms)
+
+    @F.pandas_udf(BooleanType())
+    def probe(url_hash: pd.Series) -> pd.Series:  # noqa: ANN001 — real hints
+        # (PEP-563 string hints from `__future__ annotations` are not
+        # resolvable by pyspark's typehint inference for closures; the
+        # decorator still needs concrete pd.Series hints, provided here)
+        blobs = bcast.value
+        cache: dict[int, BloomFilter] = {}
+        h = url_hash.to_numpy()
+        buckets = h % n_buckets  # python % matches pmod for negatives
+        out = pd.Series(False, index=url_hash.index)
+        for b in set(buckets.tolist()):
+            blob = blobs.get(int(b))
+            if blob is None:
+                continue
+            bf = cache.setdefault(int(b), BloomFilter.from_bytes(blob))
+            mask = buckets == b
+            out[mask] = bf.contains_many(h[mask])
+        return out
+
+    return candidates.withColumn("maybe_seen", probe(F.col("url_hash")))
+
+
+def tag_seen(candidates: DataFrame, frontier: DataFrame) -> DataFrame:
+    """Exact seen tagging: LEFT join on (url_hash, url_canon) — the hash is
+    the 8-byte shuffle key, the canonical URL the collision guard. Rows
+    already carrying maybe_seen=False skip the join entirely (bloom fast
+    path); the exact join remains the authority for the rest."""
+    seen_keys = frontier.select("url_hash", "url_canon", F.lit(True).alias("_seen"))
+    if "maybe_seen" in candidates.columns:
+        fast = candidates.filter(~F.col("maybe_seen")).withColumn("seen", F.lit(False))
+        slow = (
+            candidates.filter(F.col("maybe_seen"))
+            .join(seen_keys, ["url_hash", "url_canon"], "left")
+            .withColumn("seen", F.coalesce(F.col("_seen"), F.lit(False)))
+            .drop("_seen")
+        )
+        return fast.unionByName(slow)
+    return (
+        candidates.join(seen_keys, ["url_hash", "url_canon"], "left")
+        .withColumn("seen", F.coalesce(F.col("_seen"), F.lit(False)))
+        .drop("_seen")
+    )
+
+
+def seen_anti_join(candidates: DataFrame, frontier: DataFrame) -> DataFrame:
+    """Pure anti-join form (novel rows only) for callers that don't need
+    fate tagging."""
+    return candidates.join(
+        frontier.select("url_hash", "url_canon"), ["url_hash", "url_canon"], "left_anti"
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-host admission cap (A6) — reference max_urls_per_domain
+# ---------------------------------------------------------------------------
+
+def _order() -> list[Column]:
+    """The pinned deterministic total order (shared by admission, scheduling
+    and the crawl_log sequence): is_root desc, score desc, url_canon asc."""
+    return [F.col("is_root").desc(), F.col("score").desc(), F.col("url_canon").asc()]
+
+
+def admit_with_cap(tagged: DataFrame, frontier: DataFrame, cap: int) -> DataFrame:
+    """Tag eligible (not blocked, not seen) candidates with `admitted` by
+    per-host room: row_number over (is_root desc, score desc, url_canon)
+    <= cap - existing_host_count. Deterministic total order => identical to
+    the oracle's sequential insert loop."""
+    counts = frontier.groupBy("host").agg(F.count("*").alias("_n"))
+    eligible = F.col("eligible")
+    w = Window.partitionBy("host").orderBy(eligible.desc(), *_order())
+    return (
+        tagged.withColumn("eligible", ~F.col("robots_blocked") & ~F.col("seen"))
+        .join(counts, "host", "left")
+        .withColumn("_room", F.lit(cap) - F.coalesce(F.col("_n"), F.lit(0)))
+        .withColumn("_rn", F.row_number().over(w))  # eligibles rank first
+        .withColumn("admitted", eligible & (F.col("_rn") <= F.col("_room")))
+        .drop("_n", "_room", "_rn", "eligible")
+    )
+
+
+# ---------------------------------------------------------------------------
+# politeness-budget priority queue (A7) — two-phase salted top-k
+# ---------------------------------------------------------------------------
+
+def politeness_topk(
+    pending: DataFrame,
+    budgets: DataFrame,
+    default_budget: int,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Per-host top-budget by (is_root desc, score desc, url_canon asc).
+
+    Two-phase: phase 1 ranks within (host, salt) — at most 1/n_salts of a
+    hot host per task — and keeps each salt's local top-budget; phase 2
+    re-ranks the survivors (<= n_salts * budget rows per host) for the exact
+    global per-host top-budget. Identical output to a single window, but no
+    single task ever sees a whole hot host. budgets(host, budget)."""
+    with_budget = pending.join(F.broadcast(budgets), "host", "left").withColumn(
+        "_budget", F.coalesce(F.col("budget"), F.lit(default_budget))
+    ).drop("budget")
+
+    salted = with_budget.withColumn(
+        "_salt", F.pmod(F.xxhash64("url_canon"), F.lit(n_salts))
+    )
+    w1 = Window.partitionBy("host", "_salt").orderBy(*_order())
+    phase1 = salted.withColumn("_rn1", F.row_number().over(w1)).filter(
+        F.col("_rn1") <= F.col("_budget")
+    )
+    w2 = Window.partitionBy("host").orderBy(*_order())
+    return (
+        phase1.withColumn("_rn2", F.row_number().over(w2))
+        .filter(F.col("_rn2") <= F.col("_budget"))
+        .drop("_salt", "_rn1", "_rn2", "_budget")
+    )
+
+
+def global_crawl_order(scheduled: DataFrame, round_no: int) -> DataFrame:
+    """crawl_log rows (round, seq, url_canon): the deterministic total order
+    the oracle pins (is_root desc, score desc, url_canon asc).
+
+    The final row_number is a single-partition window — fine here because a
+    round's schedule is politeness-bounded (hosts x budget rows), and the
+    contract REQUIRES one total sequence per round. At 10^10 frontier the
+    schedule is still budget-bounded; if a deployment ever needs a huge
+    per-round schedule, swap to zipWithIndex over a range-partitioned sort
+    (same order, same output)."""
+    w = Window.orderBy(*_order())
+    return scheduled.select(
+        F.lit(round_no).alias("round"),
+        F.row_number().over(w).alias("seq"),
+        "url_canon",
+    )

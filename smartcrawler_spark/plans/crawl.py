@@ -1,0 +1,257 @@
+"""The iterative crawl loop — reference main() re-expressed as per-round
+DataFrame stages over snapshot-checkpointed tables.
+
+Per round (reference phases at /root/reference/src/main.rs:57-135):
+
+    pending --politeness_topk--> scheduled --crawl_log append (total order)
+    scheduled --fetch join vs documents--> SUCCESS/FAILED + title
+    fetched --explode 'a' spans--> resolve/same-domain --> candidates
+    candidates --robots gate --> bloom prefilter --> exact seen tag
+               --> per-host cap --> admitted  --> frontier MERGE + commit
+
+State lives in snapshot tables (frontier / crawl_log / metrics), committed
+once per round: the next round reads the committed parquet back, which
+truncates lineage by construction (no unbounded iterative plan growth) and
+is exactly what makes the crawl resumable from any round boundary.
+
+Determinism contract (matched bit-for-bit by smartcrawler_spark.oracle):
+admission and scheduling order is (is_root desc, score desc, url_canon asc);
+crawl_log seq is that order globally per round.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import urls as U
+from ..operators import frontier as FR
+from ..sources.snapshot import SnapshotTable
+
+FRONTIER_SCHEMA = (
+    "url_canon string, url_hash long, host string, is_root boolean, "
+    "score double, status string, round_added int, round_fetched int, title string"
+)
+
+
+@dataclass
+class EngineConfig:
+    keywords: dict[str, float] = field(default_factory=dict)
+    max_urls_per_host: int = 10
+    max_rounds: int = 50
+    default_budget: int = 4
+    bloom_buckets: int = 16
+    salt_buckets: int = 8
+    use_bloom: bool = True
+
+
+class CrawlJob:
+    def __init__(self, spark: SparkSession, corpus_dir: str, checkpoint_dir: str,
+                 cfg: EngineConfig, seeds: list[str]):
+        self.spark = spark
+        self.cfg = cfg
+        self.seeds = seeds
+        self.t_frontier = SnapshotTable(checkpoint_dir, "frontier")
+        self.t_log = SnapshotTable(checkpoint_dir, "crawl_log")
+        self.t_metrics = SnapshotTable(checkpoint_dir, "metrics")
+
+        # documents: canonical fetch key precomputed once. At scale this table
+        # is bucketed by url_hash so the per-round fetch join is co-located.
+        self.documents = (
+            spark.read.parquet(f"{corpus_dir}/documents.parquet")
+            .withColumn("doc_canon", U.canonicalize_url(F.col("doc_id")))
+            .select("doc_canon", "host", "spans")
+        )
+        self.robots = spark.read.parquet(f"{corpus_dir}/robots.parquet")
+        self.budgets = spark.read.parquet(f"{corpus_dir}/politeness.parquet")
+        self.sitemaps = spark.read.parquet(f"{corpus_dir}/sitemaps.parquet")
+
+    # ------------------------------------------------------------------ util
+
+    def _empty_frontier(self) -> DataFrame:
+        return self.spark.createDataFrame([], FRONTIER_SCHEMA)
+
+    def _admit(self, raw_urls: DataFrame, frontier: DataFrame, round_no: int
+               ) -> tuple[DataFrame, DataFrame]:
+        """raw_urls(url) -> (new frontier rows, per-fate/per-partition metrics).
+
+        Mirrors oracle.admit: canon+distinct, robots gate, seen dedup
+        (bloom fast path + exact authority), per-host cap."""
+        cands = FR.with_url_columns(raw_urls, "url", self.cfg.keywords).dropDuplicates(
+            ["url_canon"]
+        )
+        cands = FR.robots_gate(cands, self.robots)
+        if self.cfg.use_bloom and frontier.isStreaming is False:
+            blooms = FR.build_bucket_blooms(frontier, self.cfg.bloom_buckets)
+            cands = FR.bloom_maybe_seen(self.spark, cands, blooms, self.cfg.bloom_buckets)
+        tagged = FR.tag_seen(cands, frontier)
+        tagged = FR.admit_with_cap(tagged, frontier, self.cfg.max_urls_per_host)
+
+        fate = F.when(F.col("robots_blocked"), "robots_blocked").when(
+            F.col("seen"), "dedup_rejected"
+        ).when(F.col("admitted"), "admitted").otherwise("cap_rejected")
+        metrics = (
+            tagged.withColumn("fate", fate)
+            .groupBy("fate", F.spark_partition_id().alias("partition_id"))
+            .agg(F.count("*").alias("n"))
+            .withColumn("round", F.lit(round_no))
+        )
+
+        new_rows = (
+            tagged.filter("admitted")
+            .select(
+                "url_canon", "url_hash", "host", "is_root", "score",
+                F.lit("PENDING").alias("status"),
+                F.lit(round_no).alias("round_added"),
+                F.lit(None).cast("int").alias("round_fetched"),
+                F.lit(None).cast("string").alias("title"),
+            )
+        )
+        return new_rows, metrics
+
+    def _commit_round(self, frontier: DataFrame, round_no: int,
+                      log_rows: DataFrame | None, metrics: DataFrame | None) -> None:
+        lineage = {"round": round_no, "source": "crawl-loop"}
+        self.t_frontier.commit(frontier, meta=lineage)
+        if log_rows is not None:
+            prev = self.t_log.read(self.spark)
+            full = log_rows if prev is None else prev.unionByName(log_rows)
+            self.t_log.commit(full, meta=lineage)
+        if metrics is not None:
+            prev = self.t_metrics.read(self.spark)
+            full = metrics if prev is None else prev.unionByName(metrics)
+            self.t_metrics.commit(full, meta=lineage)
+
+    # ------------------------------------------------------------- lifecycle
+
+    def bootstrap(self) -> int:
+        """Round 0: admit seeds + sitemap URLs of seed hosts. Returns the
+        round to resume from (reads the checkpoint when one exists)."""
+        if self.t_frontier.latest_version() is not None:
+            return int(self.t_frontier.latest_meta().get("round", 0))
+
+        seeds_df = self.spark.createDataFrame([(s,) for s in self.seeds], "url string")
+        seed_hosts = seeds_df.select(
+            U.url_host(U.canonicalize_url(F.col("url"))).alias("host")
+        ).distinct()
+        sitemap_urls = (
+            self.sitemaps.join(seed_hosts, "host", "left_semi")
+            .select(F.explode("urls").alias("url"))
+        )
+        round0 = seeds_df.unionByName(sitemap_urls)
+        new_rows, metrics = self._admit(round0, self._empty_frontier(), 0)
+        self._commit_round(new_rows, 0, None, metrics)
+        return 0
+
+    def run_round(self, round_no: int) -> dict:
+        """One crawl round. Returns counters (scheduled==0 => converged)."""
+        frontier = self.t_frontier.read(self.spark)
+        pending = frontier.filter(F.col("status") == "PENDING")
+
+        scheduled = FR.politeness_topk(
+            pending, self.budgets, self.cfg.default_budget, self.cfg.salt_buckets
+        ).select("url_canon", "url_hash", "host", "is_root", "score")
+        scheduled.cache()
+        n_sched = scheduled.count()
+        if n_sched == 0:
+            scheduled.unpersist()
+            return {"round": round_no, "scheduled": 0}
+
+        log_rows = FR.global_crawl_order(scheduled, round_no)
+
+        # fetch = join vs documents on the canonical URL (url_hash would be
+        # the bucketed key at scale; doc side here is keyed by doc_canon)
+        docs = self.documents.withColumnRenamed("host", "_doc_host")
+        fetched = scheduled.join(docs, scheduled.url_canon == docs.doc_canon, "left")
+        title = F.try_element_at(  # NULL when no title span (no ANSI error)
+            F.filter("spans", lambda s: (s["kind"] == "title") & (s["text"] != "")), F.lit(1)
+        )["text"]
+        results = fetched.select(
+            "url_canon",
+            F.when(F.col("doc_canon").isNull(), "FAILED").otherwise("SUCCESS").alias(
+                "_new_status"
+            ),
+            title.alias("_new_title"),
+            F.lit(round_no).alias("_round_fetched"),
+        )
+
+        # discovered links: explode 'a' spans of successful fetches
+        links = (
+            fetched.filter(F.col("doc_canon").isNotNull())
+            .select(
+                F.col("host").alias("_base_host"),
+                F.explode(F.filter("spans", lambda s: s["kind"] == "a")).alias("s"),
+            )
+            .filter(F.col("s.media_ref") != "")
+            .select(
+                U.resolve_href(F.col("s.media_ref"), F.col("_base_host")).alias("_u"),
+                "_base_host",
+            )
+            .filter(U.same_domain(F.col("_u"), F.col("_base_host")))
+            .select(F.col("_u").alias("url"))
+        )
+
+        new_rows, admit_metrics = self._admit(links, frontier, round_no)
+
+        # MERGE: status transition for scheduled rows + append admitted rows
+        merged = (
+            frontier.join(results, "url_canon", "left")
+            .select(
+                "url_canon", "url_hash", "host", "is_root", "score",
+                F.coalesce(F.col("_new_status"), F.col("status")).alias("status"),
+                "round_added",
+                F.coalesce(F.col("_round_fetched"), F.col("round_fetched")).alias(
+                    "round_fetched"
+                ),
+                F.coalesce(F.col("_new_title"), F.col("title")).alias("title"),
+            )
+            .unionByName(new_rows)
+        )
+
+        fetch_metrics = (
+            results.groupBy(
+                F.concat(F.lit("fetch_"), F.lower("_new_status")).alias("fate"),
+                F.spark_partition_id().alias("partition_id"),
+            )
+            .agg(F.count("*").alias("n"))
+            .withColumn("round", F.lit(round_no))
+        )
+        self._commit_round(merged, round_no, log_rows,
+                           admit_metrics.unionByName(fetch_metrics))
+        scheduled.unpersist()
+        return {"round": round_no, "scheduled": n_sched}
+
+    def run(self) -> dict:
+        start = self.bootstrap()
+        rounds = 0
+        for r in range(start + 1, self.cfg.max_rounds + 1):
+            out = self.run_round(r)
+            if out["scheduled"] == 0:
+                break
+            rounds += 1
+        frontier = self.t_frontier.read(self.spark)
+        return {
+            "rounds_run": rounds,
+            "frontier_size": frontier.count(),
+            "crawl_log_size": (self.t_log.read(self.spark) or self._empty_frontier()).count(),
+        }
+
+    # ------------------------------------------------------------- accessors
+
+    def frontier(self) -> DataFrame:
+        return self.t_frontier.read(self.spark)
+
+    def crawl_log(self) -> DataFrame:
+        return self.t_log.read(self.spark)
+
+    def metrics(self) -> DataFrame:
+        return self.t_metrics.read(self.spark)
+
+
+def run_crawl(spark: SparkSession, corpus_dir: str, checkpoint_dir: str,
+              seeds: list[str], cfg: EngineConfig | None = None) -> CrawlJob:
+    job = CrawlJob(spark, corpus_dir, checkpoint_dir, cfg or EngineConfig(), seeds)
+    job.run()
+    return job

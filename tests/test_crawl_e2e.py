@@ -1,0 +1,166 @@
+"""End-to-end crawl: the Spark engine must match the pure-Python oracle
+EXACTLY — crawl order, final URL-seen set, statuses, titles, metrics — and
+must resume from a snapshot checkpoint to byte-identical outputs.
+
+This is the engine analog of the reference's integration contract
+(/root/reference/tests/real_world_tests.rs:90-146) on the deterministic
+synthetic corpus (no network in the sandbox)."""
+
+from __future__ import annotations
+
+import pytest
+
+from smartcrawler_spark.oracle import CrawlConfig, crawl
+from smartcrawler_spark.plans.crawl import CrawlJob, EngineConfig
+from smartcrawler_spark.sources.corpus import CorpusConfig, generate_corpus
+
+KEYWORDS = {"news": 2.0, "docs": 1.0, "item1": 0.5}
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("corpus"))
+    manifest = generate_corpus(d, CorpusConfig())
+    return d, manifest
+
+
+@pytest.fixture(scope="module")
+def oracle_result(corpus):
+    d, manifest = corpus
+    return crawl(
+        d,
+        manifest["seeds"],
+        CrawlConfig(keywords=KEYWORDS, max_urls_per_host=10, max_rounds=30,
+                    default_budget=4),
+    )
+
+
+def _engine_cfg(**kw):
+    return EngineConfig(
+        keywords=KEYWORDS, max_urls_per_host=10, max_rounds=30, default_budget=4, **kw
+    )
+
+
+def _run_engine(spark, corpus_dir, seeds, ckpt, cfg=None):
+    job = CrawlJob(spark, corpus_dir, str(ckpt), cfg or _engine_cfg(), seeds)
+    job.run()
+    return job
+
+
+def _log_tuples(job):
+    return [
+        (r["round"], r["seq"], r["url_canon"])
+        for r in job.crawl_log().orderBy("round", "seq").collect()
+    ]
+
+
+def _frontier_map(job):
+    return {
+        r["url_canon"]: (r["host"], r["status"], r["title"])
+        for r in job.frontier().collect()
+    }
+
+
+def test_engine_matches_oracle(spark, corpus, oracle_result, tmp_path):
+    d, manifest = corpus
+    job = _run_engine(spark, d, manifest["seeds"], tmp_path / "ckpt")
+
+    # exact crawl order
+    assert _log_tuples(job) == oracle_result.crawl_log
+
+    # exact URL-seen set + statuses + titles
+    got = _frontier_map(job)
+    want = {
+        u: (r["host"], r["status"], r["title"])
+        for u, r in oracle_result.frontier.items()
+    }
+    assert got == want
+
+    # aggregate metrics per round match the oracle's counters
+    import collections
+
+    eng = collections.defaultdict(dict)
+    for r in job.metrics().collect():
+        eng[r["round"]][r["fate"]] = eng[r["round"]].get(r["fate"], 0) + r["n"]
+    for om in oracle_result.metrics:
+        rnd = om["round"]
+        for fate in ("admitted", "robots_blocked", "dedup_rejected", "cap_rejected"):
+            assert eng[rnd].get(fate, 0) == om[fate], (rnd, fate)
+        if rnd > 0:
+            assert eng[rnd].get("fetch_success", 0) == om["fetched"], rnd
+            assert eng[rnd].get("fetch_failed", 0) == om["failed"], rnd
+
+
+def test_bloom_fastpath_equals_exact(spark, corpus, oracle_result, tmp_path):
+    """With the bloom prefilter disabled the engine must produce the exact
+    same outputs — the filter is a physical optimization only."""
+    d, manifest = corpus
+    job = _run_engine(
+        spark, d, manifest["seeds"], tmp_path / "ckpt_nobloom",
+        _engine_cfg(use_bloom=False),
+    )
+    assert _log_tuples(job) == oracle_result.crawl_log
+
+
+def test_resume_from_checkpoint(spark, corpus, oracle_result, tmp_path):
+    """Kill after round 2, restart from the snapshot — final crawl_log and
+    frontier byte-identical to the uninterrupted run."""
+    d, manifest = corpus
+    ckpt = tmp_path / "ckpt_resume"
+
+    job1 = CrawlJob(spark, d, str(ckpt), _engine_cfg(), manifest["seeds"])
+    start = job1.bootstrap()
+    assert start == 0
+    job1.run_round(1)
+    job1.run_round(2)
+    del job1  # 'crash'
+
+    job2 = CrawlJob(spark, d, str(ckpt), _engine_cfg(), manifest["seeds"])
+    resumed_from = job2.bootstrap()
+    assert resumed_from == 2  # picked up the round-2 snapshot
+    job2.run()
+
+    assert _log_tuples(job2) == oracle_result.crawl_log
+    got = _frontier_map(job2)
+    want = {
+        u: (r["host"], r["status"], r["title"])
+        for u, r in oracle_result.frontier.items()
+    }
+    assert got == want
+
+
+def test_span_sequence_equality(spark, corpus, tmp_path):
+    """Per-row span-sequence equality (kind, text, media_ref, offset-order)
+    between the engine's fetched documents and the corpus ground truth —
+    the input_hint invariant."""
+    from pyspark.sql import functions as F
+
+    d, manifest = corpus
+    job = _run_engine(spark, d, manifest["seeds"], tmp_path / "ckpt_spans")
+    fetched = job.frontier().filter(F.col("status") == "SUCCESS")
+    docs = job.documents  # doc_canon, host, spans
+
+    joined = fetched.join(docs, fetched.url_canon == docs.doc_canon, "inner")
+    assert joined.count() == fetched.count()  # every SUCCESS url has its doc
+
+    # engine-side reconstruction: sort spans by offset, project the invariant
+    # tuple, compare with the pyarrow-read ground truth
+    eng = {
+        r["doc_canon"]: [
+            (s["kind"], s["text"], s["media_ref"]) for s in
+            sorted(r["spans"], key=lambda s: s["offset"])
+        ]
+        for r in joined.select("doc_canon", "spans").collect()
+    }
+    import pyarrow.parquet as pq
+
+    from smartcrawler_spark.oracle import canon
+
+    truth = {}
+    for row in pq.read_table(f"{d}/documents.parquet").to_pylist():
+        truth[canon(row["doc_id"])] = [
+            (s["kind"], s["text"], s["media_ref"])
+            for s in sorted(row["spans"], key=lambda s: s["offset"])
+        ]
+    for u, seq in eng.items():
+        assert seq == truth[u], u
