@@ -1,0 +1,309 @@
+"""Document deduplication for large-scale training-data pipelines.
+
+Four families, each scale-shaped for 100 TB:
+
+* exact           — hash-groupBy on a normalized fingerprint (one shuffle on
+                    an 8-byte key; survivor = min doc_id, deterministic)
+* MinHash + LSH   — shingle -> k-permutation minhash -> band buckets ->
+                    bucket-join; only bucket collisions are compared, never
+                    all pairs. Signatures are computed in ONE Arrow pandas
+                    UDF with numpy (vectorized over the batch), everything
+                    after is JVM explode + groupBy.
+* SimHash         — 64-bit weighted-bit fingerprint; near-dup candidates via
+                    4x16-bit band buckets (Hamming <= 3 guaranteed to share
+                    at least one band by pigeonhole).
+* n-gram Jaccard  — exact similarity on candidate pairs via shingle-hash
+                    join; a document-frequency cap drops shingles occurring
+                    in > df_cap docs (stopword-shingles are what make the
+                    naive self-join quadratic at scale; dropping them only
+                    loses pairs whose ENTIRE overlap is ubiquitous shingles).
+
+All functions take/return DataFrames; doc identity column configurable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+from ..functions.textops import clean_text
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one survivor (min id) per exact normalized-text group.
+
+    Plan: fingerprint (JVM xxhash64 over cleaned/lowered text) -> min(id)
+    hash aggregation. One shuffle on the 8-byte fingerprint; map-side
+    partial agg keeps it cheap."""
+    fp = F.xxhash64(F.lower(clean_text(F.col(text_col))))
+    return (
+        df.withColumn("_fp", fp)
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+        .drop("_fp")
+    )
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(fingerprint, survivor, n_copies) for groups with > 1 copy."""
+    fp = F.xxhash64(F.lower(clean_text(F.col(text_col))))
+    return (
+        df.withColumn("fingerprint", fp)
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("survivor"), F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling + MinHash kernel (numpy, Arrow-batched)
+# ---------------------------------------------------------------------------
+
+_MERSENNE31 = (1 << 31) - 1  # 31-bit prime: a*x + b fits in uint64, fully vectorized
+
+
+def _hash_shingles(text: str, n: int) -> np.ndarray:
+    """Distinct word n-gram shingles -> 31-bit hashes (blake2b-truncated)."""
+    toks = text.lower().split()
+    if len(toks) < n:
+        shingles = {" ".join(toks)} if toks else set()
+    else:
+        shingles = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    import hashlib
+
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+            & _MERSENNE31
+            for s in shingles
+        ),
+        dtype=np.uint64,
+        count=len(shingles),
+    )
+
+
+def make_minhash_udf(num_perm: int = 64, shingle_n: int = 3, seed: int = 7):
+    """Arrow pandas UDF: text -> minhash signature (array<long>, len num_perm).
+
+    Permutations are affine maps (a*x + b) mod M31 over a 31-bit Mersenne
+    prime — products stay < 2^62, so the whole (num_shingles x num_perm)
+    matrix is one vectorized numpy broadcast + min per document."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE31, num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE31, num_perm, dtype=np.uint64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def minhash(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            sh = _hash_shingles(t or "", shingle_n)
+            if sh.size == 0:
+                out.append([0] * num_perm)
+                continue
+            sig = ((sh[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE31)).min(axis=0)
+            out.append(sig.astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return minhash
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       num_perm: int = 64, shingle_n: int = 3) -> DataFrame:
+    mh = make_minhash_udf(num_perm, shingle_n)
+    return df.select(id_col, mh(F.col(text_col)).alias("sig"))
+
+
+def minhash_band_buckets(sigs: DataFrame, num_perm: int = 64, bands: int = 16,
+                         id_col: str = "doc_id") -> DataFrame:
+    """signature -> (band, bucket_hash) rows. rows_per_band = num_perm/bands;
+    bucket_hash = xxhash64 of the band slice (JVM-side slice+hash)."""
+    r = num_perm // bands
+    cols = []
+    for bi in range(bands):
+        band = F.slice(F.col("sig"), bi * r + 1, r)
+        cols.append(F.struct(F.lit(bi).alias("band"),
+                             F.xxhash64(F.to_json(band)).alias("bucket")))
+    return sigs.select(
+        id_col, F.explode(F.array(*cols)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  num_perm: int = 64, bands: int = 16, shingle_n: int = 3) -> DataFrame:
+    """Near-dup dedup: docs sharing ANY band bucket collapse to the bucket's
+    min id; a doc survives iff it is the survivor of every bucket it belongs
+    to (standard one-pass LSH dedup — single-linkage within buckets only).
+
+    Scale shape: signatures (Arrow UDF) -> explode bands (x bands rows) ->
+    groupBy bucket (shuffle on 8-byte keys) -> min-id broadcast back."""
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
+    bb = minhash_band_buckets(sigs, num_perm, bands, id_col)
+    w = Window.partitionBy("band", "bucket")
+    keep = (
+        bb.withColumn("_min", F.min(id_col).over(w))
+        .groupBy(id_col)
+        .agg(F.max(F.when(F.col(id_col) != F.col("_min"), 1).otherwise(0)).alias("_dominated"))
+        .filter(F.col("_dominated") == 0)
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", num_perm: int = 64,
+                            bands: int = 16, shingle_n: int = 3) -> DataFrame:
+    """Candidate near-dup pairs (a < b) with estimated jaccard = fraction of
+    matching minhash positions. Pairing happens ONLY within band buckets."""
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n).cache()
+    bb = minhash_band_buckets(sigs, num_perm, bands, id_col)
+    left = bb.alias("l")
+    right = bb.alias("r")
+    pairs = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col(id_col).alias("a"), F.col("sig").alias("_sa"))
+    sb = sigs.select(F.col(id_col).alias("b"), F.col("sig").alias("_sb"))
+    est = F.aggregate(
+        F.zip_with("_sa", "_sb", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.size("_sa")
+    return (
+        pairs.join(sa, "a").join(sb, "b")
+        .select("a", "b", F.round(est, 4).alias("est_jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def make_simhash_udf(seed: int = 11):
+    """Arrow pandas UDF: text -> 64-bit simhash (long). Token hashes are
+    blake2b-64; each token votes its bits +1/-1; sign of the sum per bit."""
+    import hashlib
+
+    @pandas_udf(LongType())
+    def simhash(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = (t or "").lower().split()
+            if not toks:
+                out.append(0)
+                continue
+            hs = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"
+                    )
+                    for w in toks
+                ),
+                dtype=np.uint64,
+                count=len(toks),
+            )
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+            votes = (2 * bits - 1).sum(axis=0)
+            v = 0
+            for i in range(64):
+                if votes[i] > 0:
+                    v |= 1 << i
+            out.append(v - (1 << 64) if v >= (1 << 63) else v)
+        return pd.Series(out)
+
+    return simhash
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    sh = make_simhash_udf()
+    return df.select(id_col, sh(F.col(text_col)).alias("simhash"))
+
+
+def simhash_candidate_pairs(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming. Banding: split
+    the 64-bit hash into 4x16-bit chunks; by pigeonhole any pair within
+    Hamming 3 shares at least one exact chunk -> only chunk-bucket joins,
+    then exact Hamming verification via bit_count (JVM)."""
+    sigs = simhash_signatures(df, text_col, id_col)
+    chunks = sigs.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("chunk"),
+                     F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))
+                     .alias("val"))
+            for i in range(4)
+        ])).alias("c"),
+    ).select(id_col, "simhash", "c.chunk", "c.val")
+    left = chunks.alias("l")
+    right = chunks.alias("r")
+    ham = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+    return (
+        left.join(right, ["chunk", "val"])
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (shingle join)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3, threshold: float = 0.5,
+                        df_cap: int | None = 1000) -> DataFrame:
+    """Exact Jaccard over word n-gram sets for pairs sharing >= 1 shingle.
+
+    Plan: doc -> distinct shingle hashes (JVM transform+xxhash64) -> explode
+    -> drop shingles with doc-frequency > df_cap (the quadratic-blowup
+    stopword shingles; at 100 TB this cap is what keeps the self-join
+    linear-ish) -> self-join on shingle -> groupBy pair count(intersection)
+    -> jaccard = inter / (|A| + |B| - inter)."""
+    toks = F.split(F.lower(clean_text(F.col(text_col))), " ")
+    n_sh = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n_sh - 1),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))),
+        )
+    )
+    docs = df.select(F.col(id_col).alias("id"), shingles.alias("sh")).withColumn(
+        "set_size", F.size("sh")
+    )
+    exploded = docs.select("id", "set_size", F.explode("sh").alias("shingle"))
+    if df_cap is not None:
+        freq = exploded.groupBy("shingle").agg(F.count("*").alias("_df"))
+        exploded = exploded.join(
+            freq.filter(F.col("_df") <= df_cap).select("shingle"), "shingle", "left_semi"
+        )
+    a = exploded.select(F.col("id").alias("a"), F.col("set_size").alias("_na"), "shingle")
+    b = exploded.select(F.col("id").alias("b"), F.col("set_size").alias("_nb"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b", "_na", "_nb")
+        .agg(F.count("*").alias("_inter"))
+    )
+    jac = F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter"))
+    return (
+        inter.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )

@@ -205,6 +205,35 @@ def admit_with_cap(tagged: DataFrame, frontier: DataFrame, cap: int) -> DataFram
 # politeness-budget priority queue (A7) — two-phase salted top-k
 # ---------------------------------------------------------------------------
 
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    n_salts: int = 8,
+    salt_on: str | None = None,
+) -> DataFrame:
+    """Generic skew-safe per-group top-k: the same two-phase salted window
+    politeness uses, for any (group, order, k). Phase 1 ranks within
+    (group, salt) — bounding any single task to |group|/n_salts rows — and
+    keeps each salt's local top-k; phase 2 re-ranks the <= n_salts*k
+    survivors per group. Output identical to a single window."""
+    salt_src = salt_on or group_cols[-1]
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(salt_src), F.lit(n_salts))
+    )
+    w1 = Window.partitionBy(*group_cols, "_salt").orderBy(*order_cols)
+    phase1 = salted.withColumn("_rn1", F.row_number().over(w1)).filter(
+        F.col("_rn1") <= k
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        phase1.withColumn("_rn2", F.row_number().over(w2))
+        .filter(F.col("_rn2") <= k)
+        .drop("_salt", "_rn1", "_rn2")
+    )
+
+
 def politeness_topk(
     pending: DataFrame,
     budgets: DataFrame,

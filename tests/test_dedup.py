@@ -1,0 +1,114 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard —
+verified against brute-force Python oracles on small synthetic corpora."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from smartcrawler_spark.operators import dedup as DD
+
+BASE = "the quick brown fox jumps over the lazy dog near the river bank today"
+
+
+def corpus(spark):
+    """Docs 0,1 identical; 2 near-dup of 0 (one word changed); 3,4 unrelated;
+    5 = 0 with different whitespace/case (exact dup after normalization)."""
+    rows = [
+        (0, BASE),
+        (1, BASE),
+        (2, BASE.replace("lazy", "sleepy")),
+        (3, "completely different text about spark query engines and shuffles"),
+        (4, "yet another unrelated document mentioning neither foxes nor dogs"),
+        (5, "  THE quick   brown fox jumps over the lazy dog near the river bank today "),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string"), rows
+
+
+def _jaccard(a: str, b: str, n: int = 3) -> float:
+    def sh(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i:i + n]) for i in range(max(1, len(toks) - n + 1))}
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_dedup(spark):
+    df, _ = corpus(spark)
+    out = DD.exact_dedup(df).orderBy("doc_id").collect()
+    # {0,1,5} collapse to 0; 2,3,4 survive
+    assert [(r["doc_id"], r["n_copies"]) for r in out] == [(0, 3), (2, 1), (3, 1), (4, 1)]
+    groups = DD.exact_dup_groups(df).collect()
+    assert len(groups) == 1 and groups[0]["survivor"] == 0 and groups[0]["n_copies"] == 3
+
+
+def test_minhash_estimates_jaccard(spark):
+    df, rows = corpus(spark)
+    pairs = {(r["a"], r["b"]): r["est_jaccard"]
+             for r in DD.minhash_candidate_pairs(df, num_perm=128, bands=32).collect()}
+    # identical docs estimate 1.0
+    assert pairs[(0, 1)] == 1.0
+    # near-dup estimate within 0.2 of true jaccard
+    true = _jaccard(rows[0][1], rows[2][1])
+    assert abs(pairs[(0, 2)] - true) < 0.2
+    # unrelated docs never become candidates
+    assert (3, 4) not in pairs
+
+
+def test_minhash_dedup_survivors(spark):
+    df, _ = corpus(spark)
+    kept = sorted(r["doc_id"] for r in DD.minhash_dedup(df, num_perm=128, bands=32).collect())
+    # 0 survives its cluster (1,5 identical, 2 near-dup shares buckets); 3,4 survive
+    assert 0 in kept and 3 in kept and 4 in kept
+    assert 1 not in kept and 5 not in kept
+
+
+def test_simhash_hamming(spark):
+    df, _ = corpus(spark)
+    sigs = {r["doc_id"]: r["simhash"] for r in DD.simhash_signatures(df).collect()}
+    assert sigs[0] == sigs[1]  # identical text -> identical simhash
+    pairs = {(r["a"], r["b"]): r["hamming"]
+             for r in DD.simhash_candidate_pairs(df, max_hamming=6).collect()}
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs  # one-word change stays within hamming 6
+    assert (3, 4) not in pairs
+
+
+def test_simhash_matches_python_oracle(spark):
+    """Engine simhash == pure-Python recomputation (bit-for-bit)."""
+    import hashlib
+
+    import numpy as np
+
+    def py_simhash(t):
+        toks = t.lower().split()
+        votes = [0] * 64
+        for w in toks:
+            h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+            for i in range(64):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        v = sum(1 << i for i in range(64) if votes[i] > 0)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    df, rows = corpus(spark)
+    sigs = {r["doc_id"]: r["simhash"] for r in DD.simhash_signatures(df).collect()}
+    for i, t in rows:
+        assert sigs[i] == py_simhash(t), i
+
+
+def test_ngram_jaccard_exact(spark):
+    df, rows = corpus(spark)
+    got = {(r["a"], r["b"]): r["jaccard"]
+           for r in DD.ngram_jaccard_pairs(df, threshold=0.3).collect()}
+    assert got[(0, 1)] == 1.0
+    assert abs(got[(0, 2)] - round(_jaccard(rows[0][1], rows[2][1]), 4)) < 1e-9
+    assert (3, 4) not in got
+
+
+def test_ngram_jaccard_on_testdata(spark, sf_dir):
+    """Runs on the driver documents table without blowing up."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = DD.ngram_jaccard_pairs(docs.limit(150), threshold=0.8, df_cap=100)
+    assert out.count() >= 0  # smoke: plan executes

@@ -1,0 +1,71 @@
+"""Similarity search: brute-force cosine top-k vs numpy oracle; LSH ANN
+recall; embedding near-dup pairs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from smartcrawler_spark.operators import similarity as SIM
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = df.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    return df, vecs
+
+
+def _oracle_topk(vecs, q, k):
+    qn = q / np.linalg.norm(q)
+    sims = {
+        i: round(float(v @ qn / np.linalg.norm(v)), 6) for i, v in vecs.items()
+    }
+    return sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def test_bruteforce_topk_matches_numpy(spark, emb):
+    df, vecs = emb
+    q = vecs[0].tolist()
+    got = [(r["vec_id"], r["sim"]) for r in SIM.cosine_topk_bruteforce(df, q, k=10).collect()]
+    want = _oracle_topk(vecs, np.array(q), 10)
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[1] - w[1]) < 1e-4
+
+
+def test_lsh_topk_recall(spark, emb):
+    df, vecs = emb
+    q = vecs[0].tolist()
+    exact = {v for v, _ in _oracle_topk(vecs, np.array(q), 10)}
+    # this synthetic table is near-orthogonal (top-10 sims ~0.3) — the
+    # hardest LSH regime; bits=4/tables=16 gives ~88% expected recall here.
+    # Real embedding corpora cluster far tighter and prune far better.
+    ann = {r["vec_id"] for r in SIM.cosine_topk_lsh(df, q, k=10, bits=4, tables=16).collect()}
+    assert len(ann & exact) >= 6
+    assert 0 in ann  # the query vector itself always collides with itself
+
+
+def test_near_dup_pairs_finds_planted_duplicate(spark, emb):
+    df, vecs = emb
+    # plant an exact duplicate of vec 0 with id 10_000
+    dup = df.sparkSession.createDataFrame(
+        [(10_000, [float(x) for x in vecs[0]], 0)], df.schema
+    )
+    aug = df.unionByName(dup)
+    pairs = SIM.embedding_near_dup_pairs(aug, threshold=0.999, dim=64, bits=8, tables=8)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert (0, 10_000) in got
+
+
+def test_dot_and_norm_jvm_match_numpy(spark, emb):
+    df, vecs = emb
+    row = df.filter(F.col("vec_id") == 1).select(
+        SIM.dot(F.col("embedding"), F.col("embedding")).alias("d"),
+        SIM.l2_norm(F.col("embedding")).alias("n"),
+    ).collect()[0]
+    v = vecs[1]
+    assert abs(row["d"] - float(v @ v)) < 1e-3
+    assert abs(row["n"] - float(np.linalg.norm(v))) < 1e-4
