@@ -183,21 +183,42 @@ def _order() -> list[Column]:
     return [F.col("is_root").desc(), F.col("score").desc(), F.col("url_canon").asc()]
 
 
-def admit_with_cap(tagged: DataFrame, frontier: DataFrame, cap: int) -> DataFrame:
+def admit_with_cap(
+    tagged: DataFrame, frontier: DataFrame, cap: int, n_salts: int = 8
+) -> DataFrame:
     """Tag eligible (not blocked, not seen) candidates with `admitted` by
-    per-host room: row_number over (is_root desc, score desc, url_canon)
+    per-host room: rank over (is_root desc, score desc, url_canon)
     <= cap - existing_host_count. Deterministic total order => identical to
-    the oracle's sequential insert loop."""
+    the oracle's sequential insert loop.
+
+    Skew-safe TWO-PHASE ranking (same trick as politeness_topk): a hot host
+    with millions of candidates would otherwise rank in ONE window task and
+    serialize the whole round. Phase 1 keeps each (host, salt)'s local
+    top-room; phase 2 exactly re-ranks the <= n_salts*room survivors; the
+    winners' keys join back onto the full tagged set (so every candidate
+    keeps its fate tag for metrics)."""
     counts = frontier.groupBy("host").agg(F.count("*").alias("_n"))
-    eligible = F.col("eligible")
-    w = Window.partitionBy("host").orderBy(eligible.desc(), *_order())
-    return (
+    tagged = (
         tagged.withColumn("eligible", ~F.col("robots_blocked") & ~F.col("seen"))
-        .join(counts, "host", "left")
+        .join(counts, "host", "left")  # AQE picks broadcast when counts is small
         .withColumn("_room", F.lit(cap) - F.coalesce(F.col("_n"), F.lit(0)))
-        .withColumn("_rn", F.row_number().over(w))  # eligibles rank first
-        .withColumn("admitted", eligible & (F.col("_rn") <= F.col("_room")))
-        .drop("_n", "_room", "_rn", "eligible")
+    )
+    elig = tagged.filter(F.col("eligible") & (F.col("_room") > 0))
+    salted = elig.withColumn("_salt", F.pmod(F.xxhash64("url_canon"), F.lit(n_salts)))
+    w1 = Window.partitionBy("host", "_salt").orderBy(*_order())
+    p1 = salted.withColumn("_rn1", F.row_number().over(w1)).filter(
+        F.col("_rn1") <= F.col("_room")
+    )
+    w2 = Window.partitionBy("host").orderBy(*_order())
+    winners = (
+        p1.withColumn("_rn2", F.row_number().over(w2))
+        .filter(F.col("_rn2") <= F.col("_room"))
+        .select("url_hash", "url_canon", F.lit(True).alias("_win"))
+    )
+    return (
+        tagged.join(winners, ["url_hash", "url_canon"], "left")
+        .withColumn("admitted", F.coalesce(F.col("_win"), F.lit(False)))
+        .drop("_n", "_room", "_win", "eligible")
     )
 
 

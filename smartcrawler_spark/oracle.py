@@ -119,6 +119,100 @@ def load_corpus(corpus_dir: str):
     return docs, robots, budgets, sitemaps
 
 
+def reference_crawl(corpus_dir: str, initial_url: str, prep: bool = False,
+                    keywords: dict[str, float] | None = None) -> OracleResult:
+    """Oracle for the reference's EXACT two-phase main() flow
+    (/root/reference/src/main.rs:57-177, ordering contract strengthened per
+    tests/real_world_tests.rs:90-105):
+
+    phase 1 (discovery): fetch the initial URL, extract its same-domain
+    links, admit in (score desc, url_canon asc) order until the domain has
+    max_urls (3 normal / 10 prep, main.rs:60) — the root URL is always
+    pre-admitted (main.rs:30-35).
+    phase 2 (fetch): initial URL first, then the domain root, then the rest
+    by (score desc, url_canon asc); already-SUCCESS URLs skipped
+    (main.rs:124-129).
+
+    crawl_log rounds: 1 = discovery fetch, 2 = phase-2 fetches."""
+    keywords = keywords or {}
+    docs, robots, budgets, sitemaps = load_corpus(corpus_dir)
+    max_urls = 10 if prep else 3
+
+    initial = canon(initial_url)
+    domain = host_of(initial)
+    root = canon(f"https://{domain}/")
+
+    frontier: dict[str, dict] = {}
+
+    def add(u: str, rnd: int) -> bool:
+        if u in frontier:
+            return False
+        frontier[u] = {
+            "url_canon": u, "host": host_of(u), "status": "PENDING",
+            "score": score_url(u, keywords), "is_root": is_root(u),
+            "round_added": rnd, "round_fetched": None, "title": None,
+        }
+        return True
+
+    add(root, 0)
+    add(initial, 0)
+
+    crawl_log: list[tuple[int, int, str]] = []
+    metrics: list[dict] = []
+
+    def fetch(u: str, rnd: int, seq: int) -> list[str]:
+        crawl_log.append((rnd, seq, u))
+        row = frontier[u]
+        page = docs.get(u)
+        row["round_fetched"] = rnd
+        if page is None:
+            row["status"] = "FAILED"
+            return []
+        row["status"] = "SUCCESS"
+        row["title"] = next(
+            (s["text"] for s in page["spans"] if s["kind"] == "title" and s["text"]),
+            None,
+        )
+        links = []
+        for s in page["spans"]:
+            if s["kind"] == "a" and s["media_ref"]:
+                url = resolve_href(s["media_ref"], domain)
+                if same_domain(url, domain):
+                    links.append(canon(url))
+        return links
+
+    # phase 1: discovery from the initial URL
+    links = fetch(initial, 1, 1)
+    added = 0
+    for u in sorted(set(links), key=lambda u: (-score_url(u, keywords), u)):
+        if len(frontier) >= max_urls:
+            break
+        if add(u, 1):
+            added += 1
+    metrics.append({"round": 1, "scheduled": 1, "fetched": 1, "admitted": added})
+
+    # phase 2: initial first, then root, then the rest
+    order = sorted(
+        frontier.values(),
+        key=lambda r: (
+            r["url_canon"] != initial,      # initial first
+            not r["is_root"],               # then root
+            -r["score"], r["url_canon"],    # then the pinned order
+        ),
+    )
+    seq = 0
+    fetched = 0
+    for row in order:
+        if row["status"] == "SUCCESS":
+            continue  # skip-already-fetched (P14)
+        seq += 1
+        fetch(row["url_canon"], 2, seq)
+        fetched += 1
+    metrics.append({"round": 2, "scheduled": seq, "fetched": fetched, "admitted": 0})
+
+    return OracleResult(crawl_log=crawl_log, frontier=frontier, metrics=metrics)
+
+
 def crawl(corpus_dir: str, seeds: list[str], cfg: CrawlConfig) -> OracleResult:
     docs, robots, budgets, sitemaps = load_corpus(corpus_dir)
 

@@ -29,6 +29,12 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = master or f"local[{cpus}]"
     sp = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    # make the package importable by executor python workers when executors
+    # are separate processes (local-cluster / real cluster). On a real
+    # cluster this is `spark-submit --py-files smartcrawler_spark.zip`.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    exec_pythonpath = os.environ.get("PYTHONPATH", "")
+    exec_pythonpath = f"{repo_root}:{exec_pythonpath}" if exec_pythonpath else repo_root
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -41,6 +47,7 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        .config("spark.executorEnv.PYTHONPATH", exec_pythonpath)
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
