@@ -1,0 +1,81 @@
+"""spark-submit entrypoint for the crawl engine.
+
+Cluster usage (north_rule deployment contract):
+
+    python tools/package_pyfiles.py            # -> dist/smartcrawler_spark.zip
+    spark-submit --py-files dist/smartcrawler_spark.zip \\
+        jobs/run_crawl.py --corpus s3://bucket/corpus \\
+        --checkpoint s3://bucket/ckpt --seeds https://example.com/ \\
+        --keywords '{"news": 2.0}' --max-rounds 50
+
+Local sandbox usage (creates its own local session when none exists):
+
+    python jobs/run_crawl.py --corpus /tmp/corpus --checkpoint /tmp/ckpt \\
+        --seeds https://site000.example.com/
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description="smartcrawler_spark crawl job")
+    ap.add_argument("--corpus", required=True, help="corpus dir (documents/robots/politeness/sitemaps parquet)")
+    ap.add_argument("--checkpoint", required=True, help="snapshot checkpoint dir")
+    ap.add_argument("--seeds", required=True, help="comma-separated seed URLs, or @file with one URL per line")
+    ap.add_argument("--keywords", default="{}", help="objective keyword weights as JSON")
+    ap.add_argument("--max-rounds", type=int, default=50)
+    ap.add_argument("--max-urls-per-host", type=int, default=10)
+    ap.add_argument("--default-budget", type=int, default=4)
+    ap.add_argument("--prep", action="store_true", help="emit template paths JSON instead of duplicate analysis")
+    ap.add_argument("--out", default=None, help="optional output dir for analysis results")
+    args = ap.parse_args()
+
+    if args.seeds.startswith("@"):
+        with open(args.seeds[1:]) as f:
+            seeds = [ln.strip() for ln in f if ln.strip()]
+    else:
+        seeds = [s for s in args.seeds.split(",") if s]
+
+    from pyspark.sql import SparkSession
+
+    from smartcrawler_spark.plans.crawl import CrawlJob, EngineConfig
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:  # not under spark-submit -> local session
+        from smartcrawler_spark.session import get_spark
+
+        spark = get_spark(app_name="smartcrawler-crawl")
+
+    cfg = EngineConfig(
+        keywords=json.loads(args.keywords),
+        max_urls_per_host=args.max_urls_per_host,
+        max_rounds=args.max_rounds,
+        default_budget=args.default_budget,
+    )
+    job = CrawlJob(spark, args.corpus, args.checkpoint, cfg, seeds)
+    summary = job.run()
+    print(json.dumps(summary))
+
+    if args.out:
+        from smartcrawler_spark.plans.analysis import (
+            duplicate_report,
+            template_paths_json,
+        )
+
+        if args.prep:
+            template_paths_json(spark, job, args.out)
+        else:
+            duplicate_report(spark, job, args.out)
+        print(json.dumps({"analysis_out": args.out, "prep": args.prep}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

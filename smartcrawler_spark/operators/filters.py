@@ -178,3 +178,103 @@ class CuckooFilter:
         cf.n_buckets = nb
         cf.table = np.frombuffer(blob[8:], dtype=np.uint16).reshape(nb, cls.SLOTS).copy()
         return cf
+
+
+class SeenFilterState:
+    """The persistent bloom+cuckoo URL-seen prefilter state of the crawl loop.
+
+    Division of labor (the amortization the north rule's 'bloom/cuckoo'
+    pairing buys):
+    * per-bucket BLOOMS cover the bulk frontier — rebuilt from the frontier
+      table only every `rebuild_every` rounds (an executor-side pass);
+    * the CUCKOO filter covers the DELTA — URLs admitted since the last
+      bloom rebuild, added incrementally per round (and deletable, which a
+      bloom can't do — e.g. rolling back a round on resume).
+
+    A URL is 'maybe seen' iff bloom(bucket(h)) OR cuckoo says so; the exact
+    anti-join downstream remains the correctness authority, so filter
+    staleness or saturation can only cost extra join probes.
+
+    Persistence: one pickle per frontier snapshot version next to the
+    checkpoint, so resume reuses filters instead of rebuilding (and a
+    missing/corrupt file just degrades to rebuild).
+
+    Scale note: at 10^10 URLs the delta inserts happen per-partition inside
+    applyInPandas with per-bucket cuckoos (same layout as the blooms); the
+    driver-side add_delta here is the sandbox-scale implementation of the
+    same contract (per-round admissions are politeness-bounded and small).
+    """
+
+    def __init__(self, n_buckets: int = 16, rebuild_every: int = 4,
+                 cuckoo_capacity: int = 1 << 17):
+        self.n_buckets = n_buckets
+        self.rebuild_every = rebuild_every
+        self.cuckoo_capacity = cuckoo_capacity
+        self.blooms: dict[int, bytes] = {}
+        self.cuckoo = CuckooFilter(cuckoo_capacity)
+        self.rounds_since_rebuild: int | None = None  # None = never built
+
+    def needs_rebuild(self) -> bool:
+        return (
+            self.rounds_since_rebuild is None
+            or self.rounds_since_rebuild >= self.rebuild_every
+        )
+
+    def rebuilt(self, blooms: dict[int, bytes]) -> None:
+        """Install freshly built blooms; the delta cuckoo resets (its keys
+        are now covered by the blooms)."""
+        self.blooms = blooms
+        self.cuckoo = CuckooFilter(self.cuckoo_capacity)
+        self.rounds_since_rebuild = 0
+
+    def add_delta(self, url_hashes) -> int:
+        """Insert newly admitted keys into the cuckoo delta. Returns the
+        number actually inserted; on saturation the rest are simply not in
+        any filter => they look 'novel' and pay the exact join (safe)."""
+        ok = self.cuckoo.add_many(url_hashes)
+        self.rounds_since_rebuild = (self.rounds_since_rebuild or 0) + 1
+        return ok
+
+    def remove_delta(self, url_hashes) -> int:
+        """Roll back keys (e.g. a round being replayed after resume)."""
+        return sum(self.cuckoo.delete(int(h)) for h in url_hashes)
+
+    # -- persistence ---------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        import os
+        import pickle
+
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(
+                {
+                    "n_buckets": self.n_buckets,
+                    "rebuild_every": self.rebuild_every,
+                    "cuckoo_capacity": self.cuckoo_capacity,
+                    "blooms": self.blooms,
+                    "cuckoo": self.cuckoo.to_bytes(),
+                    "rounds_since_rebuild": self.rounds_since_rebuild,
+                },
+                f,
+            )
+        os.rename(tmp, path)
+
+    @classmethod
+    def load(cls, path: str) -> "SeenFilterState | None":
+        import os
+        import pickle
+
+        if not os.path.exists(path):
+            return None
+        try:
+            with open(path, "rb") as f:
+                d = pickle.load(f)
+        except Exception:
+            return None  # degrade to rebuild
+        st = cls(d["n_buckets"], d["rebuild_every"], d["cuckoo_capacity"])
+        st.blooms = d["blooms"]
+        st.cuckoo = CuckooFilter.from_bytes(d["cuckoo"])
+        st.rounds_since_rebuild = d["rounds_since_rebuild"]
+        return st

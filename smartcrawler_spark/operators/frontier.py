@@ -115,18 +115,26 @@ def build_bucket_blooms(
 
 
 def bloom_maybe_seen(
-    spark: SparkSession, candidates: DataFrame, blooms: dict[int, bytes], n_buckets: int
+    spark: SparkSession,
+    candidates: DataFrame,
+    blooms: dict[int, bytes],
+    n_buckets: int,
+    cuckoo_blob: bytes | None = None,
 ) -> DataFrame:
-    """Add `maybe_seen` by probing the broadcast bucket blooms in an Arrow
-    pandas UDF. False => DEFINITELY novel (bloom has no false negatives)."""
-    bcast = spark.sparkContext.broadcast(blooms)
+    """Add `maybe_seen` by probing the broadcast bucket blooms (bulk
+    frontier) plus the optional cuckoo delta (URLs admitted since the last
+    bloom rebuild) in one Arrow pandas UDF. False => DEFINITELY novel
+    (neither filter has false negatives for inserted keys)."""
+    from .filters import CuckooFilter
+
+    bcast = spark.sparkContext.broadcast((blooms, cuckoo_blob))
 
     @F.pandas_udf(BooleanType())
     def probe(url_hash: pd.Series) -> pd.Series:  # noqa: ANN001 — real hints
         # (PEP-563 string hints from `__future__ annotations` are not
         # resolvable by pyspark's typehint inference for closures; the
         # decorator still needs concrete pd.Series hints, provided here)
-        blobs = bcast.value
+        blobs, ck_blob = bcast.value
         cache: dict[int, BloomFilter] = {}
         h = url_hash.to_numpy()
         buckets = h % n_buckets  # python % matches pmod for negatives
@@ -138,6 +146,9 @@ def bloom_maybe_seen(
             bf = cache.setdefault(int(b), BloomFilter.from_bytes(blob))
             mask = buckets == b
             out[mask] = bf.contains_many(h[mask])
+        if ck_blob is not None:
+            ck = CuckooFilter.from_bytes(ck_blob)
+            out |= pd.Series(ck.contains_many(h), index=url_hash.index)
         return out
 
     return candidates.withColumn("maybe_seen", probe(F.col("url_hash")))

@@ -1,0 +1,43 @@
+"""Post-crawl analysis sinks — the reference's phase-3 outputs as writers.
+
+* duplicate_report      — normal mode: cross-page duplicate signatures per
+                          domain (main.rs:158-177), written as parquet
+* template_paths_json   — prep mode: the TemplatePathStore serialization
+                          (template_detection.rs:40-43 + main.rs:181-215),
+                          written as JSON lines of {host, path, pattern}
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import urls as U
+from ..operators import spans as SP
+
+
+def _success_docs(spark: SparkSession, job) -> DataFrame:
+    """SUCCESS frontier rows joined back to their documents (fresh scan to
+    avoid self-join ambiguity with the job's own lineage)."""
+    docs = (
+        spark.read.parquet(f"{job.corpus_dir}/documents.parquet")
+        .withColumn("doc_canon", U.canonicalize_url(F.col("doc_id")))
+    )
+    fetched = job.frontier().filter(F.col("status") == "SUCCESS").select("url_canon")
+    return fetched.join(docs, fetched.url_canon == docs.doc_canon, "inner").select(
+        "doc_id", docs.host, "spans", "nodes"
+    )
+
+
+def duplicate_report(spark: SparkSession, job, out_dir: str) -> DataFrame:
+    dups = SP.domain_duplicates(_success_docs(spark, job))
+    dups.write.mode("overwrite").parquet(f"{out_dir}/dup_nodes")
+    return dups
+
+
+def template_paths_json(spark: SparkSession, job, out_dir: str) -> DataFrame:
+    """S6: template paths as pretty-ish JSON lines (df.write.json), the
+    engine form of TemplatePathStore.to_serialized_string()."""
+    paths = SP.extract_template_paths(_success_docs(spark, job))
+    paths.write.mode("overwrite").json(f"{out_dir}/template_paths")
+    return paths

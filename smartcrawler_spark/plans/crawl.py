@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..functions import urls as U
 from ..operators import frontier as FR
+from ..operators.filters import SeenFilterState
 from ..sources.snapshot import SnapshotTable
 
 FRONTIER_SCHEMA = (
@@ -45,6 +46,7 @@ class EngineConfig:
     bloom_buckets: int = 16
     salt_buckets: int = 8
     use_bloom: bool = True
+    bloom_rebuild_every: int = 4  # rounds between full bloom rebuilds
 
 
 class CrawlJob:
@@ -53,9 +55,16 @@ class CrawlJob:
         self.spark = spark
         self.cfg = cfg
         self.seeds = seeds
+        self.corpus_dir = corpus_dir
         self.t_frontier = SnapshotTable(checkpoint_dir, "frontier")
         self.t_log = SnapshotTable(checkpoint_dir, "crawl_log")
         self.t_metrics = SnapshotTable(checkpoint_dir, "metrics")
+        self._filters_path = f"{checkpoint_dir}/filters/state.pkl"
+        self.filters = (
+            SeenFilterState.load(self._filters_path)
+            or SeenFilterState(n_buckets=cfg.bloom_buckets,
+                               rebuild_every=cfg.bloom_rebuild_every)
+        )
 
         # documents: canonical fetch key precomputed once. At scale this table
         # is bucketed by url_hash so the per-round fetch join is co-located.
@@ -83,12 +92,26 @@ class CrawlJob:
             ["url_canon"]
         )
         cands = FR.robots_gate(cands, self.robots)
-        if self.cfg.use_bloom and frontier.isStreaming is False:
-            blooms = FR.build_bucket_blooms(frontier, self.cfg.bloom_buckets)
-            cands = FR.bloom_maybe_seen(self.spark, cands, blooms, self.cfg.bloom_buckets)
+        if self.cfg.use_bloom:
+            # amortized prefilter: blooms cover the bulk frontier (rebuilt
+            # every rebuild_every rounds), the cuckoo delta covers rounds
+            # since the last rebuild
+            if self.filters.needs_rebuild():
+                self.filters.rebuilt(
+                    FR.build_bucket_blooms(frontier, self.cfg.bloom_buckets)
+                )
+            cands = FR.bloom_maybe_seen(
+                self.spark, cands, self.filters.blooms, self.cfg.bloom_buckets,
+                cuckoo_blob=self.filters.cuckoo.to_bytes(),
+            )
         tagged = FR.tag_seen(cands, frontier)
         tagged = FR.admit_with_cap(tagged, frontier, self.cfg.max_urls_per_host)
+        tagged.cache()
 
+        lineage = F.concat(
+            F.lit(f"round={round_no};src=admit;frontier_v="),
+            F.lit(str(self.t_frontier.latest_version() or 0)),
+        )
         fate = F.when(F.col("robots_blocked"), "robots_blocked").when(
             F.col("seen"), "dedup_rejected"
         ).when(F.col("admitted"), "admitted").otherwise("cap_rejected")
@@ -97,6 +120,7 @@ class CrawlJob:
             .groupBy("fate", F.spark_partition_id().alias("partition_id"))
             .agg(F.count("*").alias("n"))
             .withColumn("round", F.lit(round_no))
+            .withColumn("lineage", lineage)
         )
 
         new_rows = (
@@ -109,6 +133,13 @@ class CrawlJob:
                 F.lit(None).cast("string").alias("title"),
             )
         )
+        if self.cfg.use_bloom:
+            # feed the admitted keys into the cuckoo delta (politeness-
+            # bounded volume; per-bucket executor-side update at 10^10 scale)
+            admitted_hashes = [
+                r["url_hash"] for r in tagged.filter("admitted").select("url_hash").collect()
+            ]
+            self.filters.add_delta(admitted_hashes)
         return new_rows, metrics
 
     def _commit_round(self, frontier: DataFrame, round_no: int,
@@ -123,6 +154,9 @@ class CrawlJob:
             prev = self.t_metrics.read(self.spark)
             full = metrics if prev is None else prev.unionByName(metrics)
             self.t_metrics.commit(full, meta=lineage)
+        # persist the bloom+cuckoo prefilter state beside the snapshot so
+        # resume reuses it (missing/corrupt file degrades to rebuild)
+        self.filters.save(self._filters_path)
 
     # ------------------------------------------------------------- lifecycle
 
@@ -217,6 +251,11 @@ class CrawlJob:
             )
             .agg(F.count("*").alias("n"))
             .withColumn("round", F.lit(round_no))
+            .withColumn(
+                "lineage",
+                F.lit(f"round={round_no};src=fetch;frontier_v="
+                      f"{self.t_frontier.latest_version() or 0}"),
+            )
         )
         self._commit_round(merged, round_no, log_rows,
                            admit_metrics.unionByName(fetch_metrics))

@@ -1,0 +1,89 @@
+"""Bloom/cuckoo filter units + the amortized SeenFilterState contract."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from smartcrawler_spark.operators.filters import (
+    BloomFilter,
+    CuckooFilter,
+    SeenFilterState,
+)
+
+
+def test_bloom_no_false_negatives_and_fpr():
+    rng = np.random.default_rng(7)
+    keys = rng.integers(-2**63, 2**63 - 1, 20000, dtype=np.int64)
+    other = rng.integers(-2**63, 2**63 - 1, 20000, dtype=np.int64)
+    bf = BloomFilter(20000, 0.01)
+    bf.add_many(keys)
+    assert bf.contains_many(keys).all()
+    assert bf.contains_many(other).mean() < 0.03
+    bf2 = BloomFilter.from_bytes(bf.to_bytes())
+    assert bf2.contains_many(keys).all()
+
+
+def test_cuckoo_add_contains_delete():
+    rng = np.random.default_rng(11)
+    keys = rng.integers(-2**63, 2**63 - 1, 5000, dtype=np.int64)
+    cf = CuckooFilter(8000)
+    assert cf.add_many(keys) == 5000
+    assert cf.contains_many(keys).all()
+    assert cf.delete(int(keys[0]))
+    assert not cf.contains_many(keys[:1])[0]
+    cf2 = CuckooFilter.from_bytes(cf.to_bytes())
+    assert cf2.contains_many(keys[1:]).all()
+
+
+def test_seen_filter_state_amortization(tmp_path):
+    st = SeenFilterState(n_buckets=4, rebuild_every=3, cuckoo_capacity=4096)
+    assert st.needs_rebuild()  # never built
+    st.rebuilt({0: BloomFilter(64).to_bytes()})
+    assert not st.needs_rebuild()
+    # three rounds of deltas -> due for rebuild on the fourth
+    for r in range(3):
+        st.add_delta([100 + r, 200 + r])
+    assert st.needs_rebuild()
+    # delta keys are queryable until then
+    assert st.cuckoo.contains_many([100, 201]).all()
+    # rollback support (the bloom can't do this)
+    assert st.remove_delta([100]) == 1
+    assert not st.cuckoo.contains_many([100])[0]
+
+    # persistence round-trip
+    p = str(tmp_path / "filters" / "state.pkl")
+    st.save(p)
+    st2 = SeenFilterState.load(p)
+    assert st2 is not None
+    assert st2.rounds_since_rebuild == st.rounds_since_rebuild
+    assert st2.cuckoo.contains_many([101, 202]).all()
+    # corrupt file degrades to None (caller rebuilds)
+    with open(p, "wb") as f:
+        f.write(b"garbage")
+    assert SeenFilterState.load(p) is None
+
+
+def test_crawl_reuses_blooms_across_rounds(spark, tmp_path):
+    """The loop must NOT rebuild blooms every round: with rebuild_every=10
+    and a 4-round crawl, exactly one rebuild happens (round 0) and the
+    cuckoo delta carries the rest — outputs still exactly match the
+    bloom-free run (prefilters are physical only)."""
+    from smartcrawler_spark.oracle import CrawlConfig, crawl
+    from smartcrawler_spark.plans.crawl import CrawlJob, EngineConfig
+    from smartcrawler_spark.sources.corpus import CorpusConfig, generate_corpus
+
+    d = str(tmp_path / "c")
+    m = generate_corpus(d, CorpusConfig(n_hosts=2, pages_per_host=8, hot_host_pages=8))
+    cfg = EngineConfig(keywords={"news": 1.0}, max_urls_per_host=8,
+                       default_budget=3, bloom_rebuild_every=10)
+    job = CrawlJob(spark, d, str(tmp_path / "ck"), cfg, m["seeds"])
+    job.run()
+    # one rebuild at round 0, then delta-only rounds
+    assert job.filters.rounds_since_rebuild >= 1
+    # and correctness still ties out vs the oracle
+    want = crawl(d, m["seeds"], CrawlConfig(keywords={"news": 1.0},
+                                            max_urls_per_host=8, default_budget=3))
+    got = [(r["round"], r["seq"], r["url_canon"])
+           for r in job.crawl_log().orderBy("round", "seq").collect()]
+    assert got == want.crawl_log
