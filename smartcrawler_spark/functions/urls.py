@@ -156,3 +156,35 @@ from pyspark.sql.types import StringType  # noqa: E402
 def canonicalize_url_udf(urls: pd.Series) -> pd.Series:
     """Arrow-batched canonicalizer (urllib) — cross-check oracle for tests."""
     return urls.map(_canon_one)
+
+
+def extract_seed_domain(raw: str) -> str:
+    """Reference CLI domain validation (S1/P2,
+    /root/reference/src/cli.rs:45-65): trim, default the scheme to https,
+    parse, return the host. Raises ValueError on unparseable input."""
+    trimmed = (raw or "").strip()
+    url_str = trimmed if trimmed.startswith(("http://", "https://")) else f"https://{trimmed}"
+    try:
+        host = urlsplit(url_str).hostname
+    except ValueError:
+        host = None
+    if not host:
+        raise ValueError(f"Invalid domain or URL: {raw}")
+    return host
+
+
+def seeds_from_links(links: list[str], expand_domains: bool = False) -> list[str]:
+    """--links seeding (S8, reference lineage VIBE.md:529-556): start the
+    crawl from an explicit URL list; with expand_domains=True also seed
+    each link's domain root (the 'with domain expansion' variant).
+    Deterministic order: canonical URL ascending, de-duplicated."""
+    seeds: set[str] = set()
+    for link in links:
+        c = _canon_one(link if "://" in link else f"https://{link}")
+        if not c:
+            continue
+        seeds.add(c)
+        if expand_domains:
+            host = extract_seed_domain(link)
+            seeds.add(f"https://{host.lower()}/")
+    return sorted(seeds)
