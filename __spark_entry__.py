@@ -242,6 +242,15 @@ def q_ann_lsh(spark, sf_dir):
     return SIM.cosine_topk_lsh(emb, [float(x) for x in qv], k=10, bits=4, tables=16)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-bucketed ANN top-10 (partition-pruning scale path). rows-only;
+    recall pytest-verified in tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return SIM.cosine_topk_ivf(emb, [float(x) for x in qv], k=10,
+                               n_centroids=32, nprobe=16)
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Exact all-pairs cosine >= 0.5 on a subset (near-dup oracle shape)."""
     emb = (
@@ -324,6 +333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "lang_id": q_lang_id,
         "quality_features": q_quality_features,

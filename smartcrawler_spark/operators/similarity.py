@@ -129,6 +129,63 @@ def cosine_topk_lsh(
     )
 
 
+def _ivf_centroids(dim: int, n_centroids: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n_centroids, dim)).astype(np.float32)
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def make_ivf_assign_udf(dim: int, n_centroids: int = 64, seed: int = 13):
+    """Arrow pandas UDF: embedding -> coarse-quantizer cell id (argmax
+    cosine vs seeded random unit centroids). One (batch x dim) @ (dim x
+    n_centroids) matmul per batch."""
+    cents = _ivf_centroids(dim, n_centroids, seed)
+
+    @pandas_udf(LongType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float32)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return pd.Series((mat / norms @ cents.T).argmax(axis=1).astype(np.int64))
+
+    return assign
+
+
+def cosine_topk_ivf(
+    df: DataFrame, query: list[float], k: int = 10,
+    n_centroids: int = 64, nprobe: int = 8, seed: int = 13,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN top-k: vectors are bucketed by nearest coarse centroid; the
+    query probes its `nprobe` closest cells and exact-cosine re-ranks only
+    those lists — candidate fraction ≈ nprobe/n_centroids of the table.
+
+    At 100 TB the cell id is a PARTITION KEY: store the embedding table
+    partitioned by cell and a probe reads nprobe partitions (partition
+    pruning does the candidate filtering before any row is touched). Here
+    the cell filter expresses the same plan on one table.
+
+    Centroids are seeded random unit vectors (deterministic, no training
+    pass); swap in k-means centroids for tighter cells without changing
+    the dataflow."""
+    dim = len(query)
+    assign = make_ivf_assign_udf(dim, n_centroids, seed)
+    cents = _ivf_centroids(dim, n_centroids, seed)
+    qv = np.asarray(query, dtype=np.float32)
+    qn = qv / (np.linalg.norm(qv) or 1.0)
+    probes = np.argsort(-(cents @ qn))[:nprobe].tolist()
+
+    q = F.array(*[F.lit(float(x)) for x in query])
+    sim = F.round(cosine(F.col(vec_col), q), 6)
+    return (
+        df.withColumn("_cell", assign(F.col(vec_col)))
+        .filter(F.col("_cell").isin([int(p) for p in probes]))
+        .select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame, threshold: float = 0.95, dim: int = 64,
     bits: int = 10, tables: int = 6,

@@ -48,6 +48,27 @@ def test_lsh_topk_recall(spark, emb):
     assert 0 in ann  # the query vector itself always collides with itself
 
 
+def test_ivf_topk_recall(spark, emb):
+    df, vecs = emb
+    q = vecs[0].tolist()
+    exact = {v for v, _ in _oracle_topk(vecs, np.array(q), 10)}
+    ann = {r["vec_id"] for r in SIM.cosine_topk_ivf(
+        df, q, k=10, n_centroids=32, nprobe=16).collect()}
+    # probing half the cells on near-orthogonal data: expect most of top-10
+    assert len(ann & exact) >= 5
+    assert 0 in ann  # the query's own vector shares its cell by definition
+
+
+def test_ivf_prunes_candidates(spark, emb):
+    """The cell filter must actually skip most of the table."""
+    from pyspark.sql import functions as F
+
+    df, vecs = emb
+    assign = SIM.make_ivf_assign_udf(64, 32)
+    cells = df.withColumn("c", assign(F.col("embedding"))).groupBy("c").count()
+    assert cells.count() > 16  # vectors spread over many cells
+
+
 def test_near_dup_pairs_finds_planted_duplicate(spark, emb):
     df, vecs = emb
     # plant an exact duplicate of vec 0 with id 10_000
