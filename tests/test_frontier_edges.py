@@ -1,0 +1,94 @@
+"""Frontier operator edge cases: empty frontier, all-seen batches, zero
+cap/room, hosts without budgets, and the two-phase window plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from smartcrawler_spark.operators import frontier as FR
+
+CAND_SCHEMA = (
+    "url_canon string, url_hash long, host string, is_root boolean, score double"
+)
+FRONT_SCHEMA = CAND_SCHEMA
+
+
+def cands(spark, rows):
+    return spark.createDataFrame(rows, CAND_SCHEMA)
+
+
+def tagged(spark, rows, frontier):
+    df = cands(spark, rows)
+    df = df.withColumn("robots_blocked", F.lit(False))
+    return FR.tag_seen(df, frontier)
+
+
+def _row(u, h="h.com", root=False, score=0.0):
+    return (u, hash(u) % (2**62), h, root, score)
+
+
+def test_empty_frontier_admits_up_to_cap(spark):
+    empty = spark.createDataFrame([], FRONT_SCHEMA)
+    rows = [_row(f"https://h.com/{i}", score=float(i)) for i in range(6)]
+    t = tagged(spark, rows, empty)
+    out = FR.admit_with_cap(t, empty, cap=4)
+    admitted = sorted(r["url_canon"] for r in out.filter("admitted").collect())
+    # top-4 by score desc, url asc: /5,/4,/3,/2
+    assert admitted == [f"https://h.com/{i}" for i in (2, 3, 4, 5)]
+
+
+def test_all_seen_admits_nothing(spark):
+    rows = [_row(f"https://h.com/{i}") for i in range(4)]
+    frontier = cands(spark, rows)
+    t = tagged(spark, rows, frontier)
+    out = FR.admit_with_cap(t, frontier, cap=100)
+    assert out.filter("admitted").count() == 0
+    assert out.filter("seen").count() == 4  # all tagged seen, none lost
+
+
+def test_zero_room_host(spark):
+    frontier = cands(spark, [_row(f"https://h.com/old{i}") for i in range(3)])
+    t = tagged(spark, [_row("https://h.com/new")], frontier)
+    out = FR.admit_with_cap(t, frontier, cap=3)  # host already full
+    assert out.filter("admitted").count() == 0
+    assert out.count() == 1  # the row is still tagged (cap_rejected fate)
+
+
+def test_politeness_missing_budget_uses_default(spark):
+    pending = cands(spark, [_row(f"https://nobudget.com/{i}", h="nobudget.com")
+                            for i in range(10)])
+    budgets = spark.createDataFrame([("other.com", 99)], "host string, budget int")
+    out = FR.politeness_topk(pending, budgets, default_budget=3)
+    assert out.count() == 3
+
+
+def test_politeness_two_phase_equals_single_window(spark):
+    """The salted two-phase result must equal a plain single window for any
+    n_salts."""
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(300):
+        h = f"host{rng.randrange(3)}.com"
+        rows.append((f"https://{h}/p{i}", rng.getrandbits(60), h,
+                     False, float(rng.randrange(10))))
+    pending = cands(spark, rows)
+    budgets = spark.createDataFrame([("host0.com", 7)], "host string, budget int")
+    results = []
+    for n_salts in (1, 4, 16):
+        out = FR.politeness_topk(pending, budgets, default_budget=5, n_salts=n_salts)
+        results.append(sorted(r["url_canon"] for r in out.collect()))
+    assert results[0] == results[1] == results[2]
+
+
+def test_top_k_per_group_plan_is_two_phase(spark):
+    """Plan audit: two Window nodes (salted then exact) — the skew guard is
+    structural, not incidental."""
+    df = cands(spark, [_row(f"https://h.com/{i}", score=float(i)) for i in range(20)])
+    out = FR.top_k_per_group(df, ["host"], [F.col("score").desc(), F.col("url_canon")], k=3)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("Window") >= 2
