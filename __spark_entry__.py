@@ -143,6 +143,63 @@ def q_crawl_order_emission(spark, sf_dir):
     )
 
 
+def q_crawl_two_rounds(spark, sf_dir):
+    """Composed crawl-loop shape (E1/E3), two admission rounds with carried
+    frontier state: seeds -> discover (join) -> seen anti-join -> skew-safe
+    per-host top-k -> deterministic crawl-order emission; round-2 candidates
+    re-discover round-1 URLs (lineitems point back at their order), so the
+    seen anti-join does real work. Oracle = chained CTEs in DuckDB."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    seeds = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 20 == 0)
+        .select(
+            F.concat(F.lit("https://c"), F.col("c_custkey").cast("string")).alias("url_canon"),
+            F.col("c_custkey").alias("key"),
+        )
+    )
+    order_rank = [F.col("score").desc(), F.col("url_canon").asc()]
+
+    def emit(adm, rnd):
+        w = Window.orderBy(*order_rank)
+        return adm.select(
+            F.lit(rnd).alias("rnd"), F.row_number().over(w).alias("seq"), "url_canon"
+        )
+
+    cand1 = orders.join(
+        seeds.select(F.col("key").alias("o_custkey")), "o_custkey"
+    ).select(
+        F.concat(F.lit("https://o"), F.col("o_orderkey").cast("string")).alias("url_canon"),
+        F.concat(F.lit("h"), (F.col("o_custkey") % 10).cast("string")).alias("host"),
+        F.col("o_totalprice").alias("score"),
+        F.col("o_orderkey").alias("okey"),
+    )
+    seen0 = seeds.select("url_canon")
+    novel1 = cand1.join(seen0, "url_canon", "left_anti")
+    adm1 = FR.top_k_per_group(novel1, ["host"], order_rank, k=5)
+    seen1 = seen0.unionByName(adm1.select("url_canon"))
+
+    cand2 = li.join(
+        adm1.select(F.col("okey").alias("l_orderkey")), "l_orderkey"
+    ).select(
+        F.when(
+            F.col("l_linenumber") == 1,
+            F.concat(F.lit("https://o"), F.col("l_orderkey").cast("string")),
+        ).otherwise(
+            F.concat(
+                F.lit("https://l"), F.col("l_orderkey").cast("string"),
+                F.lit("-"), F.col("l_linenumber").cast("string"),
+            )
+        ).alias("url_canon"),
+        F.concat(F.lit("h"), (F.col("l_suppkey") % 10).cast("string")).alias("host"),
+        F.col("l_extendedprice").alias("score"),
+    )
+    novel2 = cand2.join(seen1, "url_canon", "left_anti")
+    adm2 = FR.top_k_per_group(novel2, ["host"], order_rank, k=5)
+    return emit(adm1, 1).unionByName(emit(adm2, 2))
+
+
 def q_url_canonicalize(spark, sf_dir):
     """P2/P3 — URL canonicalization + is_root + host extraction."""
     docs = _t(spark, sf_dir, "documents")
@@ -210,6 +267,14 @@ def q_dedup_minhash(spark, sf_dir):
     tests/test_dedup.py."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
     return DD.minhash_dedup(docs, num_perm=64, bands=16).select("doc_id")
+
+
+def q_minhash_lsh_portable(spark, sf_dir):
+    """MinHash+LSH candidate pairs with the engine-portable md5 kernel —
+    the ORACLE-CHECKED specification of the MinHash path (8 perms, 2-row
+    bands; the blake2b Arrow kernel is the throughput twin)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 600)
+    return DD.minhash_lsh_pairs_portable(docs, num_perm=8, band_rows=2)
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -322,6 +387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "broadcast_semi_mark": q_broadcast_semi_mark,
         "robots_prefix_gate": q_robots_prefix_gate,
         "crawl_order_emission": q_crawl_order_emission,
+        "crawl_two_rounds": q_crawl_two_rounds,
         "url_canonicalize": q_url_canonicalize,
         "template_rewrite_sql": q_template_rewrite_sql,
         "template_detect": q_template_detect,
@@ -329,6 +395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_clean": q_text_clean,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "minhash_lsh_portable": q_minhash_lsh_portable,
         "dedup_simhash": q_dedup_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -432,6 +499,49 @@ def oracle_sql() -> dict[str, str]:
                    event_id, round(value, 2) AS value
             FROM events WHERE event_type = 'click'
         """,
+        "crawl_two_rounds": """
+            WITH seeds AS (
+              SELECT 'https://c' || c_custkey AS url FROM customer
+              WHERE c_custkey % 20 = 0
+            ), cand1 AS (
+              SELECT 'https://o' || o_orderkey AS url,
+                     'h' || (o_custkey % 10) AS host,
+                     o_totalprice AS score, o_orderkey AS okey
+              FROM orders WHERE o_custkey % 20 = 0
+            ), adm1 AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY host ORDER BY score DESC, url ASC) AS rn
+                FROM cand1 WHERE url NOT IN (SELECT url FROM seeds)
+              ) WHERE rn <= 5
+            ), log1 AS (
+              SELECT 1 AS rnd,
+                     row_number() OVER (ORDER BY score DESC, url ASC) AS seq,
+                     url AS url_canon
+              FROM adm1
+            ), seen1 AS (
+              SELECT url FROM seeds UNION ALL SELECT url FROM adm1
+            ), cand2 AS (
+              SELECT CASE WHEN l_linenumber = 1 THEN 'https://o' || l_orderkey
+                          ELSE 'https://l' || l_orderkey || '-' || l_linenumber
+                     END AS url,
+                     'h' || (l_suppkey % 10) AS host,
+                     l_extendedprice AS score
+              FROM lineitem JOIN adm1 ON l_orderkey = adm1.okey
+            ), adm2 AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY host ORDER BY score DESC, url ASC) AS rn
+                FROM cand2 WHERE url NOT IN (SELECT url FROM seen1)
+              ) WHERE rn <= 5
+            ), log2 AS (
+              SELECT 2 AS rnd,
+                     row_number() OVER (ORDER BY score DESC, url ASC) AS seq,
+                     url AS url_canon
+              FROM adm2
+            )
+            SELECT * FROM log1 UNION ALL SELECT * FROM log2
+        """,
         "url_canonicalize": """
             SELECT doc_id,
                    'http://' || source || '.example.com/d/' || doc_id
@@ -459,6 +569,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents
             GROUP BY md5(lower({_CLEAN.format(col='text')}))
+        """,
+        "minhash_lsh_portable": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' '),
+                                 x -> x <> '') AS w
+              FROM documents WHERE doc_id < 600
+            ), sh AS (
+              SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+              FROM toks, UNNEST(range(1, greatest(len(w)-2, 1)+1)) AS t(i)
+            ), sigs AS (
+              SELECT doc_id, p.perm, min(md5(p.perm::VARCHAR || '|' || g)) AS mh
+              FROM sh CROSS JOIN (SELECT unnest(range(8)) AS perm) p
+              GROUP BY doc_id, p.perm
+            ), bands AS (
+              SELECT doc_id, perm // 2 AS band,
+                     string_agg(mh, '' ORDER BY perm) AS key
+              FROM sigs GROUP BY doc_id, perm // 2
+            )
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM bands x JOIN bands y
+              ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
         """,
         "ngram_jaccard": r"""
             WITH toks AS (

@@ -51,8 +51,13 @@ def build_frontier_workload(spark, sf_dir, mult: int = 1):
         base = base.crossJoin(
             spark.range(mult).select((F.col("id") * 100_000_000).alias("_off"))
         ).select((F.col("k") + F.col("_off")).alias("k"), "h")
-    # 30% of rows land on one hot host -> exercises the salted windows
-    host = F.when(F.col("k") % 10 < 3, F.lit("hot.example.com")).otherwise(
+    # hot_tenths/10 of rows land on one hot host -> exercises the salted
+    # windows (default 30%; the sharded scaling run also measures a
+    # balanced variant with SPARK_GRAFT_HOT_TENTHS=0, since independent
+    # host-sharded JVMs — unlike a real cluster's shuffle — cannot
+    # redistribute a single host's map work)
+    hot_tenths = int(os.environ.get("SPARK_GRAFT_HOT_TENTHS", "3"))
+    host = F.when(F.col("k") % 10 < hot_tenths, F.lit("hot.example.com")).otherwise(
         F.concat(F.lit("site"), F.col("h").cast("string"), F.lit(".example.com"))
     )
     url = F.concat(
@@ -64,32 +69,9 @@ def build_frontier_workload(spark, sf_dir, mult: int = 1):
     return base.select(url.alias("url"))
 
 
-def bench_frontier_round(spark, sf_dir, mult: int | None = None) -> dict:
-    """One full admission round over the synthetic frontier; returns
-    {urls, seconds, urls_per_sec, admitted...}."""
-    from pyspark.sql import functions as F
-
-    from smartcrawler_spark.operators import frontier as FR
-
-    # the sf parquet files are small -> Spark reads them as 1-2 input
-    # partitions; without an explicit repartition every narrow stage of the
-    # round would run at parallelism 1-2 regardless of cores. At production
-    # scale the frontier table is bucketed; here we repartition once,
-    # before the clock.
-    par = spark.sparkContext.defaultParallelism * 2
-    mult = mult or int(os.environ.get("SPARK_GRAFT_FRONTIER_MULT", "1"))
-    raw = build_frontier_workload(spark, sf_dir, mult).repartition(par).cache()
-    n = raw.count()  # raw URL strings materialized BEFORE the clock
-
-    # the pre-existing 'seen' frontier (half the URL space) is engine STATE,
-    # not per-round work -> built & cached before the clock
-    seen = (
-        FR.with_url_columns(raw, "url", {})
-        .filter(F.col("url_hash") % 2 == 0)
-        .select("url_canon", "url_hash", "host")
-        .cache()
-    )
-    n_seen = seen.count()
+def _round_dims(spark, mult: int):
+    """Tiny broadcast-side inputs of the admission round (robots rules and
+    politeness budgets) + the per-host admission cap."""
     robots = spark.createDataFrame(
         [(f"site{i}.example.com", "/private") for i in range(500)]
         + [("hot.example.com", "/private")],
@@ -99,34 +81,103 @@ def bench_frontier_round(spark, sf_dir, mult: int | None = None) -> dict:
         [("hot.example.com", 200)], "host string, budget int"
     )
     cap = 40_000 * max(1, mult)  # leave per-host room so admission does real work
+    return robots, budgets, cap
 
-    # the measured round = EVERYTHING the engine does to a discovered URL:
-    # canonicalize -> xxhash64 -> relevance score -> exact dedup of the
-    # batch -> robots gate -> bloom prefilter -> exact seen anti-join ->
-    # per-host cap -> politeness top-k
-    t0 = time.perf_counter()
+
+def _build_seen(raw):
+    """The pre-existing 'seen' frontier (half the URL space, row-local rule:
+    url_hash parity) — engine STATE, not per-round work."""
+    from pyspark.sql import functions as F
+
+    from smartcrawler_spark.operators import frontier as FR
+
+    return (
+        FR.with_url_columns(raw, "url", {})
+        .filter(F.col("url_hash") % 2 == 0)
+        .select("url_canon", "url_hash", "host")
+    )
+
+
+def _scheduled_plan(spark, raw, seen, robots, budgets, cap):
+    """The full admission round as a DataFrame: canonicalize -> xxhash64 ->
+    relevance score -> batch dedup -> robots gate -> bloom prefilter ->
+    exact seen anti-join -> per-host cap -> politeness top-k.
+
+    Returns (scheduled, [handles to unpersist]). tag_seen and admit_with_cap
+    each consume their input TWICE (bloom fast/slow union; winners join-back)
+    — without persisting the branch points the candidate chain (Arrow score
+    UDF + dedup shuffle) is recomputed up to 4x per round."""
+    from smartcrawler_spark.operators import frontier as FR
+
     cands = FR.with_url_columns(raw, "url", {"news": 2.0, "item1": 0.5}).dropDuplicates(
         ["url_canon"]
     )
     gated = FR.robots_gate(cands, robots)
     blooms = FR.build_bucket_blooms(seen, n_buckets=32)
-    pre = FR.bloom_maybe_seen(spark, gated, blooms, n_buckets=32)
-    tagged = FR.tag_seen(pre, seen)
+    pre = FR.bloom_maybe_seen(spark, gated, blooms, n_buckets=32).persist()
+    tagged = FR.tag_seen(pre, seen).persist()
     admitted = FR.admit_with_cap(tagged, seen, cap=cap).filter("admitted")
     scheduled = FR.politeness_topk(
         admitted.select("url_canon", "url_hash", "host", "is_root", "score"),
         budgets, default_budget=100, n_salts=8,
     )
+    return scheduled, [pre, tagged]
+
+
+def run_admission_round(spark, raw, seen, robots, budgets, cap) -> dict:
+    """Time one full admission round (inputs already cached)."""
+    t0 = time.perf_counter()
+    scheduled, handles = _scheduled_plan(spark, raw, seen, robots, budgets, cap)
     n_sched = scheduled.count()
     dt = time.perf_counter() - t0
+    for h in handles:
+        h.unpersist()
+    return {"seconds": round(dt, 3), "scheduled": n_sched}
+
+
+def schedule_digest(spark, raw, seen, robots, budgets, cap) -> dict:
+    """Order-insensitive content digest of the round's scheduled output:
+    per-row sha256('host|url_canon') truncated to 64 bits, summed mod 2^64.
+    Commutative, so the union of host-shard outputs must reproduce the
+    single-run digest exactly — the semantic-equality check for the
+    sharded scaling evidence."""
+    import hashlib
+
+    scheduled, handles = _scheduled_plan(spark, raw, seen, robots, budgets, cap)
+    rows = scheduled.select("host", "url_canon").collect()
+    for h in handles:
+        h.unpersist()
+    acc = 0
+    for r in rows:
+        h = hashlib.sha256(f"{r['host']}|{r['url_canon']}".encode()).hexdigest()
+        acc = (acc + int(h[:16], 16)) % (1 << 64)
+    return {"digest": acc, "rows": len(rows)}
+
+
+def bench_frontier_round(spark, sf_dir, mult: int | None = None) -> dict:
+    """One full admission round over the synthetic frontier; returns
+    {urls, seconds, urls_per_sec, scheduled...}."""
+    # the sf parquet files are small -> Spark reads them as 1-2 input
+    # partitions; without an explicit repartition every narrow stage of the
+    # round would run at parallelism 1-2 regardless of cores. At production
+    # scale the frontier table is bucketed; here we repartition once,
+    # before the clock.
+    par = spark.sparkContext.defaultParallelism * 2
+    mult = mult or int(os.environ.get("SPARK_GRAFT_FRONTIER_MULT", "1"))
+    raw = build_frontier_workload(spark, sf_dir, mult).repartition(par).cache()
+    n = raw.count()  # raw URL strings materialized BEFORE the clock
+    seen = _build_seen(raw).cache()
+    n_seen = seen.count()
+    robots, budgets, cap = _round_dims(spark, mult)
+    r = run_admission_round(spark, raw, seen, robots, budgets, cap)
     raw.unpersist()
     seen.unpersist()
     return {
         "urls": n,
         "seen": n_seen,
-        "seconds": round(dt, 3),
-        "urls_per_sec": round(n / dt, 1),
-        "scheduled": n_sched,
+        "seconds": r["seconds"],
+        "urls_per_sec": round(n / r["seconds"], 1),
+        "scheduled": r["scheduled"],
     }
 
 
@@ -155,6 +206,10 @@ def run_suite(sf_dir: str, cpus: str) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
 
+    # one warm-up pass (python-worker daemons + JIT + broadcast machinery
+    # cold-start), then the measured steady-state round — cold-start
+    # amortizes to nothing over a crawl's thousands of rounds
+    bench_frontier_round(spark, sf_dir)
     fr = bench_frontier_round(spark, sf_dir)
     timings["frontier_round"] = fr["seconds"]
 
@@ -220,6 +275,158 @@ def run_scaling(sf_dir: str, n_low: int = 1, n_high: int = 4,
         "sf": sf_dir,
         "detail": results,
     }
+
+
+def _wait_for(path: str, timeout_s: float = 900.0):
+    t0 = time.time()
+    while not os.path.exists(path):
+        if time.time() - t0 > timeout_s:
+            raise TimeoutError(f"barrier file {path} never appeared")
+        time.sleep(0.05)
+
+
+def shard_round_main():
+    """Subprocess body for --shard-round: the admission round over the
+    parquet at $SHARD_PARQUET on local[$SHARD_CORES]. If $SHARD_READY /
+    $SHARD_GO are set, uses a file barrier so all concurrent runners'
+    measured rounds overlap (ready_r -> wait go_r -> measure), making
+    max-over-shards an honest wall-clock for the sharded configuration."""
+    from smartcrawler_spark.session import get_spark
+
+    path = os.environ["SHARD_PARQUET"]
+    cores = int(os.environ.get("SHARD_CORES", "8"))
+    mult = int(os.environ.get("SPARK_GRAFT_FRONTIER_MULT", "8"))
+    ready = os.environ.get("SHARD_READY", "")
+    go = os.environ.get("SHARD_GO", "")
+    n_rounds = int(os.environ.get("SHARD_ROUNDS", "2"))
+    spark = get_spark(
+        app_name="bench-shard", master=f"local[{cores}]",
+        shuffle_partitions=cores * 2,
+        extra_conf={"spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    raw = spark.read.parquet(path).select("url").repartition(cores * 2).cache()
+    n = raw.count()
+    seen = _build_seen(raw).cache()
+    seen.count()
+    robots, budgets, cap = _round_dims(spark, mult)
+    run_admission_round(spark, raw, seen, robots, budgets, cap)  # warm-up
+    rounds = []
+    for r in range(1, n_rounds + 1):
+        if ready:
+            open(f"{ready}_{r}", "w").close()
+            _wait_for(f"{go}_{r}")
+        rounds.append(run_admission_round(spark, raw, seen, robots, budgets, cap))
+    dig = schedule_digest(spark, raw, seen, robots, budgets, cap)
+    print(json.dumps({"urls": n, "rounds": rounds, **dig}))
+    spark.stop()
+
+
+def run_scaling_sharded(sf_dir: str, shards: int = 4, cores: int = 8) -> dict:
+    """Scaling evidence via host-sharded independent executor JVMs.
+
+    Why this configuration: BENCH.md records that this sandbox throttles
+    (a) threads within one process and (b) Spark's local-cluster process
+    tree, while INDEPENDENT JVM processes scale at ~0.8 (controls in
+    BENCH.md). On a real cluster each executor is an independent JVM on its
+    own node — which is exactly what this measures. The engine's physical
+    design host-buckets every frontier table (SURVEY.md §1.3), so every
+    stage of the admission round is host-local (per-host windows, robots
+    host keys, url_canon-determined seen set): running shard s = rows with
+    pmod(xxhash64(host), shards) = s in its own JVM computes the IDENTICAL
+    result to one JVM on the full input — verified below by an
+    order-insensitive output digest, a stronger check than any timing.
+
+    T(N)  = one local[cores] JVM, full input (best of SHARD_ROUNDS).
+    T(4N) = `shards` concurrent local[cores] JVMs, one host-shard each,
+            measured rounds aligned by a file barrier; per round the
+            sharded wall is max-over-shards; best over rounds.
+    efficiency = T(N) / (shards * T(4N))."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from smartcrawler_spark.session import get_spark
+
+    mult = int(os.environ.get("SPARK_GRAFT_FRONTIER_MULT", "8"))
+    workdir = tempfile.mkdtemp(prefix="scaling_sharded_")
+    try:
+        # phase 0: materialize the workload once — full + host-sharded copies
+        spark = get_spark(app_name="bench-shard-prep", master=f"local[{cores}]",
+                          shuffle_partitions=cores * 2)
+        spark.sparkContext.setLogLevel("ERROR")
+        from smartcrawler_spark.operators import frontier as FR
+
+        raw = build_frontier_workload(spark, sf_dir, mult)
+        # with_url_columns drops the raw column -> carry a copy through
+        with_host = FR.with_url_columns(
+            raw.withColumn("_url_raw", F.col("url")), "url", {}
+        ).select(
+            F.col("_url_raw").alias("url"),
+            F.pmod(F.xxhash64("host"), F.lit(shards)).alias("_shard"),
+        )
+        with_host.write.mode("overwrite").partitionBy("_shard").parquet(
+            f"{workdir}/sharded"
+        )
+        with_host.select("url").write.mode("overwrite").parquet(f"{workdir}/full")
+        spark.stop()
+
+        base_env = dict(os.environ, SHARD_CORES=str(cores),
+                        SPARK_GRAFT_FRONTIER_MULT=str(mult))
+
+        # phase 1: single-JVM baseline over the full input (no barrier)
+        env = dict(base_env, SHARD_PARQUET=f"{workdir}/full")
+        proc = subprocess.run([sys.executable, __file__, "--shard-round"],
+                              capture_output=True, text=True, env=env, timeout=1800)
+        line = [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")][-1]
+        single = json.loads(line)
+
+        # phase 2: `shards` concurrent JVMs, barrier-aligned measured rounds
+        procs = []
+        for s in range(shards):
+            env = dict(base_env,
+                       SHARD_PARQUET=f"{workdir}/sharded/_shard={s}",
+                       SHARD_READY=f"{workdir}/ready_{s}",
+                       SHARD_GO=f"{workdir}/go")
+            procs.append(subprocess.Popen(
+                [sys.executable, __file__, "--shard-round"],
+                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+                env=env))
+        for r in (1, 2):
+            for s in range(shards):
+                _wait_for(f"{workdir}/ready_{s}_{r}")
+            open(f"{workdir}/go_{r}", "w").close()
+        shard_out = []
+        for p in procs:
+            out, _ = p.communicate(timeout=1800)
+            line = [ln for ln in out.strip().splitlines() if ln.startswith("{")][-1]
+            shard_out.append(json.loads(line))
+
+        n = single["urls"]
+        t_single = min(r["seconds"] for r in single["rounds"])
+        t_sharded = min(
+            max(so["rounds"][r]["seconds"] for so in shard_out) for r in (0, 1)
+        )
+        digest_union = sum(so["digest"] for so in shard_out) % (1 << 64)
+        rows_union = sum(so["rows"] for so in shard_out)
+        return {
+            "metric": "frontier admission scaling via host-sharded independent "
+                      f"executor JVMs (1 -> {shards} x local[{cores}])",
+            "urls": n,
+            "seconds_single": t_single,
+            "seconds_sharded": t_sharded,
+            "urls_per_sec_low": round(n / t_single, 1),
+            "urls_per_sec_high": round(n / t_sharded, 1),
+            "efficiency": round(t_single / (shards * t_sharded), 3),
+            "outputs_identical": digest_union == single["digest"]
+                                 and rows_union == single["rows"],
+            "scheduled_rows": single["rows"],
+            "sf": sf_dir,
+            "detail": {"single": single, "shards": shard_out},
+        }
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
 
 
 def bench_map_stage(spark, sf_dir, mult: int | None = None) -> dict:
@@ -303,6 +510,12 @@ def main():
         runs = [bench_frontier_round(spark, SF_DIR) for _ in range(2)]
         print(json.dumps(min(runs, key=lambda r: r["seconds"])))
         spark.stop()
+        return
+    if "--shard-round" in sys.argv:
+        shard_round_main()
+        return
+    if "--scaling-sharded" in sys.argv:
+        print(json.dumps(run_scaling_sharded(SF_DIR)))
         return
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling(SF_DIR)))

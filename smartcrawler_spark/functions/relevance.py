@@ -52,7 +52,15 @@ def relevance_score_udf(keywords: dict[str, float]) -> Callable[[Column], Column
     @pandas_udf(DoubleType())
     def _score(urls: pd.Series) -> pd.Series:
         kw = keywords  # captured once per executor process
-        return urls.map(lambda u: score_url(u, kw) if u is not None else None)
+        # vectorized over the Arrow batch: strip scheme://host, tokenize,
+        # explode tokens, dict-map weights, sum per original row — all
+        # C-level pandas ops, no per-row python
+        pq = urls.str.replace(_PATH_QUERY_RE, "", regex=True).str.lower()
+        toks = pq.str.findall(_TOKEN_RE).explode()
+        w = toks.map(kw).dropna()
+        out = w.groupby(level=0).sum().reindex(urls.index, fill_value=0.0)
+        out[urls.isna()] = None
+        return out.astype("float64")
 
     return _score
 
@@ -64,8 +72,19 @@ def relevance_score_expr(url: Column, keywords: dict[str, float]) -> Column:
         return F.lit(0.0)
     path_query = F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*", "")
     tokens = F.regexp_extract_all(F.lower(path_query), F.lit("[a-z0-9]+"), F.lit(0))
-    kw_map = F.create_map(
-        *[x for k, w in sorted(keywords.items()) for x in (F.lit(k), F.lit(float(w)))]
-    )
-    weights = F.transform(tokens, lambda t: F.coalesce(kw_map[t], F.lit(0.0)))
-    return F.aggregate(weights, F.lit(0.0), lambda acc, x: acc + x)
+    # occurrence-count per keyword x weight, summed — one codegen'd pass per
+    # keyword over the token array (beats create_map-per-element lookup;
+    # objective keyword sets are small)
+    def _eq(k: str):
+        # NB: a `k=k` default param would change the lambda's arity and make
+        # F.filter pass (element, index) — capture via closure instead
+        return lambda t: t == F.lit(k)
+
+    terms = [
+        F.size(F.filter(tokens, _eq(k))).cast("double") * F.lit(float(w))
+        for k, w in sorted(keywords.items())
+    ]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return total

@@ -185,6 +185,67 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+def minhash_lsh_pairs_portable(df: DataFrame, text_col: str = "text",
+                               id_col: str = "doc_id", num_perm: int = 8,
+                               band_rows: int = 2, shingle_n: int = 3) -> DataFrame:
+    """Candidate near-dup pairs via an engine-portable MinHash kernel:
+    minhash_i(doc) = lexicographic MIN over shingles of md5(i || '|' ||
+    shingle). md5-on-strings exists identically in every SQL engine, so this
+    variant is verifiable end-to-end against a DuckDB oracle (the blake2b
+    numpy kernel above is the throughput path; this one is the
+    cross-engine-checkable specification of the same algorithm).
+
+    Scale shape — 100% JVM/codegen, no Python:
+      shingle explode (x ~n_words rows) -> x num_perm via broadcast range
+      cross join -> groupBy (doc, perm) min (map-side partial agg) ->
+      band key concat -> self-equi-join on (band, key).
+    The band self-join shuffles on the 32-byte key; giant buckets (boiler-
+    plate-identical docs) are the skew risk, same as minhash_dedup — AQE
+    skew-join splits them."""
+    words = F.filter(
+        F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "),
+        lambda w: w != "",
+    )
+    # i = 0 .. max(n_words - shingle_n, 0); shingle = words[i : i+shingle_n]
+    # (docs shorter than shingle_n yield their full word join — same rule as
+    # the DuckDB oracle's array slice)
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - shingle_n, F.lit(0))),
+            lambda i: F.array_join(F.slice(words, i + 1, shingle_n), " "),
+        )
+    )
+    sh = df.select(F.col(id_col).alias("doc_id"), F.explode(shingles).alias("g"))
+    perms = df.sparkSession.range(num_perm).select(F.col("id").alias("perm"))
+    sigs = (
+        sh.crossJoin(F.broadcast(perms))
+        .groupBy("doc_id", "perm")
+        .agg(F.min(F.md5(F.concat(F.col("perm").cast("string"),
+                                  F.lit("|"), F.col("g")))).alias("mh"))
+    )
+    bands = (
+        sigs.withColumn("band", F.expr(f"perm div {band_rows}"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("perm", "mh"))),
+                    lambda s: s["mh"],
+                ),
+                "",
+            ).alias("key")
+        )
+    )
+    x = bands.select("band", "key", F.col("doc_id").alias("a"))
+    y = bands.select("band", "key", F.col("doc_id").alias("b"))
+    return (
+        x.join(y, ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -44,22 +44,33 @@ from .filters import BloomFilter
 # ---------------------------------------------------------------------------
 
 
-def with_url_columns(df: DataFrame, url_col: str, keywords: dict[str, float]) -> DataFrame:
+def with_url_columns(df: DataFrame, url_col: str, keywords: dict[str, float],
+                     score_impl: str | None = None) -> DataFrame:
     """url -> (url_canon, url_hash, host, is_root, score), dropping the raw col.
 
-    Scoring uses the Arrow pandas UDF (the north-star surface); it shares its
-    kernel with the pure-Python oracle, so ordering ties out bit-for-bit.
-    """
-    score = relevance_score_udf(keywords)
+    score_impl: 'arrow' (default) scores with the vectorized pandas UDF —
+    the surface the north star names, kernel shared with the pure-Python
+    oracle; 'jvm' uses the equivalent whole-stage-codegen column expression
+    (zero Python in the round — the 100 TB hot path). Both are proven equal
+    in tests/test_relevance.py; override globally with
+    SPARK_GRAFT_SCORE_IMPL=jvm."""
+    import os
+
+    from ..functions.relevance import relevance_score_expr
+
+    impl = score_impl or os.environ.get("SPARK_GRAFT_SCORE_IMPL", "arrow")
     canon = U.canonicalize_url(F.col(url_col))
-    return (
+    out = (
         df.withColumn("url_canon", canon)
         .withColumn("url_hash", U.url_hash(F.col("url_canon")))
         .withColumn("host", U.url_host(F.col("url_canon")))
         .withColumn("is_root", U.is_root_url(F.col("url_canon")))
-        .withColumn("score", score(F.col("url_canon")))
-        .drop(url_col)
     )
+    if impl == "jvm":
+        out = out.withColumn("score", relevance_score_expr(F.col("url_canon"), keywords))
+    else:
+        out = out.withColumn("score", relevance_score_udf(keywords)(F.col("url_canon")))
+    return out.drop(url_col)
 
 
 # ---------------------------------------------------------------------------
@@ -158,7 +169,10 @@ def tag_seen(candidates: DataFrame, frontier: DataFrame) -> DataFrame:
     """Exact seen tagging: LEFT join on (url_hash, url_canon) — the hash is
     the 8-byte shuffle key, the canonical URL the collision guard. Rows
     already carrying maybe_seen=False skip the join entirely (bloom fast
-    path); the exact join remains the authority for the rest."""
+    path); the exact join remains the authority for the rest.
+
+    NB: the fast/slow split reads `candidates` TWICE — persist it upstream
+    or its lineage (score UDF, dedup shuffle) recomputes."""
     seen_keys = frontier.select("url_hash", "url_canon", F.lit(True).alias("_seen"))
     if "maybe_seen" in candidates.columns:
         fast = candidates.filter(~F.col("maybe_seen")).withColumn("seen", F.lit(False))
@@ -207,7 +221,9 @@ def admit_with_cap(
     serialize the whole round. Phase 1 keeps each (host, salt)'s local
     top-room; phase 2 exactly re-ranks the <= n_salts*room survivors; the
     winners' keys join back onto the full tagged set (so every candidate
-    keeps its fate tag for metrics)."""
+    keeps its fate tag for metrics).
+
+    NB: the join-back reads `tagged` TWICE — persist it upstream."""
     counts = frontier.groupBy("host").agg(F.count("*").alias("_n"))
     tagged = (
         tagged.withColumn("eligible", ~F.col("robots_blocked") & ~F.col("seen"))

@@ -104,9 +104,17 @@ class CrawlJob:
                 self.spark, cands, self.filters.blooms, self.cfg.bloom_buckets,
                 cuckoo_blob=self.filters.cuckoo.to_bytes(),
             )
-        tagged = FR.tag_seen(cands, frontier)
-        tagged = FR.admit_with_cap(tagged, frontier, self.cfg.max_urls_per_host)
+        # tag_seen (bloom fast/slow union) and admit_with_cap (winners
+        # join-back) each read their input TWICE — persist the branch points
+        # or the candidate chain (score UDF + dedup shuffle) recomputes 4x.
+        # Per-round batches are politeness-bounded, so this cache is small.
+        self._round_caches = getattr(self, "_round_caches", [])
+        cands = cands.persist()
+        pre_admit = FR.tag_seen(cands, frontier).persist()
+        tagged = FR.admit_with_cap(pre_admit, frontier, self.cfg.max_urls_per_host)
         tagged.cache()
+        # dropped (unpersisted) after the round's snapshot commit
+        self._round_caches.extend([cands, pre_admit, tagged])
 
         lineage = F.concat(
             F.lit(f"round={round_no};src=admit;frontier_v="),
@@ -157,6 +165,10 @@ class CrawlJob:
         # persist the bloom+cuckoo prefilter state beside the snapshot so
         # resume reuses it (missing/corrupt file degrades to rebuild)
         self.filters.save(self._filters_path)
+        # everything is on disk now -> drop the round's working-set caches
+        for df in getattr(self, "_round_caches", []):
+            df.unpersist()
+        self._round_caches = []
 
     # ------------------------------------------------------------- lifecycle
 

@@ -112,3 +112,55 @@ def test_ngram_jaccard_on_testdata(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = DD.ngram_jaccard_pairs(docs.limit(150), threshold=0.8, df_cap=100)
     assert out.count() >= 0  # smoke: plan executes
+
+
+def _portable_minhash_pairs(rows, num_perm=8, band_rows=2, shingle_n=3):
+    """Pure-Python oracle for minhash_lsh_pairs_portable: identical kernel
+    (md5(perm|shingle) lexicographic min, concat band keys, bucket join)."""
+    import hashlib
+    import re
+
+    def shingles(t):
+        toks = [w for w in re.sub(r"\s+", " ", t.lower()).strip().split(" ") if w]
+        hi = max(len(toks) - shingle_n, 0)
+        return {" ".join(toks[i:i + shingle_n]) for i in range(hi + 1)}
+
+    buckets: dict[tuple[int, str], set[int]] = {}
+    for doc_id, text in rows:
+        sig = [
+            min(hashlib.md5(f"{p}|{g}".encode()).hexdigest() for g in shingles(text))
+            for p in range(num_perm)
+        ]
+        for band in range(num_perm // band_rows):
+            key = "".join(sig[band * band_rows:(band + 1) * band_rows])
+            buckets.setdefault((band, key), set()).add(doc_id)
+    pairs = set()
+    for members in buckets.values():
+        for a, b in itertools.combinations(sorted(members), 2):
+            pairs.add((a, b))
+    return pairs
+
+
+def test_minhash_portable_matches_python_oracle(spark):
+    df, rows = corpus(spark)
+    got = {
+        (r["a"], r["b"])
+        for r in DD.minhash_lsh_pairs_portable(df, num_perm=8, band_rows=2).collect()
+    }
+    assert got == _portable_minhash_pairs(rows)
+    # the exact-dup triple (0,1,5) must always pair; unrelated docs never do
+    assert {(0, 1), (0, 5), (1, 5)} <= got
+    assert not any(3 in p or 4 in p for p in got)
+
+
+def test_minhash_portable_on_testdata(spark, sf_dir):
+    """Same kernel on real testdata docs: agrees with the python oracle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 120
+    )
+    rows = [(r["doc_id"], r["text"]) for r in docs.select("doc_id", "text").collect()]
+    got = {
+        (r["a"], r["b"])
+        for r in DD.minhash_lsh_pairs_portable(docs, num_perm=8, band_rows=2).collect()
+    }
+    assert got == _portable_minhash_pairs(rows)
