@@ -208,9 +208,12 @@ def run_suite(sf_dir: str, cpus: str) -> dict:
 
     # one warm-up pass (python-worker daemons + JIT + broadcast machinery
     # cold-start), then the measured steady-state round — cold-start
-    # amortizes to nothing over a crawl's thousands of rounds
-    bench_frontier_round(spark, sf_dir)
-    fr = bench_frontier_round(spark, sf_dir)
+    # amortizes to nothing over a crawl's thousands of rounds. Default batch
+    # 3M URLs (mult=4): large enough that per-round fixed costs don't
+    # dominate the recorded URLs/sec.
+    mult = int(os.environ.get("SPARK_GRAFT_FRONTIER_MULT", "4"))
+    bench_frontier_round(spark, sf_dir, mult)
+    fr = bench_frontier_round(spark, sf_dir, mult)
     timings["frontier_round"] = fr["seconds"]
 
     for name, fn in headline_queries().items():
@@ -256,7 +259,7 @@ def run_scaling(sf_dir: str, n_low: int = 1, n_high: int = 4,
                    SPARK_GRAFT_FRONTIER_MULT=os.environ.get("SPARK_GRAFT_FRONTIER_MULT", "16"))
         proc = subprocess.run(
             [sys.executable, __file__, "--frontier-only"],
-            capture_output=True, text=True, env=env, timeout=1800,
+            capture_output=True, text=True, env=env, timeout=3600,
         )
         line = [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")][-1]
         results[n] = json.loads(line)
