@@ -95,3 +95,61 @@ def test_groupby_has_partial_aggregation(spark, sf_dir):
     plan = plan_of(q)
     assert plan.count("HashAggregate") >= 2
     assert "Exchange" in plan and "hashpartitioning" in plan
+
+
+def test_round_branch_points_are_persisted(spark, sf_dir):
+    """Regression guard for the 4x-recompute fix: tag_seen and
+    admit_with_cap read their inputs twice, so the bench/crawl round must
+    persist the branch points — the second read must hit an
+    InMemoryRelation, not re-run the candidate chain."""
+    import bench
+
+    raw = bench.build_frontier_workload(spark, sf_dir, 1).limit(20_000)
+    seen = bench._build_seen(raw)
+    robots, budgets, cap = bench._round_dims(spark, 1)
+    scheduled, handles = bench._scheduled_plan(spark, raw, seen, robots, budgets, cap)
+    try:
+        assert len(handles) == 2
+        assert all(h.storageLevel.useMemory for h in handles)
+        assert "InMemoryTableScan" in plan_of(scheduled)
+    finally:
+        for h in handles:
+            h.unpersist()
+
+
+def test_host_sharded_admission_equals_unsharded(spark, sf_dir):
+    """The cluster-partitioning invariant behind bench.py --scaling-sharded:
+    every stage of the admission round is host-local, so running the round
+    per host-hash shard and unioning the outputs must reproduce the
+    unsharded scheduled set EXACTLY (same rows, not just counts)."""
+    import bench
+
+    raw = bench.build_frontier_workload(spark, sf_dir, 1).limit(30_000).cache()
+    seen = bench._build_seen(raw).cache()
+    robots, budgets, cap = bench._round_dims(spark, 1)
+
+    def run(raw_part, seen_part):
+        scheduled, handles = bench._scheduled_plan(
+            spark, raw_part, seen_part, robots, budgets, cap
+        )
+        rows = {(r["host"], r["url_canon"]) for r in scheduled.collect()}
+        for h in handles:
+            h.unpersist()
+        return rows
+
+    whole = run(raw, seen)
+
+    from smartcrawler_spark.operators import frontier as FR
+
+    with_host = FR.with_url_columns(
+        raw.withColumn("_url_raw", F.col("url")), "url", {}
+    ).select(F.col("_url_raw").alias("url"),
+             F.pmod(F.xxhash64("host"), F.lit(2)).alias("_shard")).cache()
+    sharded = set()
+    for s in (0, 1):
+        part = with_host.filter(F.col("_shard") == s).select("url")
+        part_rows = run(part, bench._build_seen(part))
+        assert not (sharded & part_rows)  # shards are disjoint by host
+        sharded |= part_rows
+    assert sharded == whole
+    raw.unpersist(); seen.unpersist(); with_host.unpersist()
