@@ -95,3 +95,92 @@ def run_frontier_ingest(
         q.awaitTermination()
         return q
     return writer.trigger(processingTime="30 seconds").start()
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: per-host politeness budget across micro-batches
+# ---------------------------------------------------------------------------
+
+SCHEDULE_SCHEMA = ("host string, url_canon string, url_hash long, "
+                   "is_root boolean, score double")
+_STATE_SCHEMA = "spent long"
+
+
+def stateful_politeness(cands: DataFrame, budgets: dict[str, int],
+                        default_budget: int) -> DataFrame:
+    """Streaming-native politeness: `applyInPandasWithState` keeps a per-host
+    `spent` counter in the state store, so the budget is enforced across
+    micro-batches (and across restarts — state lives in the checkpoint), not
+    just within one batch like the windowed batch operator.
+
+    Within a micro-batch the rows taken are the deterministic top of the
+    engine's pinned total order (is_root desc, score desc, url_canon asc);
+    across batches, earlier batches consume budget first (arrival order is
+    the stream's order).
+
+    Scale shape: grouped by host — a hot host's batch slice flows through
+    ONE state task, but the output (and therefore any accumulation) is
+    budget-bounded; the upstream per-batch volume is bounded by the
+    dropDuplicates watermark state and source rate limits
+    (maxFilesPerTrigger). Nothing here collects unbounded state: `spent` is
+    one int64 per host."""
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def take_within_budget(key, pdfs, state):
+        host = key[0]
+        spent = state.get[0] if state.exists else 0
+        budget = budgets.get(host, default_budget)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        room = max(budget - spent, 0)
+        if room and len(batch):
+            batch = batch.sort_values(
+                by=["is_root", "score", "url_canon"],
+                ascending=[False, False, True],
+                kind="mergesort",
+            )
+            taken = batch.iloc[:room]
+        else:
+            taken = batch.iloc[:0]
+        state.update((int(spent + len(taken)),))
+        yield taken[["host", "url_canon", "url_hash", "is_root", "score"]]
+
+    return (
+        cands.select("host", "url_canon", "url_hash", "is_root", "score")
+        .groupBy("host")
+        .applyInPandasWithState(
+            take_within_budget,
+            outputStructType=SCHEDULE_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_polite_schedule(
+    spark: SparkSession,
+    drop_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    budgets: dict[str, int],
+    default_budget: int = 100,
+):
+    """Drain the candidate stream through the stateful politeness operator
+    into parquet. Budgets persist across invocations via the checkpoint's
+    state store: re-running after new drops continues from `spent`, it does
+    not reset."""
+    sched = stateful_politeness(
+        candidate_stream(spark, drop_dir), budgets, default_budget
+    )
+    q = (
+        sched.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", f"{checkpoint_dir}/_polite_ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -49,3 +49,51 @@ def test_streaming_ingest_dedup_and_robots(spark, tmp_path):
 
     got2 = {r["url_canon"] for r in table.read(spark).collect()}
     assert got2 == got | {"https://c.example.com/z"}
+
+
+def test_stateful_politeness_budget_across_batches_and_restart(spark, tmp_path):
+    """applyInPandasWithState politeness: per-host budget is consumed across
+    micro-batches AND across a restart from the same checkpoint (state store
+    recovery) — the streaming-only semantics the batch window cannot give."""
+    from smartcrawler_spark.streaming.frontier_stream import run_polite_schedule
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    ckpt = tmp_path / "ckpt"
+    out = tmp_path / "out"
+
+    def urls(host, lo, hi):
+        return [(f"https://{host}/p{i:03d}", T0) for i in range(lo, hi)]
+
+    # run 1: host a gets 5 candidates against budget 3 -> top 3 by url asc
+    spark.createDataFrame(
+        urls("a.example.com", 0, 5) + urls("b.example.com", 0, 2),
+        "url string, discovered_at timestamp",
+    ).write.parquet(str(drop / "b1"))
+    run_polite_schedule(spark, f"{drop}/*", str(ckpt), str(out),
+                        budgets={"a.example.com": 3}, default_budget=10)
+    got1 = {
+        (r["host"], r["url_canon"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got1 == (
+        {("a.example.com", f"https://a.example.com/p{i:03d}") for i in range(3)}
+        | {("b.example.com", f"https://b.example.com/p{i:03d}") for i in range(2)}
+    )
+
+    # run 2 (fresh query, same checkpoint): budget already spent for a ->
+    # nothing more admitted for a; b continues under its default budget
+    spark.createDataFrame(
+        urls("a.example.com", 5, 9) + urls("b.example.com", 2, 4),
+        "url string, discovered_at timestamp",
+    ).write.mode("append").parquet(str(drop / "b2"))
+    run_polite_schedule(spark, f"{drop}/*", str(ckpt), str(out),
+                        budgets={"a.example.com": 3}, default_budget=10)
+    got2 = {
+        (r["host"], r["url_canon"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    a_rows = {u for h, u in got2 if h == "a.example.com"}
+    b_rows = {u for h, u in got2 if h == "b.example.com"}
+    assert len(a_rows) == 3  # budget 3 enforced ACROSS batches via state
+    assert b_rows == {f"https://b.example.com/p{i:03d}" for i in range(4)}
