@@ -237,6 +237,33 @@ def q_template_detect(spark, sf_dir):
     return docs.select("doc_id", templated_text(F.col("text")).alias("templated"))
 
 
+def q_sitemap_roundtrip(spark, sf_dir):
+    """S7 — sitemap.xml ingestion: build one urlset XML per source from
+    document URLs, parse the <loc> values back out with the engine's JVM
+    regex extractor (sources/robots_txt.py::sitemap_urls_from_xml)."""
+    from smartcrawler_spark.sources.robots_txt import sitemap_urls_from_xml
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    loc = F.concat(
+        F.lit("<url><loc>https://"), F.col("source"), F.lit(".example.com/doc"),
+        F.col("doc_id").cast("string"), F.lit("</loc></url>"),
+    )
+    xml = docs.groupBy("source").agg(
+        F.concat(
+            F.lit("<urlset>"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", loc.alias("e")))),
+                    lambda s: s["e"],
+                ),
+            ),
+            F.lit("</urlset>"),
+        ).alias("sitemap_xml")
+    )
+    return sitemap_urls_from_xml(xml, host_col="source", xml_col="sitemap_xml")
+
+
 def q_explode_distinct(spark, sf_dir):
     """T4/D2/D3 — explode + distinct (link-set dedup shape)."""
     docs = _t(spark, sf_dir, "documents")
@@ -391,6 +418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "template_rewrite_sql": q_template_rewrite_sql,
         "template_detect": q_template_detect,
+        "sitemap_roundtrip": q_sitemap_roundtrip,
         "explode_distinct": q_explode_distinct,
         "text_clean": q_text_clean,
         "dedup_exact": q_dedup_exact,
@@ -555,6 +583,21 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(text, '(\d+) (comments|likes|views|points)',
                                   '{count} \2', 'g') AS templated
             FROM documents
+        """,
+        "sitemap_roundtrip": r"""
+            WITH x AS (
+              SELECT source,
+                     '<urlset>' || string_agg(
+                       '<url><loc>https://' || source || '.example.com/doc'
+                         || doc_id || '</loc></url>', '' ORDER BY doc_id)
+                       || '</urlset>' AS xml
+              FROM documents WHERE doc_id < 500 GROUP BY source
+            )
+            SELECT source AS host,
+                   'urlset' AS kind,
+                   unnest(regexp_extract_all(xml,
+                          '<loc>\s*([^<\s][^<]*?)\s*</loc>', 1)) AS url
+            FROM x
         """,
         "explode_distinct": """
             SELECT lang, count(DISTINCT w) AS n_words FROM (

@@ -1,0 +1,89 @@
+"""Raw robots.txt / sitemap.xml ingestion parsers."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from smartcrawler_spark.sources.robots_txt import (
+    parse_robots_text,
+    robots_rules_from_text,
+    sitemap_urls_from_xml,
+)
+
+ROBOTS = """
+# example robots file
+User-agent: *
+Disallow: /private
+Disallow: /tmp/
+
+User-agent: smartcrawler
+User-agent: otherbot
+Disallow: /only-for-named
+Allow: /only-for-named/ok
+
+User-agent: emptybot
+Disallow:
+"""
+
+
+def test_parse_robots_star_group():
+    assert parse_robots_text(ROBOTS, "randombot/1.0") == ["/private", "/tmp/"]
+
+
+def test_parse_robots_specific_agent_beats_star():
+    assert parse_robots_text(ROBOTS, "SmartCrawler/0.4") == ["/only-for-named"]
+    # second agent alias of the same group resolves identically
+    assert parse_robots_text(ROBOTS, "otherbot") == ["/only-for-named"]
+
+
+def test_parse_robots_empty_disallow_is_allow_all():
+    assert parse_robots_text(ROBOTS, "emptybot") == []
+
+
+def test_parse_robots_edge_cases():
+    assert parse_robots_text("", "*") == []
+    assert parse_robots_text("Disallow: /orphan\n", "anybot") == []  # no group
+    # comments + weird casing + CRLF
+    txt = "USER-AGENT: *  # everyone\r\nDISALLOW: /x # comment\r\n"
+    assert parse_robots_text(txt, "bot") == ["/x"]
+
+
+def test_robots_rules_df_matches_kernel(spark):
+    rows = [("a.com", ROBOTS), ("b.com", "User-agent: *\nDisallow: /q\n"),
+            ("c.com", None)]
+    df = spark.createDataFrame(rows, "host string, robots_txt string")
+    got = {
+        (r["host"], r["disallow_prefix"])
+        for r in robots_rules_from_text(df, user_agent="smartcrawler").collect()
+    }
+    want = set()
+    for h, t in rows:
+        for p in parse_robots_text(t or "", "smartcrawler"):
+            want.add((h, p))
+    assert got == want and ("b.com", "/q") in got
+
+
+SITEMAP = """<?xml version="1.0"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc> https://a.com/page1 </loc><lastmod>2024-01-01</lastmod></url>
+  <url><loc>https://a.com/page2</loc></url>
+</urlset>"""
+
+SITEMAP_INDEX = """<sitemapindex>
+  <sitemap><loc>https://a.com/sitemap-news.xml</loc></sitemap>
+  <sitemap><loc>https://a.com/sitemap-archive.xml</loc></sitemap>
+</sitemapindex>"""
+
+
+def test_sitemap_urlset_and_index(spark):
+    df = spark.createDataFrame(
+        [("a.com", SITEMAP), ("a.com", SITEMAP_INDEX), ("b.com", "<garbage/>")],
+        "host string, sitemap_xml string",
+    )
+    got = {(r["kind"], r["url"]) for r in sitemap_urls_from_xml(df).collect()}
+    assert got == {
+        ("urlset", "https://a.com/page1"),
+        ("urlset", "https://a.com/page2"),
+        ("index", "https://a.com/sitemap-news.xml"),
+        ("index", "https://a.com/sitemap-archive.xml"),
+    }
