@@ -47,6 +47,8 @@ class EngineConfig:
     salt_buckets: int = 8
     use_bloom: bool = True
     bloom_rebuild_every: int = 4  # rounds between full bloom rebuilds
+    raw_artifacts: bool = False   # parse robots_raw/sitemaps_raw instead of
+                                  # reading the pre-built rule tables
 
 
 class CrawlJob:
@@ -73,9 +75,29 @@ class CrawlJob:
             .withColumn("doc_canon", U.canonicalize_url(F.col("doc_id")))
             .select("doc_canon", "host", "spans")
         )
-        self.robots = spark.read.parquet(f"{corpus_dir}/robots.parquet")
+        if cfg.raw_artifacts:
+            # ingest the RAW fetched artifacts through the parsers — same
+            # table shapes, must yield the identical crawl (tested e2e)
+            from ..sources.robots_txt import (
+                robots_rules_from_text,
+                sitemap_urls_from_xml,
+            )
+
+            self.robots = robots_rules_from_text(
+                spark.read.parquet(f"{corpus_dir}/robots_raw.parquet")
+            )
+            self.sitemaps = (
+                sitemap_urls_from_xml(
+                    spark.read.parquet(f"{corpus_dir}/sitemaps_raw.parquet")
+                )
+                .filter(F.col("kind") == "urlset")
+                .groupBy("host")
+                .agg(F.sort_array(F.collect_list("url")).alias("urls"))
+            )
+        else:
+            self.robots = spark.read.parquet(f"{corpus_dir}/robots.parquet")
+            self.sitemaps = spark.read.parquet(f"{corpus_dir}/sitemaps.parquet")
         self.budgets = spark.read.parquet(f"{corpus_dir}/politeness.parquet")
-        self.sitemaps = spark.read.parquet(f"{corpus_dir}/sitemaps.parquet")
 
     # ------------------------------------------------------------------ util
 

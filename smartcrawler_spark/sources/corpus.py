@@ -321,6 +321,38 @@ def generate_corpus(out_dir: str, cfg: CorpusConfig | None = None) -> dict:
         os.path.join(out_dir, "politeness.parquet"),
     )
 
+    # RAW fetched artifacts (robots.txt text, sitemap.xml) whose parsed form
+    # equals the rule tables above — the engine's raw-ingest path
+    # (plans.crawl EngineConfig.raw_artifacts=True) parses these instead of
+    # reading the tables, and must produce the identical crawl.
+    raw_robots = [
+        {"host": h,
+         "robots_txt": ("# synthetic corpus robots\n"
+                        "User-agent: *\nDisallow: /private\n")}
+        for h in hosts
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(
+            raw_robots,
+            schema=pa.schema([("host", pa.string()), ("robots_txt", pa.string())]),
+        ),
+        os.path.join(out_dir, "robots_raw.parquet"),
+    )
+    raw_sitemaps = [
+        {"host": r["host"],
+         "sitemap_xml": ("<urlset>"
+                         + "".join(f"<url><loc>{u}</loc></url>" for u in r["urls"])
+                         + "</urlset>")}
+        for r in sm_rows
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(
+            raw_sitemaps,
+            schema=pa.schema([("host", pa.string()), ("sitemap_xml", pa.string())]),
+        ),
+        os.path.join(out_dir, "sitemaps_raw.parquet"),
+    )
+
     seeds = [f"https://{h}/" for h in hosts]
     manifest = {
         "seed": cfg.seed,

@@ -164,3 +164,14 @@ def test_span_sequence_equality(spark, corpus, tmp_path):
         ]
     for u, seq in eng.items():
         assert seq == truth[u], u
+
+
+def test_raw_artifact_ingest_matches_table_run(spark, corpus, oracle_result, tmp_path):
+    """EngineConfig.raw_artifacts=True: robots.txt text + sitemap.xml are
+    parsed by sources/robots_txt.py instead of reading the pre-built rule
+    tables — the crawl (order, seen set) must be IDENTICAL to the oracle."""
+    d, manifest = corpus
+    job = _run_engine(spark, d, manifest["seeds"], tmp_path / "ckpt_raw",
+                      cfg=_engine_cfg(raw_artifacts=True))
+    assert _log_tuples(job) == oracle_result.crawl_log
+    assert set(_frontier_map(job)) == set(oracle_result.frontier)
