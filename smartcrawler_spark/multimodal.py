@@ -118,6 +118,25 @@ def extract_features(assets: DataFrame, dim: int = 16, decoder: str = "fake") ->
     return assets.mapInPandas(feat, FEATURE_SCHEMA)
 
 
+def media_near_dup(docs: DataFrame, threshold: float = 0.98, dim: int = 16,
+                   bits: int = 6, tables: int = 4,
+                   decoder: str = "fake") -> DataFrame:
+    """Multimodal near-dup composition: media spans -> assets -> feature
+    vectors -> LSH-bucketed embedding-cosine pairs (a < b, sim >= threshold).
+    The whole chain is the production shape — mapInPandas feature extraction
+    into operators.similarity.embedding_near_dup_pairs (bucket self-join,
+    exact cosine only inside collisions); only the decode kernel is fake."""
+    from .operators.similarity import embedding_near_dup_pairs
+
+    feats = extract_features(media_assets_from_spans(docs, decoder), dim=dim,
+                             decoder=decoder)
+    return embedding_near_dup_pairs(
+        feats.withColumn("feature", F.col("feature").cast("array<double>")),
+        threshold=threshold, dim=dim, bits=bits, tables=tables,
+        vec_col="feature", id_col="media_ref",
+    )
+
+
 def resize_images(assets: DataFrame, max_side: int = 32, decoder: str = "fake") -> DataFrame:
     """Image thumbnailing stage (shape-preserving byte subsample as the fake
     kernel; PIL.Image.thumbnail in the real one)."""

@@ -63,3 +63,33 @@ def test_resize_and_frames(assets):
 def test_real_decoder_gated(assets):
     with pytest.raises(Exception, match="NotImplementedError|imaging|vision|PIL"):
         MM.extract_features(assets, decoder="real").collect()
+
+
+def test_media_near_dup_matches_numpy_oracle(spark, tmp_path_factory):
+    """media spans -> features -> LSH near-dup pairs: the LSH path must find
+    EXACTLY the pairs a brute-force numpy cosine over the same features finds
+    at the threshold (recall can only miss via bucketing; verify it doesn't
+    here), with identical rounded sims."""
+    import itertools
+
+    import numpy as np
+
+    d = str(tmp_path_factory.mktemp("mmdup"))
+    generate_corpus(d, CorpusConfig(n_hosts=3, pages_per_host=5, hot_host_pages=5))
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+
+    feats = MM.extract_features(MM.media_assets_from_spans(docs))
+    fmap = {r["media_ref"]: np.array(r["feature"], dtype=np.float64)
+            for r in feats.collect()}
+    want = set()
+    for a, b in itertools.combinations(sorted(fmap), 2):
+        va, vb = fmap[a], fmap[b]
+        sim = round(float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))), 6)
+        if sim >= 0.98:
+            want.add((a, b, sim))
+
+    got = {
+        (r["a"], r["b"], r["sim"])
+        for r in MM.media_near_dup(docs, threshold=0.98, bits=4, tables=8).collect()
+    }
+    assert got == want and len(want) > 0
