@@ -312,9 +312,10 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """Exact 3-gram Jaccard pairs (threshold 0.2) on a doc subset."""
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return DD.ngram_jaccard_pairs(docs, n=3, threshold=0.2, df_cap=None)
+    """Exact 3-gram Jaccard pairs (threshold 0.05) on a doc subset —
+    parameters chosen to yield non-trivial pairs at both sf0.01 and sf0.1."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return DD.ngram_jaccard_pairs(docs, n=3, threshold=0.05, df_cap=None)
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -640,7 +641,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      list_filter(string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' '),
                                  x -> x <> '') AS w
-              FROM documents WHERE doc_id < 200
+              FROM documents WHERE doc_id < 400
             ), sh AS (
               SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
               FROM toks, UNNEST(range(1, greatest(len(w)-2, 1)+1)) AS t(i)
@@ -651,7 +652,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = a.doc_id
             JOIN sizes sb ON sb.doc_id = b.doc_id
             GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
-            HAVING round(count(*)::DOUBLE / (sa.n + sb.n - count(*)), 4) >= 0.2
+            HAVING round(count(*)::DOUBLE / (sa.n + sb.n - count(*)), 4) >= 0.05
         """,
         "ann_cosine_topk": """
             SELECT vec_id,
