@@ -93,6 +93,30 @@ def q_dup_signature_count(spark, sf_dir):
     )
 
 
+def q_dup_occurrence_guard(spark, sf_dir):
+    """A2 exact aggregation semantics over synthesized 'nodes' (words of
+    documents.text, sig = md5): occurrence count (within AND across pages)
+    >= 2 per host=source, gated by the reference's >= 2-pages-per-host
+    guard — doc_id < 30 leaves some sources with a single page so the
+    guard actually bites. (The span operator itself — subtree hashes over
+    the engine corpus — is pytest-gated in tests/test_spans.py; this gates
+    the aggregation shape against DuckDB.)"""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    eligible = (
+        docs.groupBy("source").agg(F.count("*").alias("_pages"))
+        .filter(F.col("_pages") >= 2).select("source")
+    )
+    nodes = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("s")
+    ).filter(F.trim(F.col("s")) != "")
+    return (
+        nodes.join(F.broadcast(eligible), "source", "left_semi")
+        .groupBy("source", F.md5(F.col("s")).alias("sig"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 8)
+    )
+
+
 def q_politeness_topk(spark, sf_dir):
     """A6/A7 — skew-safe per-group top-k (two-phase salted window): top-3
     orders per customer by totalprice desc, orderkey asc."""
@@ -411,6 +435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_admission": q_frontier_admission,
         "seen_anti_join": q_seen_anti_join,
         "dup_signature_count": q_dup_signature_count,
+        "dup_occurrence_guard": q_dup_occurrence_guard,
         "politeness_topk": q_politeness_topk,
         "broadcast_semi_mark": q_broadcast_semi_mark,
         "robots_prefix_gate": q_robots_prefix_gate,
@@ -502,6 +527,20 @@ def oracle_sql() -> dict[str, str]:
         "dup_signature_count": """
             SELECT user_id, event_type, count(*) AS n
             FROM events GROUP BY user_id, event_type HAVING count(*) >= 2
+        """,
+        "dup_occurrence_guard": r"""
+            WITH d AS (
+              SELECT source, doc_id, text FROM documents WHERE doc_id < 30
+            ), eligible AS (
+              SELECT source FROM d GROUP BY source HAVING count(*) >= 2
+            ), nodes AS (
+              SELECT source, unnest(string_split(text, ' ')) AS s
+              FROM d
+            )
+            SELECT source, md5(s) AS sig, count(*) AS n
+            FROM nodes
+            WHERE trim(s) <> '' AND source IN (SELECT source FROM eligible)
+            GROUP BY source, md5(s) HAVING count(*) >= 8
         """,
         "politeness_topk": """
             SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price
