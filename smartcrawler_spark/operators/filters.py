@@ -199,10 +199,14 @@ class SeenFilterState:
     checkpoint, so resume reuses filters instead of rebuilding (and a
     missing/corrupt file just degrades to rebuild).
 
-    Scale note: at 10^10 URLs the delta inserts happen per-partition inside
-    applyInPandas with per-bucket cuckoos (same layout as the blooms); the
-    driver-side add_delta here is the sandbox-scale implementation of the
-    same contract (per-round admissions are politeness-bounded and small).
+    The delta is PER-BUCKET (same url_hash % n_buckets layout as the
+    blooms). The crawl loop updates it on the executors
+    (operators.frontier.update_bucket_cuckoos: applyInPandas per bucket,
+    only the finished blobs reach the driver) — the driver never collects
+    admitted url_hash rows, so the per-round driver traffic is O(n_buckets
+    x blob) regardless of how many URLs a round admits. add_delta /
+    remove_delta below are the driver-side small-path equivalents (tests,
+    rollback).
     """
 
     def __init__(self, n_buckets: int = 16, rebuild_every: int = 4,
@@ -211,8 +215,30 @@ class SeenFilterState:
         self.rebuild_every = rebuild_every
         self.cuckoo_capacity = cuckoo_capacity
         self.blooms: dict[int, bytes] = {}
-        self.cuckoo = CuckooFilter(cuckoo_capacity)
+        self.cuckoos: dict[int, bytes] = {}  # bucket -> cuckoo blob (delta)
         self.rounds_since_rebuild: int | None = None  # None = never built
+
+    # -- per-bucket delta helpers ---------------------------------------------
+
+    def _bucket_of(self, keys) -> np.ndarray:
+        return _as_u64(keys).astype(np.int64) % self.n_buckets
+
+    def _bucket_filter(self, b: int) -> CuckooFilter:
+        blob = self.cuckoos.get(int(b))
+        return CuckooFilter.from_bytes(blob) if blob else CuckooFilter(
+            self.cuckoo_capacity
+        )
+
+    def contains_delta(self, keys) -> np.ndarray:
+        """Per-bucket delta membership probe (tests / driver small path)."""
+        keys = list(keys)
+        buckets = self._bucket_of(keys)
+        out = np.zeros(len(keys), dtype=bool)
+        for b in set(buckets.tolist()):
+            ck = self._bucket_filter(b)
+            mask = buckets == b
+            out[mask] = ck.contains_many([k for k, m in zip(keys, mask) if m])
+        return out
 
     def needs_rebuild(self) -> bool:
         return (
@@ -221,23 +247,45 @@ class SeenFilterState:
         )
 
     def rebuilt(self, blooms: dict[int, bytes]) -> None:
-        """Install freshly built blooms; the delta cuckoo resets (its keys
+        """Install freshly built blooms; the delta cuckoos reset (their keys
         are now covered by the blooms)."""
         self.blooms = blooms
-        self.cuckoo = CuckooFilter(self.cuckoo_capacity)
+        self.cuckoos = {}
         self.rounds_since_rebuild = 0
 
+    def absorb_bucket_blobs(self, blobs: dict[int, bytes]) -> None:
+        """Install executor-updated per-bucket delta blobs (the output of
+        operators.frontier.update_bucket_cuckoos) and count the round."""
+        self.cuckoos.update({int(b): bytes(v) for b, v in blobs.items()})
+        self.rounds_since_rebuild = (self.rounds_since_rebuild or 0) + 1
+
     def add_delta(self, url_hashes) -> int:
-        """Insert newly admitted keys into the cuckoo delta. Returns the
-        number actually inserted; on saturation the rest are simply not in
-        any filter => they look 'novel' and pay the exact join (safe)."""
-        ok = self.cuckoo.add_many(url_hashes)
+        """Driver-side small path: insert keys into their buckets' cuckoos.
+        Returns the number actually inserted; on saturation the rest are
+        simply not in any filter => they look 'novel' and pay the exact
+        join (safe)."""
+        url_hashes = list(url_hashes)
+        buckets = self._bucket_of(url_hashes)
+        ok = 0
+        for b in set(buckets.tolist()):
+            ck = self._bucket_filter(b)
+            ok += ck.add_many([k for k, m in zip(url_hashes, buckets == b) if m])
+            self.cuckoos[int(b)] = ck.to_bytes()
         self.rounds_since_rebuild = (self.rounds_since_rebuild or 0) + 1
         return ok
 
     def remove_delta(self, url_hashes) -> int:
         """Roll back keys (e.g. a round being replayed after resume)."""
-        return sum(self.cuckoo.delete(int(h)) for h in url_hashes)
+        url_hashes = list(url_hashes)
+        buckets = self._bucket_of(url_hashes)
+        removed = 0
+        for b in set(buckets.tolist()):
+            ck = self._bucket_filter(b)
+            removed += sum(
+                ck.delete(int(k)) for k, m in zip(url_hashes, buckets == b) if m
+            )
+            self.cuckoos[int(b)] = ck.to_bytes()
+        return removed
 
     # -- persistence ---------------------------------------------------------
 
@@ -254,7 +302,7 @@ class SeenFilterState:
                     "rebuild_every": self.rebuild_every,
                     "cuckoo_capacity": self.cuckoo_capacity,
                     "blooms": self.blooms,
-                    "cuckoo": self.cuckoo.to_bytes(),
+                    "cuckoos": self.cuckoos,
                     "rounds_since_rebuild": self.rounds_since_rebuild,
                 },
                 f,
@@ -273,8 +321,11 @@ class SeenFilterState:
                 d = pickle.load(f)
         except Exception:
             return None  # degrade to rebuild
-        st = cls(d["n_buckets"], d["rebuild_every"], d["cuckoo_capacity"])
-        st.blooms = d["blooms"]
-        st.cuckoo = CuckooFilter.from_bytes(d["cuckoo"])
-        st.rounds_since_rebuild = d["rounds_since_rebuild"]
+        try:
+            st = cls(d["n_buckets"], d["rebuild_every"], d["cuckoo_capacity"])
+            st.blooms = d["blooms"]
+            st.cuckoos = d["cuckoos"]
+            st.rounds_since_rebuild = d["rounds_since_rebuild"]
+        except KeyError:
+            return None  # older layout -> degrade to rebuild
         return st

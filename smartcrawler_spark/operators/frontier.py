@@ -30,6 +30,7 @@ Scale notes (100 TB / 10^10-URL design point):
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -130,39 +131,77 @@ def bloom_maybe_seen(
     candidates: DataFrame,
     blooms: dict[int, bytes],
     n_buckets: int,
-    cuckoo_blob: bytes | None = None,
+    cuckoo_blobs: dict[int, bytes] | None = None,
 ) -> DataFrame:
     """Add `maybe_seen` by probing the broadcast bucket blooms (bulk
-    frontier) plus the optional cuckoo delta (URLs admitted since the last
-    bloom rebuild) in one Arrow pandas UDF. False => DEFINITELY novel
-    (neither filter has false negatives for inserted keys)."""
+    frontier) plus the optional per-bucket cuckoo delta (URLs admitted
+    since the last bloom rebuild) in one Arrow pandas UDF. False =>
+    DEFINITELY novel (neither filter has false negatives for inserted
+    keys)."""
     from .filters import CuckooFilter
 
-    bcast = spark.sparkContext.broadcast((blooms, cuckoo_blob))
+    bcast = spark.sparkContext.broadcast((blooms, cuckoo_blobs or {}))
 
     @F.pandas_udf(BooleanType())
     def probe(url_hash: pd.Series) -> pd.Series:  # noqa: ANN001 — real hints
         # (PEP-563 string hints from `__future__ annotations` are not
         # resolvable by pyspark's typehint inference for closures; the
         # decorator still needs concrete pd.Series hints, provided here)
-        blobs, ck_blob = bcast.value
-        cache: dict[int, BloomFilter] = {}
+        blobs, ck_blobs = bcast.value
         h = url_hash.to_numpy()
         buckets = h % n_buckets  # python % matches pmod for negatives
-        out = pd.Series(False, index=url_hash.index)
+        res = np.zeros(len(h), dtype=bool)
         for b in set(buckets.tolist()):
-            blob = blobs.get(int(b))
-            if blob is None:
-                continue
-            bf = cache.setdefault(int(b), BloomFilter.from_bytes(blob))
             mask = buckets == b
-            out[mask] = bf.contains_many(h[mask])
-        if ck_blob is not None:
-            ck = CuckooFilter.from_bytes(ck_blob)
-            out |= pd.Series(ck.contains_many(h), index=url_hash.index)
-        return out
+            blob = blobs.get(int(b))
+            if blob is not None:
+                bf = BloomFilter.from_bytes(blob)
+                res[mask] = np.asarray(bf.contains_many(h[mask]), dtype=bool)
+            ck_blob = ck_blobs.get(int(b))
+            if ck_blob is not None:
+                ck = CuckooFilter.from_bytes(ck_blob)
+                res[mask] |= np.asarray(ck.contains_many(h[mask]), dtype=bool)
+        return pd.Series(res, index=url_hash.index)
 
     return candidates.withColumn("maybe_seen", probe(F.col("url_hash")))
+
+
+def update_bucket_cuckoos(
+    spark: SparkSession,
+    admitted: DataFrame,
+    cuckoos: dict[int, bytes],
+    n_buckets: int,
+    capacity: int,
+) -> dict[int, bytes]:
+    """Executor-side delta maintenance: insert this round's admitted
+    url_hashes into their buckets' cuckoo filters via applyInPandas — one
+    task per touched bucket, only the finished blobs travel to the driver.
+    At 10^10 scale the driver never sees admitted rows; per-round driver
+    traffic is O(touched_buckets x blob size) however large the admission
+    is. Returns the merged bucket->blob dict."""
+    from .filters import CuckooFilter
+
+    bcast = spark.sparkContext.broadcast(cuckoos)
+
+    def upd(pdf: pd.DataFrame) -> pd.DataFrame:
+        b = int(pdf["bucket"].iloc[0])
+        blob = bcast.value.get(b)
+        ck = CuckooFilter.from_bytes(blob) if blob else CuckooFilter(capacity)
+        ck.add_many(pdf["url_hash"].to_numpy())
+        return pd.DataFrame({"bucket": [b], "blob": [ck.to_bytes()]})
+
+    rows = (
+        admitted.select(
+            F.pmod(F.col("url_hash"), F.lit(n_buckets)).cast("int").alias("bucket"),
+            "url_hash",
+        )
+        .groupBy("bucket")
+        .applyInPandas(upd, "bucket int, blob binary")
+        .collect()
+    )
+    out = dict(cuckoos)
+    out.update({int(r["bucket"]): bytes(r["blob"]) for r in rows})
+    return out
 
 
 def tag_seen(candidates: DataFrame, frontier: DataFrame) -> DataFrame:

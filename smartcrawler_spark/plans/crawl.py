@@ -124,7 +124,7 @@ class CrawlJob:
                 )
             cands = FR.bloom_maybe_seen(
                 self.spark, cands, self.filters.blooms, self.cfg.bloom_buckets,
-                cuckoo_blob=self.filters.cuckoo.to_bytes(),
+                cuckoo_blobs=self.filters.cuckoos,
             )
         # tag_seen (bloom fast/slow union) and admit_with_cap (winners
         # join-back) each read their input TWICE — persist the branch points
@@ -164,12 +164,16 @@ class CrawlJob:
             )
         )
         if self.cfg.use_bloom:
-            # feed the admitted keys into the cuckoo delta (politeness-
-            # bounded volume; per-bucket executor-side update at 10^10 scale)
-            admitted_hashes = [
-                r["url_hash"] for r in tagged.filter("admitted").select("url_hash").collect()
-            ]
-            self.filters.add_delta(admitted_hashes)
+            # feed the admitted keys into the per-bucket cuckoo delta ON THE
+            # EXECUTORS (applyInPandas per bucket) — the driver only receives
+            # the updated blobs, never the admitted url_hash rows, so this
+            # stays O(buckets) driver traffic at any admission volume
+            blobs = FR.update_bucket_cuckoos(
+                self.spark, tagged.filter("admitted").select("url_hash"),
+                self.filters.cuckoos, self.cfg.bloom_buckets,
+                self.filters.cuckoo_capacity,
+            )
+            self.filters.absorb_bucket_blobs(blobs)
         return new_rows, metrics
 
     def _commit_round(self, frontier: DataFrame, round_no: int,

@@ -46,10 +46,10 @@ def test_seen_filter_state_amortization(tmp_path):
         st.add_delta([100 + r, 200 + r])
     assert st.needs_rebuild()
     # delta keys are queryable until then
-    assert st.cuckoo.contains_many([100, 201]).all()
+    assert st.contains_delta([100, 201]).all()
     # rollback support (the bloom can't do this)
     assert st.remove_delta([100]) == 1
-    assert not st.cuckoo.contains_many([100])[0]
+    assert not st.contains_delta([100])[0]
 
     # persistence round-trip
     p = str(tmp_path / "filters" / "state.pkl")
@@ -57,7 +57,7 @@ def test_seen_filter_state_amortization(tmp_path):
     st2 = SeenFilterState.load(p)
     assert st2 is not None
     assert st2.rounds_since_rebuild == st.rounds_since_rebuild
-    assert st2.cuckoo.contains_many([101, 202]).all()
+    assert st2.contains_delta([101, 202]).all()
     # corrupt file degrades to None (caller rebuilds)
     with open(p, "wb") as f:
         f.write(b"garbage")
@@ -87,3 +87,34 @@ def test_crawl_reuses_blooms_across_rounds(spark, tmp_path):
     got = [(r["round"], r["seq"], r["url_canon"])
            for r in job.crawl_log().orderBy("round", "seq").collect()]
     assert got == want.crawl_log
+
+
+def test_executor_bucket_cuckoo_update_matches_driver_path(spark):
+    """update_bucket_cuckoos (applyInPandas per bucket, blobs-only to the
+    driver) must produce the same delta membership as the driver-side
+    add_delta over the same keys — including keys spread across buckets,
+    negative hashes, and incremental updates on top of existing blobs."""
+    import random
+
+    from smartcrawler_spark.operators.filters import SeenFilterState
+    from smartcrawler_spark.operators.frontier import update_bucket_cuckoos
+
+    rng = random.Random(7)
+    keys1 = [rng.randrange(-2**63, 2**63) for _ in range(500)]
+    keys2 = [rng.randrange(-2**63, 2**63) for _ in range(300)]
+    absent = [rng.randrange(-2**63, 2**63) for _ in range(200)]
+
+    st_exec = SeenFilterState(n_buckets=8, cuckoo_capacity=4096)
+    st_driver = SeenFilterState(n_buckets=8, cuckoo_capacity=4096)
+    for batch in (keys1, keys2):  # second batch updates existing blobs
+        df = spark.createDataFrame([(k,) for k in batch], "url_hash long")
+        st_exec.absorb_bucket_blobs(
+            update_bucket_cuckoos(spark, df, st_exec.cuckoos, 8, 4096)
+        )
+        st_driver.add_delta(batch)
+
+    allk = keys1 + keys2
+    assert st_exec.contains_delta(allk).all()
+    assert (st_exec.contains_delta(absent)
+            == st_driver.contains_delta(absent)).all()
+    assert st_exec.rounds_since_rebuild == st_driver.rounds_since_rebuild
