@@ -339,7 +339,7 @@ def q_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard pairs (threshold 0.05) on a doc subset —
     parameters chosen to yield non-trivial pairs at both sf0.01 and sf0.1."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
-    return DD.ngram_jaccard_pairs(docs, n=3, threshold=0.05, df_cap=None)
+    return DD.ngram_jaccard_pairs(docs, n=3, threshold=0.05, df_cap=100)
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -684,10 +684,14 @@ def oracle_sql() -> dict[str, str]:
             ), sh AS (
               SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
               FROM toks, UNNEST(range(1, greatest(len(w)-2, 1)+1)) AS t(i)
-            ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+            ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), capped AS (  -- mirror of the engine's df_cap=100 shingle drop
+              SELECT * FROM sh
+              WHERE g IN (SELECT g FROM sh GROUP BY g HAVING count(*) <= 100)
+            )
             SELECT a.doc_id AS a, b.doc_id AS b,
                    round(count(*)::DOUBLE / (sa.n + sb.n - count(*)), 4) AS jaccard
-            FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+            FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id < b.doc_id
             JOIN sizes sa ON sa.doc_id = a.doc_id
             JOIN sizes sb ON sb.doc_id = b.doc_id
             GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
@@ -730,7 +734,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count": r"""
             SELECT source,
-                   sum(len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]'))) AS total_tokens,
+                   CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]'))) AS BIGINT) AS total_tokens,
                    count(*) AS n_docs
             FROM documents GROUP BY source
         """,

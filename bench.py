@@ -375,7 +375,11 @@ def run_scaling_sharded(sf_dir: str, shards: int = 4, cores: int = 8) -> dict:
         with_host.select("url").write.mode("overwrite").parquet(f"{workdir}/full")
         spark.stop()
 
+        # pin the round count explicitly so parent barrier loop and shard
+        # children can never desynchronize via an inherited SHARD_ROUNDS
+        n_rounds = int(os.environ.get("SHARD_ROUNDS", "2"))
         base_env = dict(os.environ, SHARD_CORES=str(cores),
+                        SHARD_ROUNDS=str(n_rounds),
                         SPARK_GRAFT_FRONTIER_MULT=str(mult))
 
         # phase 1: single-JVM baseline over the full input (no barrier)
@@ -396,7 +400,7 @@ def run_scaling_sharded(sf_dir: str, shards: int = 4, cores: int = 8) -> dict:
                 [sys.executable, __file__, "--shard-round"],
                 stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
                 env=env))
-        for r in (1, 2):
+        for r in range(1, n_rounds + 1):
             for s in range(shards):
                 _wait_for(f"{workdir}/ready_{s}_{r}")
             open(f"{workdir}/go_{r}", "w").close()
@@ -409,7 +413,8 @@ def run_scaling_sharded(sf_dir: str, shards: int = 4, cores: int = 8) -> dict:
         n = single["urls"]
         t_single = min(r["seconds"] for r in single["rounds"])
         t_sharded = min(
-            max(so["rounds"][r]["seconds"] for so in shard_out) for r in (0, 1)
+            max(so["rounds"][r]["seconds"] for so in shard_out)
+            for r in range(n_rounds)
         )
         digest_union = sum(so["digest"] for so in shard_out) % (1 << 64)
         rows_union = sum(so["rows"] for so in shard_out)

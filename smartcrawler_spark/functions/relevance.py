@@ -69,7 +69,8 @@ def relevance_score_expr(url: Column, keywords: dict[str, float]) -> Column:
     """JVM-only equivalent: tokenize with regexp_extract_all, weight via a
     literal map, sum with aggregate. Stays in whole-stage codegen."""
     if not keywords:
-        return F.lit(0.0)
+        # keep null-in -> null-out parity with the Arrow UDF twin
+        return F.when(url.isNull(), F.lit(None).cast("double")).otherwise(F.lit(0.0))
     path_query = F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*", "")
     tokens = F.regexp_extract_all(F.lower(path_query), F.lit("[a-z0-9]+"), F.lit(0))
     # occurrence-count per keyword x weight, summed — one codegen'd pass per

@@ -132,15 +132,24 @@ def bloom_maybe_seen(
     blooms: dict[int, bytes],
     n_buckets: int,
     cuckoo_blobs: dict[int, bytes] | None = None,
+    track: list | None = None,
 ) -> DataFrame:
     """Add `maybe_seen` by probing the broadcast bucket blooms (bulk
     frontier) plus the optional per-bucket cuckoo delta (URLs admitted
     since the last bloom rebuild) in one Arrow pandas UDF. False =>
     DEFINITELY novel (neither filter has false negatives for inserted
-    keys)."""
+    keys).
+
+    Legacy broadcast-probe path (bench/small jobs): the crawl loop uses
+    bloom_probe_bucketed, which never ships the full blob set. Pass a
+    `track` list to receive the broadcast handle so the caller can
+    unpersist/destroy it once the round's actions finish (otherwise stale
+    blob broadcasts accumulate over a long-lived session)."""
     from .filters import CuckooFilter
 
     bcast = spark.sparkContext.broadcast((blooms, cuckoo_blobs or {}))
+    if track is not None:
+        track.append(bcast)
 
     @F.pandas_udf(BooleanType())
     def probe(url_hash: pd.Series) -> pd.Series:  # noqa: ANN001 — real hints
@@ -199,9 +208,135 @@ def update_bucket_cuckoos(
         .applyInPandas(upd, "bucket int, blob binary")
         .collect()
     )
+    bcast.unpersist(blocking=False)  # eager op: safe to release immediately
     out = dict(cuckoos)
     out.update({int(r["bucket"]): bytes(r["blob"]) for r in rows})
     return out
+
+
+FILTER_BLOB_SCHEMA = "bucket int, bloom binary, cuckoo binary"
+
+
+def build_bucket_blooms_df(
+    frontier: DataFrame, n_buckets: int = 16, fp_rate: float = 0.01
+) -> DataFrame:
+    """DataFrame-native bloom rebuild: one bloom per url_hash bucket, built
+    ON THE EXECUTORS (applyInPandas, one task per bucket). Unlike
+    build_bucket_blooms the blobs NEVER travel to the driver — the caller
+    commits the returned (bucket, bloom, cuckoo=null) rows to the bucketed
+    filter table (plans.crawl: t_filters.commit_upsert), and probes read
+    them back per bucket. Driver traffic is zero however large the
+    frontier; a rebuild touches each frontier row exactly once."""
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        b = int(pdf["bucket"].iloc[0])
+        bf = BloomFilter(capacity=max(len(pdf), 64), fp_rate=fp_rate)
+        bf.add_many(pdf["url_hash"].to_numpy())
+        return pd.DataFrame({"bucket": [b], "bloom": [bf.to_bytes()], "cuckoo": [None]})
+
+    return (
+        frontier.select(
+            F.pmod(F.col("url_hash"), F.lit(n_buckets)).cast("int").alias("bucket"),
+            "url_hash",
+        )
+        .groupBy("bucket")
+        .applyInPandas(build, FILTER_BLOB_SCHEMA)
+    )
+
+
+def bloom_probe_bucketed(
+    candidates: DataFrame, filters_df: DataFrame | None, n_buckets: int
+) -> DataFrame:
+    """Bucket-aligned `maybe_seen` probe: candidates' url_hashes are
+    cogrouped with the (bucket, bloom, cuckoo) blob table so EACH TASK
+    reads only its own bucket's blobs — no driver collect, no broadcast of
+    the full blob set (the round-1 design shipped every blob to every
+    executor; at 10^10 keys that is ~12 GB broadcast per round). The blob
+    side streams straight from the bucketed filter table's parquet.
+
+    Missing bucket / missing table => maybe_seen=False (definitely novel):
+    the exact anti-join downstream remains the correctness authority."""
+    from .filters import CuckooFilter
+
+    if filters_df is None:
+        return candidates.withColumn("maybe_seen", F.lit(False))
+
+    def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0:
+            return pd.DataFrame({"url_hash": pd.Series([], dtype="int64"),
+                                 "maybe_seen": pd.Series([], dtype=bool)})
+        h = left["url_hash"].to_numpy()
+        res = np.zeros(len(h), dtype=bool)
+        if len(right):
+            bl, ck = right["bloom"].iloc[0], right["cuckoo"].iloc[0]
+            if bl is not None:
+                res |= np.asarray(
+                    BloomFilter.from_bytes(bytes(bl)).contains_many(h), dtype=bool
+                )
+            if ck is not None:
+                res |= np.asarray(
+                    CuckooFilter.from_bytes(bytes(ck)).contains_many(h), dtype=bool
+                )
+        return pd.DataFrame({"url_hash": left["url_hash"], "maybe_seen": res})
+
+    bucket = F.pmod(F.col("url_hash"), F.lit(n_buckets)).cast("int").alias("bucket")
+    keys = candidates.select("url_hash").distinct().select(bucket, "url_hash")
+    blobs = filters_df.select("bucket", "bloom", "cuckoo")
+    probed = (
+        keys.groupBy("bucket")
+        .cogroup(blobs.groupBy("bucket"))
+        .applyInPandas(probe, "url_hash long, maybe_seen boolean")
+    )
+    return candidates.join(probed, "url_hash", "left").withColumn(
+        "maybe_seen", F.coalesce(F.col("maybe_seen"), F.lit(False))
+    )
+
+
+def update_bucket_cuckoos_df(
+    admitted: DataFrame,
+    filters_df: DataFrame | None,
+    n_buckets: int,
+    capacity: int,
+) -> DataFrame:
+    """Executor-side delta maintenance, DataFrame-native: cogroup this
+    round's admitted url_hashes with the blob table per bucket; each task
+    inserts its bucket's keys into that bucket's cuckoo filter and emits
+    the replacement (bucket, bloom, cuckoo) row. Returns rows for TOUCHED
+    buckets only (right-only groups emit nothing), which the caller
+    commits via partition-scoped upsert — neither the admitted rows nor
+    the untouched buckets' blobs ever reach the driver."""
+    from .filters import CuckooFilter
+
+    spark = admitted.sparkSession
+    if filters_df is None:
+        filters_df = spark.createDataFrame([], FILTER_BLOB_SCHEMA)
+
+    def upd(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"bucket": pd.Series([], dtype="int32"),
+                              "bloom": pd.Series([], dtype=object),
+                              "cuckoo": pd.Series([], dtype=object)})
+        if len(left) == 0:
+            return empty  # untouched bucket: keep previous blobs as-is
+        b = int(left["bucket"].iloc[0])
+        bloom = None
+        ck_blob = None
+        if len(right):
+            if right["bloom"].iloc[0] is not None:
+                bloom = bytes(right["bloom"].iloc[0])
+            if right["cuckoo"].iloc[0] is not None:
+                ck_blob = bytes(right["cuckoo"].iloc[0])
+        ck = CuckooFilter.from_bytes(ck_blob) if ck_blob else CuckooFilter(capacity)
+        ck.add_many(left["url_hash"].to_numpy())
+        return pd.DataFrame({"bucket": [b], "bloom": [bloom], "cuckoo": [ck.to_bytes()]})
+
+    bucket = F.pmod(F.col("url_hash"), F.lit(n_buckets)).cast("int").alias("bucket")
+    adm = admitted.select(bucket, "url_hash")
+    blobs = filters_df.select("bucket", "bloom", "cuckoo")
+    return (
+        adm.groupBy("bucket")
+        .cogroup(blobs.groupBy("bucket"))
+        .applyInPandas(upd, FILTER_BLOB_SCHEMA)
+    )
 
 
 def tag_seen(candidates: DataFrame, frontier: DataFrame) -> DataFrame:

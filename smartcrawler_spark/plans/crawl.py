@@ -9,10 +9,22 @@ Per round (reference phases at /root/reference/src/main.rs:57-135):
     candidates --robots gate --> bloom prefilter --> exact seen tag
                --> per-host cap --> admitted  --> frontier MERGE + commit
 
-State lives in snapshot tables (frontier / crawl_log / metrics), committed
-once per round: the next round reads the committed parquet back, which
-truncates lineage by construction (no unbounded iterative plan growth) and
-is exactly what makes the crawl resumable from any round boundary.
+State lives in snapshot tables (frontier / crawl_log / metrics / filters),
+committed once per round: the next round reads the committed parquet back,
+which truncates lineage by construction (no unbounded iterative plan
+growth) and is exactly what makes the crawl resumable from any round
+boundary.
+
+Commit-path scale design (all per-round I/O is O(round), never O(table)):
+* frontier — hash-bucketed on url_hash; a round rewrites ONLY the buckets
+  containing its scheduled/admitted URLs (partition-scoped upsert, the
+  Iceberg MERGE INTO analog), and the merge itself reads only those
+  buckets back (manifest-level partition pruning);
+* crawl_log / metrics — fast-append commits (new rows only; the manifest
+  re-references history);
+* bloom/cuckoo seen-prefilter blobs — a bucketed snapshot table probed and
+  updated via per-bucket cogroups on the executors; blob bytes never
+  travel through the driver and are never broadcast in toto.
 
 Determinism contract (matched bit-for-bit by smartcrawler_spark.oracle):
 admission and scheduling order is (is_root desc, score desc, url_canon asc);
@@ -28,8 +40,7 @@ from pyspark.sql import functions as F
 
 from ..functions import urls as U
 from ..operators import frontier as FR
-from ..operators.filters import SeenFilterState
-from ..sources.snapshot import SnapshotTable
+from ..sources.snapshot import BucketedSnapshotTable, SnapshotTable
 
 FRONTIER_SCHEMA = (
     "url_canon string, url_hash long, host string, is_root boolean, "
@@ -43,7 +54,13 @@ class EngineConfig:
     max_urls_per_host: int = 10
     max_rounds: int = 50
     default_budget: int = 4
-    bloom_buckets: int = 16
+    bloom_buckets: int = 16       # seen-prefilter blob buckets; at scale keep
+                                  # == frontier_buckets so probe tasks align
+                                  # 1:1 with frontier partitions
+    frontier_buckets: int = 32    # frontier-table storage buckets (upsert
+                                  # granularity); at 10^10 URLs size so one
+                                  # bucket ~ one executor-friendly partition
+    cuckoo_capacity: int = 1 << 17
     salt_buckets: int = 8
     use_bloom: bool = True
     bloom_rebuild_every: int = 4  # rounds between full bloom rebuilds
@@ -58,15 +75,20 @@ class CrawlJob:
         self.cfg = cfg
         self.seeds = seeds
         self.corpus_dir = corpus_dir
-        self.t_frontier = SnapshotTable(checkpoint_dir, "frontier")
+        self.t_frontier = BucketedSnapshotTable(
+            checkpoint_dir, "frontier", n_buckets=cfg.frontier_buckets,
+            key_col="url_hash",
+        )
         self.t_log = SnapshotTable(checkpoint_dir, "crawl_log")
         self.t_metrics = SnapshotTable(checkpoint_dir, "metrics")
-        self._filters_path = f"{checkpoint_dir}/filters/state.pkl"
-        self.filters = (
-            SeenFilterState.load(self._filters_path)
-            or SeenFilterState(n_buckets=cfg.bloom_buckets,
-                               rebuild_every=cfg.bloom_rebuild_every)
+        # bloom/cuckoo blobs live in their own bucketed table (bucket id IS
+        # the key, so pmod is the identity) — replaces the round-1 driver
+        # pickle; probe/update cogroup against it per bucket
+        self.t_filters = BucketedSnapshotTable(
+            checkpoint_dir, "filters", n_buckets=cfg.bloom_buckets,
+            key_col="bucket",
         )
+        self._pending_filter_update: DataFrame | None = None
 
         # documents: canonical fetch key precomputed once. At scale this table
         # is bucketed by url_hash so the per-round fetch join is co-located.
@@ -117,14 +139,21 @@ class CrawlJob:
         if self.cfg.use_bloom:
             # amortized prefilter: blooms cover the bulk frontier (rebuilt
             # every rebuild_every rounds), the cuckoo delta covers rounds
-            # since the last rebuild
-            if self.filters.needs_rebuild():
-                self.filters.rebuilt(
-                    FR.build_bucket_blooms(frontier, self.cfg.bloom_buckets)
+            # since the last rebuild. Blobs live in the bucketed filter
+            # table; rebuild is a full-replace commit built entirely on the
+            # executors (one applyInPandas task per bucket, zero driver
+            # traffic), and the probe cogroups candidates with their
+            # bucket's blob row.
+            rounds_since = self.t_filters.latest_meta().get("rounds_since_rebuild")
+            if rounds_since is None or rounds_since >= self.cfg.bloom_rebuild_every:
+                self.t_filters.commit_upsert(
+                    FR.build_bucket_blooms_df(frontier, self.cfg.bloom_buckets),
+                    changed_buckets=None,  # full replace: delta absorbed
+                    meta={"rounds_since_rebuild": 0, "round": round_no},
                 )
-            cands = FR.bloom_maybe_seen(
-                self.spark, cands, self.filters.blooms, self.cfg.bloom_buckets,
-                cuckoo_blobs=self.filters.cuckoos,
+            filters_df = self.t_filters.read(self.spark)
+            cands = FR.bloom_probe_bucketed(
+                cands, filters_df, self.cfg.bloom_buckets
             )
         # tag_seen (bloom fast/slow union) and admit_with_cap (winners
         # join-back) each read their input TWICE — persist the branch points
@@ -165,32 +194,47 @@ class CrawlJob:
         )
         if self.cfg.use_bloom:
             # feed the admitted keys into the per-bucket cuckoo delta ON THE
-            # EXECUTORS (applyInPandas per bucket) — the driver only receives
-            # the updated blobs, never the admitted url_hash rows, so this
-            # stays O(buckets) driver traffic at any admission volume
-            blobs = FR.update_bucket_cuckoos(
-                self.spark, tagged.filter("admitted").select("url_hash"),
-                self.filters.cuckoos, self.cfg.bloom_buckets,
-                self.filters.cuckoo_capacity,
+            # EXECUTORS (cogroup per bucket): the update emits replacement
+            # blob rows for TOUCHED buckets only, committed in _commit_round
+            # via partition-scoped upsert — neither admitted url_hashes nor
+            # blob bytes ever pass through the driver
+            self._pending_filter_update = FR.update_bucket_cuckoos_df(
+                tagged.filter("admitted").select("url_hash"),
+                self.t_filters.read(self.spark),
+                self.cfg.bloom_buckets,
+                self.cfg.cuckoo_capacity,
             )
-            self.filters.absorb_bucket_blobs(blobs)
         return new_rows, metrics
 
-    def _commit_round(self, frontier: DataFrame, round_no: int,
+    def _commit_round(self, frontier_changed: DataFrame,
+                      changed_buckets: list[int] | None, round_no: int,
                       log_rows: DataFrame | None, metrics: DataFrame | None) -> None:
+        """Per-round durability, every write O(round):
+
+        * frontier: partition-scoped upsert — `frontier_changed` is the
+          full new content of `changed_buckets` only (None = bootstrap
+          full write);
+        * crawl_log / metrics: fast-append of the round's rows;
+        * filter blobs: upsert of the buckets this round's admissions
+          touched."""
         lineage = {"round": round_no, "source": "crawl-loop"}
-        self.t_frontier.commit(frontier, meta=lineage)
+        self.t_frontier.commit_upsert(frontier_changed, changed_buckets,
+                                      meta=lineage)
         if log_rows is not None:
-            prev = self.t_log.read(self.spark)
-            full = log_rows if prev is None else prev.unionByName(log_rows)
-            self.t_log.commit(full, meta=lineage)
+            self.t_log.append(log_rows, meta=lineage)
         if metrics is not None:
-            prev = self.t_metrics.read(self.spark)
-            full = metrics if prev is None else prev.unionByName(metrics)
-            self.t_metrics.commit(full, meta=lineage)
-        # persist the bloom+cuckoo prefilter state beside the snapshot so
-        # resume reuses it (missing/corrupt file degrades to rebuild)
-        self.filters.save(self._filters_path)
+            self.t_metrics.append(metrics, meta=lineage)
+        if self._pending_filter_update is not None:
+            prev_meta = self.t_filters.latest_meta()
+            self.t_filters.commit_upsert(
+                self._pending_filter_update, changed_buckets="written",
+                meta={
+                    "rounds_since_rebuild":
+                        int(prev_meta.get("rounds_since_rebuild", 0)) + 1,
+                    "round": round_no,
+                },
+            )
+            self._pending_filter_update = None
         # everything is on disk now -> drop the round's working-set caches
         for df in getattr(self, "_round_caches", []):
             df.unpersist()
@@ -214,7 +258,7 @@ class CrawlJob:
         )
         round0 = seeds_df.unionByName(sitemap_urls)
         new_rows, metrics = self._admit(round0, self._empty_frontier(), 0)
-        self._commit_round(new_rows, 0, None, metrics)
+        self._commit_round(new_rows, None, 0, None, metrics)
         return 0
 
     def run_round(self, round_no: int) -> dict:
@@ -267,9 +311,22 @@ class CrawlJob:
 
         new_rows, admit_metrics = self._admit(links, frontier, round_no)
 
-        # MERGE: status transition for scheduled rows + append admitted rows
+        # MERGE, partition-scoped: only the frontier buckets containing this
+        # round's scheduled (status transitions) or admitted (inserts) URLs
+        # change — read back just those buckets (manifest-level partition
+        # pruning) and rewrite just them. At 10^10 URLs the per-round write
+        # is O(|touched buckets|), not O(|frontier|).
+        bkt = self.t_frontier.bucket_expr()
+        changed_buckets = [
+            r["b"]
+            for r in scheduled.select(bkt.alias("b"))
+            .unionByName(new_rows.select(bkt.alias("b")))
+            .distinct()
+            .collect()  # <= frontier_buckets ints — bounded driver traffic
+        ]
+        frontier_changed = self.t_frontier.read_buckets(self.spark, changed_buckets)
         merged = (
-            frontier.join(results, "url_canon", "left")
+            frontier_changed.join(results, "url_canon", "left")
             .select(
                 "url_canon", "url_hash", "host", "is_root", "score",
                 F.coalesce(F.col("_new_status"), F.col("status")).alias("status"),
@@ -295,7 +352,7 @@ class CrawlJob:
                       f"{self.t_frontier.latest_version() or 0}"),
             )
         )
-        self._commit_round(merged, round_no, log_rows,
+        self._commit_round(merged, changed_buckets, round_no, log_rows,
                            admit_metrics.unionByName(fetch_metrics))
         scheduled.unpersist()
         return {"round": round_no, "scheduled": n_sched}

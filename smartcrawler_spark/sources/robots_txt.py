@@ -35,13 +35,31 @@ from pyspark.sql.types import ArrayType, StringType
 # ---------------------------------------------------------------------------
 
 
+def _wildcard_prefix(value: str) -> str:
+    """Reduce an RFC-9309 path pattern to the gate's prefix form.
+
+    The engine's robots gate is a prefix anti-join, so patterns are made
+    CONSERVATIVE (never under-block): '*' truncates the pattern (everything
+    with the literal prefix before the wildcard is blocked — a superset of
+    the rule) and a trailing '$' anchor is dropped (prefix-blocking a
+    superset of the exact-match rule)."""
+    if "*" in value:
+        value = value.split("*", 1)[0]
+    if value.endswith("$"):
+        value = value[:-1]
+    return value
+
+
 def parse_robots_text(text: str, user_agent: str = "*") -> list[str]:
     """Pure-Python kernel (shared by the UDF and the pytest oracle).
 
-    Returns the Disallow prefixes of the group whose agent token best
-    matches `user_agent`: longest agent token that is '*' or a
-    case-insensitive substring of user_agent; '*' has length 0 so any
-    specific match wins over it."""
+    RFC 9309 semantics: agent matching picks the LONGEST agent token that
+    is '*' or a case-insensitive substring of `user_agent` ('*' scores 0 so
+    any specific match wins), and the Disallow rules of ALL groups whose
+    best agent token ties that winning score are MERGED (the RFC treats
+    multiple groups matching the same agent as one rule set). `Sitemap:` is
+    a non-group record and does not split an agent-header run. Path
+    wildcards are reduced to conservative prefixes (see _wildcard_prefix)."""
     if not text:
         return []
     groups: list[tuple[list[str], list[str]]] = []  # (agents, disallows)
@@ -64,25 +82,40 @@ def parse_robots_text(text: str, user_agent: str = "*") -> list[str]:
         elif key == "disallow":
             in_group_body = True
             if value:
-                disallows.append(value)
-        elif key in ("allow", "crawl-delay", "sitemap"):
+                prefix = _wildcard_prefix(value)
+                if prefix:
+                    disallows.append(prefix)
+        elif key in ("allow", "crawl-delay"):
             in_group_body = True  # body keys end the agent-header run
+        # 'sitemap' (and unknown keys): non-group records — ignored for
+        # group-boundary purposes per RFC 9309
     if agents or disallows:
         groups.append((agents, disallows))
 
     ua = user_agent.lower()
-    best: tuple[int, list[str]] | None = None
-    for agents, disallows in groups:
-        for a in agents:
+
+    def group_score(agent_tokens: list[str]) -> int | None:
+        best = None
+        for a in agent_tokens:
             if a == "*":
                 score = 0
             elif a and a in ua:
                 score = len(a)
             else:
                 continue
-            if best is None or score > best[0]:
-                best = (score, disallows)
-    return best[1] if best else []
+            if best is None or score > best:
+                best = score
+        return best
+
+    scored = [(group_score(agents), disallows) for agents, disallows in groups]
+    winning = max((s for s, _ in scored if s is not None), default=None)
+    if winning is None:
+        return []
+    merged: list[str] = []
+    for s, disallows in scored:
+        if s == winning:
+            merged.extend(d for d in disallows if d not in merged)
+    return merged
 
 
 def robots_disallow_udf(user_agent: str = "*"):

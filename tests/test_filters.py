@@ -79,8 +79,9 @@ def test_crawl_reuses_blooms_across_rounds(spark, tmp_path):
                        default_budget=3, bloom_rebuild_every=10)
     job = CrawlJob(spark, d, str(tmp_path / "ck"), cfg, m["seeds"])
     job.run()
-    # one rebuild at round 0, then delta-only rounds
-    assert job.filters.rounds_since_rebuild >= 1
+    # one rebuild at round 0, then delta-only rounds (the filter table's
+    # manifest meta counts rounds since the last full bloom rebuild)
+    assert job.t_filters.latest_meta()["rounds_since_rebuild"] >= 1
     # and correctness still ties out vs the oracle
     want = crawl(d, m["seeds"], CrawlConfig(keywords={"news": 1.0},
                                             max_urls_per_host=8, default_budget=3))

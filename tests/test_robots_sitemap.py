@@ -87,3 +87,64 @@ def test_sitemap_urlset_and_index(spark):
         ("index", "https://a.com/sitemap-news.xml"),
         ("index", "https://a.com/sitemap-archive.xml"),
     }
+
+
+# --- RFC 9309 group-merge / non-group-record / wildcard semantics ----------
+
+def test_parse_robots_merges_tied_groups():
+    """Two groups matching the same agent at the same score MERGE their
+    Disallow rules (RFC 9309 treats them as one rule set)."""
+    txt = """
+User-agent: *
+Disallow: /a
+
+User-agent: *
+Disallow: /b
+"""
+    assert parse_robots_text(txt, "anybot") == ["/a", "/b"]
+
+
+def test_parse_robots_merge_dedups_and_specific_still_wins():
+    txt = """
+User-agent: *
+Disallow: /a
+Disallow: /x
+
+User-agent: smartcrawler
+Disallow: /s1
+
+User-agent: *
+Disallow: /x
+
+User-agent: smartcrawler
+Disallow: /s2
+"""
+    # star groups merge (deduped), but the specific agent outranks them
+    assert parse_robots_text(txt, "anybot") == ["/a", "/x"]
+    assert parse_robots_text(txt, "smartcrawler/2.0") == ["/s1", "/s2"]
+
+
+def test_parse_robots_sitemap_is_not_a_group_boundary():
+    """A Sitemap: line between User-agent headers must not split the
+    agent-header run (it's a non-group record per RFC 9309)."""
+    txt = """
+User-agent: a-bot
+Sitemap: https://example.com/sitemap.xml
+User-agent: b-bot
+Disallow: /shared
+"""
+    # both agents belong to the SAME group and share the rule
+    assert parse_robots_text(txt, "a-bot") == ["/shared"]
+    assert parse_robots_text(txt, "b-bot") == ["/shared"]
+
+
+def test_parse_robots_wildcards_become_conservative_prefixes():
+    txt = """
+User-agent: *
+Disallow: /cgi/*/del
+Disallow: /exact$
+Disallow: *
+"""
+    # '*' truncates (over-block, never under-block); trailing '$' dropped;
+    # a bare '*' pattern reduces to empty and emits no rule
+    assert parse_robots_text(txt, "anybot") == ["/cgi/", "/exact"]
