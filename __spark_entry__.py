@@ -251,14 +251,151 @@ def q_template_rewrite_sql(spark, sf_dir):
     )
 
 
-def q_template_detect(spark, sf_dir):
-    """R1-R6 exact occurrence-by-occurrence semantics (Arrow UDF).
-    rows-only: the try-each-occurrence + context-naming logic is not
-    SQL-expressible; pytest verifies it against the reference goldens."""
-    from smartcrawler_spark.functions.templates import templated_text
+_SYNTH_UNITS = ["days", "hours", "minutes", "points", "comments", "items",
+                "rows", "blobs"]
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    return docs.select("doc_id", templated_text(F.col("text")).alias("templated"))
+
+def q_template_detect(spark, sf_dir):
+    """R1-R6 FULL semantics gate: try-each-occurrence + context naming +
+    validation (/root/reference/src/template_detection.rs:143-255) over
+    deterministically synthesized numeric content (the corpus text has no
+    digits, so raw text would gate nothing). The engine side runs the real
+    detect_template_udf; the DuckDB oracle implements the reference's
+    decision table independently (derived by hand from the spec, validated
+    0/6000 against the kernel — covers: float-pass-first, occurrence order,
+    time/count/value naming by next-word / two-ahead-'ago' / prev-'page'
+    context, validity via vocabulary words INCLUDING digit-attached tokens
+    that clean to indicators, and the \\b\\d+\\b no-match on attached
+    digits)."""
+    from smartcrawler_spark.functions.templates import detect_template_udf
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    d = F.col("doc_id")
+    units = F.array(*[F.lit(u) for u in _SYNTH_UNITS])
+    u1 = F.element_at(units, (d % 8 + 1).cast("int"))
+    u2 = F.element_at(units, (F.floor(d / 8).cast("long") % 8 + 1).cast("int"))
+    n1 = (d % 90 + 1).cast("string")
+    n2 = ((d * 7) % 90 + 1).cast("string")
+    w1 = F.element_at(
+        F.array(F.lit("bravo"), F.lit("ago"), F.lit("page")), (d % 3 + 1).cast("int")
+    )
+    v = d % 4
+    content = (
+        F.when(v == 0, F.concat_ws(" ", F.lit("alpha"), n1, u1, w1, n2, u2))
+        .when(v == 1, F.concat(F.lit("alpha "), n1, u1, F.lit(" "), w1,
+                               F.lit(" "), n2, F.lit(" "), u2))
+        .when(v == 2, F.concat(F.lit("alpha "), n1, F.lit(" "), u1, F.lit(" "),
+                               w1, F.lit(" "), n2, u2))
+        .otherwise(F.concat(F.lit("alpha "), n1, F.lit(".5 "), u1, F.lit(" "),
+                            w1, F.lit(" "), n2, F.lit(" "), u2))
+    )
+    hit = detect_template_udf(content)
+    return docs.select(
+        "doc_id",
+        hit["pattern"].alias("pattern"),
+        hit["var_name"].alias("var_name"),
+        hit["var_type"].alias("var_type"),
+    )
+
+
+# --------------------------------------------------------------------------
+# T3/T5/T6 span-tree gates over deterministically synthesized trees
+# --------------------------------------------------------------------------
+
+
+def _synth_tree_docs(spark, sf_dir, n_docs: int = 500, max_nodes: int = 20):
+    """Deterministic span/node trees from documents.text: node i = word i of
+    the cleaned text (first `max_nodes`), subtree size = 1 + len(word) % 3
+    (truncated at the document end), path = words[1..i], spans aligned 1:1
+    with nodes by offset. The identical construction is replicated in the
+    DuckDB oracles, so the span/tree kernels get rows+schema+hash gates."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < n_docs)
+    words = F.slice(
+        F.filter(
+            F.split(F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), " "),
+            lambda x: x != "",
+        ),
+        1, max_nodes,
+    )
+    n = F.size(words)
+
+    def node(i):
+        w = F.element_at(words, i)
+        return F.struct(
+            i.cast("int").alias("offset"),
+            w.alias("tag"),
+            F.array().cast("array<string>").alias("classes"),
+            F.lit(None).cast("string").alias("id"),
+            w.alias("content"),
+            F.least(F.lit(1) + F.length(w) % 3, n - i + 1).cast("int").alias("size"),
+            F.slice(words, 1, i).alias("path"),
+        )
+
+    def span(i):
+        return F.struct(
+            F.lit("p").alias("kind"),
+            F.element_at(words, i).alias("text"),
+            F.lit("").alias("media_ref"),
+            i.cast("int").alias("offset"),
+        )
+
+    seq = F.sequence(F.lit(1), n)
+    return docs.filter(n >= 1).select(
+        "doc_id",
+        F.col("source").alias("host"),
+        F.transform(seq, span).alias("spans"),
+        F.transform(seq, node).alias("nodes"),
+    )
+
+
+def q_subtree_hashes(spark, sf_dir):
+    """T5 — per-node pre-order subtree signatures, portable md5 twin of the
+    blake2b kernel (same slice algorithm, oracle-checkable; reference
+    NodeSignature /root/reference/src/storage.rs:377-422)."""
+    from smartcrawler_spark.operators import spans as SP
+
+    synth = _synth_tree_docs(spark, sf_dir)
+    z = SP.with_signatures(synth, portable=True)
+    return z.select(
+        "doc_id", F.explode(F.arrays_zip("nodes", "sigs")).alias("z")
+    ).select(
+        "doc_id",
+        F.col("z.nodes.offset").cast("long").alias("pos"),
+        F.col("z.sigs").alias("sig"),
+    )
+
+
+def q_find_by_path(spark, sf_dir):
+    """T3 — find_by_path EXACT emit multiplicity (the reference recursion's
+    subsequence-embedding count, /root/reference/src/html_parser.rs:48-106)
+    on synthesized ancestor chains; oracle counts ordered embeddings via a
+    self-join."""
+    from smartcrawler_spark.operators.spans import find_by_path
+
+    synth = _synth_tree_docs(spark, sf_dir)
+    hits = find_by_path(synth, "table value a", portable=True)
+    return hits.select(
+        "doc_id", "host", F.col("offset").cast("long").alias("pos"),
+        "content", "multiplicity",
+    )
+
+
+def q_mark_duplicates(spark, sf_dir):
+    """T6/D4/D5 — the full duplicate pipeline: occurrence-counted domain
+    duplicates (>=2-pages guard, structural-tag exclusion) -> broadcast
+    semi-mark -> structure-preserving span rewrite
+    (/root/reference/src/html_parser.rs:204-229, storage.rs:119-195) — all
+    on the portable md5 signature twin so DuckDB replays it exactly."""
+    from smartcrawler_spark.operators import spans as SP
+
+    synth = _synth_tree_docs(spark, sf_dir)
+    dups = SP.domain_duplicates(synth, portable=True)
+    marked = SP.mark_duplicates(synth, dups, portable=True)
+    return marked.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.offset").cast("long").alias("pos"),
+        F.col("s.text").alias("text"),
+    )
 
 
 def q_sitemap_roundtrip(spark, sf_dir):
@@ -444,6 +581,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "template_rewrite_sql": q_template_rewrite_sql,
         "template_detect": q_template_detect,
+        "subtree_hashes": q_subtree_hashes,
+        "find_by_path": q_find_by_path,
+        "mark_duplicates": q_mark_duplicates,
         "sitemap_roundtrip": q_sitemap_roundtrip,
         "explode_distinct": q_explode_distinct,
         "text_clean": q_text_clean,
@@ -468,6 +608,31 @@ _WORDS = (
     r"list_filter(string_split(trim(regexp_replace(lower({col}),'\s+',' ','g')),' '),"
     r" x -> x <> '')"
 )
+
+# synthesized span/node trees (must mirror _synth_tree_docs exactly):
+# node i = word i, subtree slice = w[i : i + (1 + len(w[i]) % 3) - 1]
+# truncated at the doc end; serial uses chr(1) for the NULL id (see
+# operators/spans.py subtree_hashes_portable).
+_SYNTH_TREE_CTE = r"""
+        toks AS (
+          SELECT doc_id, source AS host,
+                 (list_filter(string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' '),
+                              x -> x <> ''))[1:20] AS w
+          FROM documents WHERE doc_id < 500
+        ),
+        nodes AS (
+          SELECT doc_id, host, i AS pos, w[i] AS word, w,
+                 w[i : i + least(1 + length(w[i]) % 3, len(w) - i + 1) - 1] AS sub
+          FROM toks, UNNEST(range(1, len(w)+1)) AS t(i)
+        ),
+        sigs AS (
+          SELECT doc_id, host, pos, word,
+                 md5(array_to_string(list_transform(sub,
+                     x -> x || chr(31) || chr(31) || chr(1) || chr(31) || x || chr(29)),
+                     '')) AS sig
+          FROM nodes
+        )
+"""
 
 _EN_STOP = "['the','and','of','to','in','is','that','with','a','an','it','on','for','as','at','by']"
 _LANG_MARKERS_SQL = {
@@ -623,6 +788,91 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(text, '(\d+) (comments|likes|views|points)',
                                   '{count} \2', 'g') AS templated
             FROM documents
+        """,
+        # reference decision table for the synthesized template contents —
+        # independently derived from template_detection.rs and validated
+        # 0/6000 against the Python kernel (see q_template_detect)
+        "template_detect": """
+            WITH p AS (
+              SELECT doc_id,
+                ['days','hours','minutes','points','comments','items','rows','blobs']
+                  [CAST(doc_id % 8 AS INT) + 1] AS u1,
+                ['days','hours','minutes','points','comments','items','rows','blobs']
+                  [CAST((doc_id // 8) % 8 AS INT) + 1] AS u2,
+                CAST(doc_id % 90 + 1 AS VARCHAR) AS n1,
+                CAST((doc_id * 7) % 90 + 1 AS VARCHAR) AS n2,
+                ['bravo','ago','page'][CAST(doc_id % 3 AS INT) + 1] AS w1,
+                doc_id % 4 AS v
+              FROM documents WHERE doc_id < 2000
+            ), f AS (
+              SELECT *,
+                u1 IN ('days','hours','minutes') AS t1,
+                u2 IN ('days','hours','minutes') AS t2,
+                u1 IN ('points','comments','items') AS c1,
+                u2 IN ('points','comments','items') AS c2,
+                (u1 NOT IN ('rows','blobs') OR u2 NOT IN ('rows','blobs')
+                 OR w1 = 'ago') AS base
+              FROM p
+            ), g AS (
+              SELECT *,
+                CASE WHEN t1 THEN 'time' WHEN c1 THEN 'count'
+                     WHEN w1 = 'ago' THEN 'time' ELSE 'value' END AS var_a,
+                CASE WHEN t2 THEN 'time' WHEN c2 THEN 'count'
+                     WHEN w1 = 'page' THEN 'count' ELSE 'value' END AS var_b
+              FROM f
+            )
+            SELECT doc_id,
+              CASE WHEN NOT base THEN NULL
+                   WHEN v = 0 THEN 'alpha {' || var_a || '} ' || u1 || ' ' || w1
+                                   || ' ' || n2 || ' ' || u2
+                   WHEN v = 1 THEN 'alpha ' || n1 || u1 || ' ' || w1 || ' {'
+                                   || var_b || '} ' || u2
+                   WHEN v = 2 THEN 'alpha {' || var_a || '} ' || u1 || ' ' || w1
+                                   || ' ' || n2 || u2
+                   ELSE 'alpha {value} ' || u1 || ' ' || w1 || ' ' || n2
+                        || ' ' || u2 END AS pattern,
+              CASE WHEN NOT base THEN NULL
+                   WHEN v IN (0, 2) THEN var_a
+                   WHEN v = 1 THEN var_b
+                   ELSE 'value' END AS var_name,
+              CASE WHEN NOT base THEN NULL
+                   WHEN v = 3 THEN 'Float' ELSE 'Number' END AS var_type
+            FROM g
+        """,
+        "subtree_hashes": f"""
+            WITH {_SYNTH_TREE_CTE}
+            SELECT doc_id, pos, sig FROM sigs
+        """,
+        "find_by_path": f"""
+            WITH {_SYNTH_TREE_CTE},
+            anc AS (
+              SELECT doc_id, host, pos, j, w[j] AS comp
+              FROM nodes, UNNEST(range(1, pos)) AS t2(j)
+            ),
+            m AS (
+              SELECT a1.doc_id, a1.pos, count(*) AS multiplicity
+              FROM anc a1 JOIN anc a2
+                ON a1.doc_id = a2.doc_id AND a1.pos = a2.pos AND a1.j < a2.j
+              WHERE a1.comp = 'table' AND a2.comp = 'value'
+              GROUP BY a1.doc_id, a1.pos
+            )
+            SELECT n.doc_id, n.host, n.pos, n.word AS content, m.multiplicity
+            FROM nodes n JOIN m ON n.doc_id = m.doc_id AND n.pos = m.pos
+            WHERE n.word = 'a'
+        """,
+        "mark_duplicates": f"""
+            WITH {_SYNTH_TREE_CTE},
+            elig AS (SELECT host FROM toks GROUP BY host HAVING count(*) >= 2),
+            dups AS (
+              SELECT host, sig FROM sigs
+              WHERE host IN (SELECT host FROM elig)
+                AND word NOT IN ('html','head','body','main','article','section')
+              GROUP BY host, sig HAVING count(*) >= 2
+            )
+            SELECT s.doc_id, s.pos,
+                   CASE WHEN d.sig IS NOT NULL THEN '[FILTERED DUPLICATE]'
+                        ELSE s.word END AS text
+            FROM sigs s LEFT JOIN dups d ON s.host = d.host AND s.sig = d.sig
         """,
         "sitemap_roundtrip": r"""
             WITH x AS (

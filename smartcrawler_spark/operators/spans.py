@@ -96,21 +96,63 @@ def subtree_hashes_udf(nodes_col: pd.Series) -> pd.Series:
     return nodes_col.map(lambda nodes: subtree_hashes(list(nodes)))
 
 
+# -- portable (cross-engine checkable) twin ---------------------------------
+
+
+def _node_serial_portable(n: Column) -> Column:
+    """JVM serial matching _node_serial byte-for-byte except: md5-oriented
+    twin uses chr(1) for a NULL id (chr(0) is not representable in every
+    SQL engine's VARCHAR — DuckDB rejects embedded NULs)."""
+    return F.concat(
+        F.coalesce(n["tag"], F.lit("")), F.lit("\x1f"),
+        F.array_join(F.coalesce(n["classes"], F.array().cast("array<string>")), "\x1e"),
+        F.lit("\x1f"),
+        F.coalesce(n["id"], F.lit("\x01")), F.lit("\x1f"),
+        F.coalesce(n["content"], F.lit("")), F.lit("\x1d"),
+    )
+
+
+def subtree_hashes_portable(nodes: Column) -> Column:
+    """Engine-portable twin of subtree_hashes: signature[i] = md5 over the
+    SAME serialized pre-order subtree slice nodes[i..i+size) — md5-on-string
+    exists identically in every SQL engine, so this variant is verifiable
+    end-to-end against a DuckDB oracle (the pattern proven by
+    operators/dedup.py minhash_lsh_pairs_portable). 100% JVM expressions —
+    whole-stage codegen, no Python. Reference semantics being specified:
+    NodeSignature over the pre-order slice
+    (/root/reference/src/storage.rs:377-422)."""
+    serials = F.transform(nodes, _node_serial_portable)
+    return F.when(F.size(nodes) == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(nodes)),
+            lambda i: F.md5(
+                F.array_join(
+                    F.slice(serials, i, F.element_at(nodes, i)["size"]), ""
+                )
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # A1/A2 — signature collection + cross-page duplicate counting
 # ---------------------------------------------------------------------------
 
 
-def with_signatures(docs: DataFrame) -> DataFrame:
-    """docs(doc_id?, host, spans, nodes) -> + sigs: array<long> aligned with
-    nodes (sigs[i] is the subtree signature of nodes[i])."""
-    return docs.withColumn("sigs", subtree_hashes_udf(F.col("nodes")))
+def with_signatures(docs: DataFrame, portable: bool = False) -> DataFrame:
+    """docs(doc_id?, host, spans, nodes) -> + sigs aligned with nodes
+    (sigs[i] is the subtree signature of nodes[i]). portable=True swaps the
+    blake2b Arrow kernel for the md5 JVM twin (oracle-checkable; also the
+    zero-Python scale path — sig type string instead of long)."""
+    sig = (subtree_hashes_portable(F.col("nodes")) if portable
+           else subtree_hashes_udf(F.col("nodes")))
+    return docs.withColumn("sigs", sig)
 
 
-def exploded_nodes(docs: DataFrame) -> DataFrame:
+def exploded_nodes(docs: DataFrame, portable: bool = False) -> DataFrame:
     """One row per (doc, node) with its signature: explode the zipped
     (node, sig) arrays. Filters nothing — callers choose predicates."""
-    with_sigs = with_signatures(docs)
+    with_sigs = with_signatures(docs, portable=portable)
     zipped = F.arrays_zip(F.col("nodes"), F.col("sigs")).alias("z")
     return (
         with_sigs.select("doc_id", "host", F.explode(zipped).alias("z"))
@@ -140,7 +182,7 @@ def meaningful_filter() -> Column:
     )
 
 
-def domain_duplicates(success_docs: DataFrame) -> DataFrame:
+def domain_duplicates(success_docs: DataFrame, portable: bool = False) -> DataFrame:
     """(host, sig, n) for signatures occurring >= 2 times across a host's
     SUCCESS pages, with the >= 2-pages-per-host guard. Occurrence semantics
     preserved exactly (see module docstring).
@@ -154,7 +196,10 @@ def domain_duplicates(success_docs: DataFrame) -> DataFrame:
         .filter(F.col("_pages") >= 2)
         .select("host")
     )
-    nodes = exploded_nodes(success_docs.join(F.broadcast(eligible_hosts), "host", "left_semi"))
+    nodes = exploded_nodes(
+        success_docs.join(F.broadcast(eligible_hosts), "host", "left_semi"),
+        portable=portable,
+    )
     return (
         nodes.filter(meaningful_filter())
         .groupBy("host", "sig")
@@ -168,16 +213,20 @@ def domain_duplicates(success_docs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def mark_duplicates(docs: DataFrame, dups: DataFrame) -> DataFrame:
+def mark_duplicates(docs: DataFrame, dups: DataFrame,
+                    portable: bool = False) -> DataFrame:
     """Rewrite spans: text of any span whose node signature is in the host's
     duplicate set becomes '[FILTERED DUPLICATE]'; structure (kind, media_ref,
     offset, order) preserved — /root/reference/src/html_parser.rs:204-229.
 
     dups(host, sig) is aggregated to a per-host array and BROADCAST — the
     duplicate set is tiny relative to the corpus."""
+    sig_type = "array<string>" if portable else "array<long>"
     dup_sets = dups.groupBy("host").agg(F.collect_set("sig").alias("_dup_sigs"))
-    with_sigs = with_signatures(docs).join(F.broadcast(dup_sets), "host", "left")
-    dup_sigs = F.coalesce(F.col("_dup_sigs"), F.array().cast("array<long>"))
+    with_sigs = with_signatures(docs, portable=portable).join(
+        F.broadcast(dup_sets), "host", "left"
+    )
+    dup_sigs = F.coalesce(F.col("_dup_sigs"), F.array().cast(sig_type))
 
     # offsets of nodes whose signature is duplicated
     marked_offsets = F.transform(
@@ -249,7 +298,8 @@ def path_match_count(node_path: list[str], parts: list[tuple[str, frozenset[str]
     return dp[len(need)]
 
 
-def find_by_path(docs: DataFrame, path_spec: str) -> DataFrame:
+def find_by_path(docs: DataFrame, path_spec: str,
+                 portable: bool = False) -> DataFrame:
     """All nodes matching the CSS-ish descendant path, one row per hit:
     (doc_id, host, offset, content, multiplicity) where multiplicity is the
     reference's exact emit count for that node. Matching runs in an Arrow
@@ -260,7 +310,7 @@ def find_by_path(docs: DataFrame, path_spec: str) -> DataFrame:
     def match_count(paths: pd.Series) -> pd.Series:
         return paths.map(lambda p: path_match_count(list(p), parts))
 
-    nodes = exploded_nodes(docs)
+    nodes = exploded_nodes(docs, portable=portable)
     return (
         nodes.withColumn("multiplicity", match_count(F.col("path")))
         .filter(F.col("multiplicity") > 0)
