@@ -51,6 +51,30 @@ class _Elem:
         self.kids: list["_Elem | str"] = []
 
 
+# Real-web guard: pathological/malicious nesting must not blow the Python
+# recursion limit in _to_node/flatten (browsers cap similarly — Blink at
+# 512). Elements past the cap attach as siblings at the cap depth: degraded
+# structure, never a crash.
+MAX_TREE_DEPTH = 256
+
+
+# HTML5 implied-end-tag recovery (the subset that matters on real pages):
+# opening one of these tags first closes a still-open same-group tag at the
+# top of the stack — so `<li>one<li>two` yields SIBLING <li>s like
+# html5ever, instead of nesting (which would demote the outer text to mixed
+# content the flatten rule then drops). Top-of-stack only — html5ever's
+# full list-scope search can close through intervening containers; that
+# residual divergence is documented in tests/test_tag_soup.py.
+_IMPLIED_END = {
+    "li": ("li",), "p": ("p",), "tr": ("tr", "td", "th"),
+    "td": ("td", "th"), "th": ("td", "th"),
+    "dt": ("dt", "dd"), "dd": ("dt", "dd"), "option": ("option",),
+}
+# block-level starts that auto-close an open <p> (HTML5 8.2.5.4.7 subset)
+_P_CLOSERS = {"p", "div", "ul", "ol", "table", "section", "article", "nav",
+              "blockquote", "pre", "h1", "h2", "h3", "h4", "h5", "h6", "li"}
+
+
 class _TreeBuilder(HTMLParser):
     def __init__(self):
         super().__init__(convert_charrefs=True)
@@ -58,9 +82,15 @@ class _TreeBuilder(HTMLParser):
         self.stack = [self.root]
 
     def handle_starttag(self, tag, attrs):
+        closers = _IMPLIED_END.get(tag, ())
+        while len(self.stack) > 1 and (
+            self.stack[-1].tag in closers
+            or (tag in _P_CLOSERS and self.stack[-1].tag == "p")
+        ):
+            self.stack.pop()
         el = _Elem(tag, attrs)
         self.stack[-1].kids.append(el)
-        if tag not in _VOID_TAGS:
+        if tag not in _VOID_TAGS and len(self.stack) < MAX_TREE_DEPTH:
             self.stack.append(el)
 
     def handle_startendtag(self, tag, attrs):
@@ -199,7 +229,10 @@ def parse_html_docs(df, doc_id_col: str = "doc_id", html_col: str = "html"):
         for pdf in batches:
             rows = []
             for doc_id, html in zip(pdf[doc_id_col], pdf[html_col]):
-                spans, nodes = html_to_spans(html)
+                spans, nodes = html_to_spans(html if isinstance(html, str) else "")
+                # doc ids are usually URLs; tolerate numeric/None ids (canon
+                # passes non-URL strings through, host becomes "")
+                doc_id = "" if doc_id is None else str(doc_id)
                 canon = _canon_one(doc_id) or doc_id
                 rows.append({"doc_id": canon, "host": host_of(canon),
                              "spans": spans, "nodes": nodes})

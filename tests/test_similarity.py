@@ -90,3 +90,40 @@ def test_dot_and_norm_jvm_match_numpy(spark, emb):
     v = vecs[1]
     assert abs(row["d"] - float(v @ v)) < 1e-3
     assert abs(row["n"] - float(np.linalg.norm(v))) < 1e-4
+
+
+def test_kmeans_centroids_improve_ivf_recall(spark, emb):
+    """Trained spherical-kmeans centroids must not lose recall vs the seeded
+    random quantizer at equal nprobe, and should tighten cells (mean
+    intra-cell cosine strictly improves over random assignment)."""
+    df, vecs = emb
+    q = vecs[0].tolist()
+    dim = len(q)
+    exact = {v for v, _ in _oracle_topk(vecs, np.array(q), 10)}
+
+    trained = SIM.kmeans_centroids(df, dim, n_centroids=32, n_iter=4)
+    assert trained.shape == (32, dim)
+    np.testing.assert_allclose(np.linalg.norm(trained, axis=1), 1.0, atol=1e-5)
+
+    got_rand = {r["vec_id"] for r in SIM.cosine_topk_ivf(
+        df, q, k=10, n_centroids=32, nprobe=8).collect()}
+    got_train = {r["vec_id"] for r in SIM.cosine_topk_ivf(
+        df, q, k=10, n_centroids=32, nprobe=8, centroids=trained).collect()}
+    assert len(got_train & exact) >= len(got_rand & exact)
+    assert 0 in got_train  # the query's own vector lands in a probed cell
+
+    # quantization quality: mean cosine(vector, its centroid) improves
+    mat = np.stack([vecs[i] for i in sorted(vecs)]).astype(np.float32)
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    rand = SIM._ivf_centroids(dim, 32, seed=13)
+    q_rand = (unit @ rand.T).max(axis=1).mean()
+    q_train = (unit @ trained.T).max(axis=1).mean()
+    assert q_train > q_rand
+
+
+def test_kmeans_iterations_are_deterministic(spark, emb):
+    df, _ = emb
+    dim = len(df.select("embedding").first()[0])
+    a = SIM.kmeans_centroids(df, dim, n_centroids=16, n_iter=2)
+    b = SIM.kmeans_centroids(df, dim, n_centroids=16, n_iter=2)
+    np.testing.assert_array_equal(a, b)
