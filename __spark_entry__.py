@@ -472,6 +472,63 @@ def q_dedup_simhash(spark, sf_dir):
     return DD.simhash_candidate_pairs(docs, max_hamming=6)
 
 
+def q_simhash_portable(spark, sf_dir):
+    """SimHash near-dup pairs with the engine-portable md5 kernel — the
+    ORACLE-CHECKED specification of the SimHash path (the blake2b Arrow
+    kernel behind `dedup_simhash` is the throughput twin)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return DD.simhash_pairs_portable(docs, bits=16, n_chunks=4, max_hamming=3)
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: connected components (iterative min-label
+    propagation) over exact 3-gram-Jaccard candidate pairs; every doc gets
+    its component's min doc_id as cluster (itself if isolated). The step
+    that turns pair lists into a per-component survivor choice."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    edges = DD.ngram_jaccard_pairs(docs, n=3, threshold=0.05, df_cap=100)
+    return DD.dedup_clusters(docs, edges)
+
+
+def q_decontamination(spark, sf_dir):
+    """Benchmark decontamination: docs (doc_id % 50 != 0) sharing any word
+    5-gram with the synthetic eval split (doc_id % 50 == 0) are flagged;
+    broadcast n-gram join, corpus never shuffled."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    evals = docs.filter(F.col("doc_id") % 50 == 0)
+    return DD.mark_contaminated(train, evals, n=5)
+
+
+def q_repetition_profile(spark, sf_dir):
+    """Gopher-style repetition quality signals per doc (duplicate-2gram
+    fraction + top-word share)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return T.repetition_profile(docs)
+
+
+def q_pii_redaction(spark, sf_dir):
+    """PII scrub over synthesized contact strings (emails / IPv4s / phone
+    numbers derived deterministically from customer keys)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    k = F.col("c_custkey")
+    text = F.concat(
+        F.lit("Reach "), F.col("c_name"),
+        F.lit(" at user"), k.cast("string"), F.lit("@mail.example.com, ip 10.0."),
+        (k % 256).cast("string"), F.lit("."), ((k * 7) % 256).cast("string"),
+        F.lit(", tel 555-"), F.lpad((k % 1000).cast("string"), 3, "0"),
+        F.lit("-"), F.lpad(((k * 3) % 10000).cast("string"), 4, "0"),
+    )
+    return cust.select("c_custkey", T.redact_pii(text).alias("redacted"))
+
+
+def q_top_terms(spark, sf_dir):
+    """Top-3 distinctive terms per doc: tf DESC, doc-frequency ASC, term ASC
+    (integer-exact tf-idf ordering)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return T.top_terms(docs, k=3)
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard pairs (threshold 0.05) on a doc subset —
     parameters chosen to yield non-trivial pairs at both sf0.01 and sf0.1."""
@@ -503,6 +560,22 @@ def q_ann_ivf(spark, sf_dir):
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     return SIM.cosine_topk_ivf(emb, [float(x) for x in qv], k=10,
                                n_centroids=32, nprobe=16)
+
+
+def q_ann_lsh_portable(spark, sf_dir):
+    """Sign-LSH ANN top-10 over quantized embeddings — the ORACLE-CHECKED
+    specification of the hyperplane-LSH path (q_ann_lsh is the float
+    throughput twin). Integer math end-to-end."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.topk_lsh_portable(emb, k=10, planes=8, dim=64, query_id=0)
+
+
+def q_ann_ivf_portable(spark, sf_dir):
+    """IVF ANN top-10 with first-K quantized centroids — the ORACLE-CHECKED
+    specification of the IVF path (q_ann_ivf is the float/trained-centroid
+    throughput twin). Integer math end-to-end."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.topk_ivf_portable(emb, k=10, n_centroids=8, nprobe=2, query_id=0)
 
 
 def q_embedding_near_dup(spark, sf_dir):
@@ -591,10 +664,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "minhash_lsh_portable": q_minhash_lsh_portable,
         "dedup_simhash": q_dedup_simhash,
+        "simhash_portable": q_simhash_portable,
+        "dedup_clusters": q_dedup_clusters,
+        "decontamination": q_decontamination,
+        "repetition_profile": q_repetition_profile,
+        "pii_redaction": q_pii_redaction,
+        "top_terms": q_top_terms,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_lsh_portable": q_ann_lsh_portable,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_portable": q_ann_ivf_portable,
         "embedding_near_dup": q_embedding_near_dup,
         "lang_id": q_lang_id,
         "quality_features": q_quality_features,
@@ -924,6 +1005,203 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
             FROM bands x JOIN bands y
               ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+        """,
+        "simhash_portable": rf"""
+            WITH d AS (
+              SELECT doc_id, {words} AS w FROM documents WHERE doc_id < 300
+            ), tok AS (
+              SELECT doc_id, unnest(w) AS t FROM d
+            ), votes AS (
+              SELECT doc_id, bit,
+                     sum(CASE WHEN ascii(substr(md5(bit::VARCHAR || '|' || t), 1, 1)) % 2 = 1
+                              THEN 1 ELSE -1 END) AS v
+              FROM tok, UNNEST(range(16)) AS r(bit)
+              GROUP BY doc_id, bit
+            ), sigged AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit::INT) ELSE 0 END) AS BIGINT) AS simhash
+              FROM votes GROUP BY doc_id
+            ), sh AS (
+              SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
+              FROM d LEFT JOIN sigged s USING (doc_id)
+            ), ch AS (
+              SELECT doc_id, simhash, c, (simhash >> (4 * c)::INT) & 15 AS val
+              FROM sh, UNNEST(range(4)) AS r2(c)
+            )
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+                   CAST(len(list_filter(range(16),
+                        i -> ((xor(l.simhash, r.simhash) >> i::INT) & 1) = 1)) AS BIGINT) AS hamming
+            FROM ch l JOIN ch r ON l.c = r.c AND l.val = r.val AND l.doc_id < r.doc_id
+            WHERE len(list_filter(range(16),
+                  i -> ((xor(l.simhash, r.simhash) >> i::INT) & 1) = 1)) <= 3
+        """,
+        "dedup_clusters": rf"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, {words} AS w FROM documents WHERE doc_id < 400
+            ), sh AS (
+              SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+              FROM toks, UNNEST(range(1, greatest(len(w)-2, 1)+1)) AS t(i)
+            ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), capped AS (
+              SELECT * FROM sh
+              WHERE g IN (SELECT g FROM sh GROUP BY g HAVING count(*) <= 100)
+            ), pairs AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id < b.doc_id
+              JOIN sizes sa ON sa.doc_id = a.doc_id
+              JOIN sizes sb ON sb.doc_id = b.doc_id
+              GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
+              HAVING round(count(*)::DOUBLE / (sa.n + sb.n - count(*)), 4) >= 0.05
+            ), edges AS (
+              SELECT a AS src, b AS dst FROM pairs
+              UNION SELECT b AS src, a AS dst FROM pairs
+            ), reach AS (
+              SELECT src AS node, src AS r FROM edges
+              UNION
+              SELECT e.dst AS node, reach.r FROM reach JOIN edges e ON e.src = reach.node
+            )
+            SELECT d.doc_id, CAST(coalesce(m.r, d.doc_id) AS BIGINT) AS cluster
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 400) d
+            LEFT JOIN (SELECT node, min(r) AS r FROM reach GROUP BY node) m
+              ON m.node = d.doc_id
+        """,
+        "decontamination": rf"""
+            WITH d AS (
+              SELECT doc_id, {words} AS w FROM documents WHERE doc_id < 500
+            ), g AS (
+              SELECT DISTINCT doc_id, md5(array_to_string(w[i:i+4], ' ')) AS g
+              FROM d, UNNEST(range(1, greatest(len(w)-4, 1)+1)) AS t(i)
+            ), ev AS (
+              SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0
+            ), hits AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+              FROM g JOIN ev USING (g)
+              WHERE doc_id % 50 != 0
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(h.n_overlap, 0) AS n_overlap,
+                   coalesce(h.n_overlap, 0) > 0 AS contaminated
+            FROM d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 50 != 0
+        """,
+        "repetition_profile": rf"""
+            WITH d AS (
+              SELECT doc_id, {words} AS w FROM documents WHERE doc_id < 300
+            ), grams AS (
+              SELECT doc_id,
+                     list_transform(range(1, greatest(len(w)-1, 1)+1),
+                                    i -> array_to_string(w[i:i+1], ' ')) AS g2
+              FROM d
+            ), tw AS (
+              SELECT doc_id, round(max(c)::DOUBLE / sum(c), 4) AS top_word_frac
+              FROM (
+                SELECT doc_id, t, count(*) AS c
+                FROM (SELECT doc_id, unnest(w) AS t FROM d)
+                GROUP BY doc_id, t
+              ) GROUP BY doc_id
+            )
+            SELECT d.doc_id, len(d.w) AS n_words,
+                   CASE WHEN len(d.w) >= 2
+                        THEN round(1.0 - len(list_distinct(g.g2))::DOUBLE / len(g.g2), 4)
+                        ELSE 0.0 END AS dup_2gram_frac,
+                   coalesce(tw.top_word_frac, 0.0) AS top_word_frac
+            FROM d JOIN grams g USING (doc_id) LEFT JOIN tw USING (doc_id)
+        """,
+        "pii_redaction": r"""
+            WITH t AS (
+              SELECT c_custkey,
+                     'Reach ' || c_name || ' at user' || c_custkey::VARCHAR
+                       || '@mail.example.com, ip 10.0.'
+                       || (c_custkey % 256)::VARCHAR || '.'
+                       || ((c_custkey * 7) % 256)::VARCHAR
+                       || ', tel 555-' || lpad((c_custkey % 1000)::VARCHAR, 3, '0')
+                       || '-' || lpad(((c_custkey * 3) % 10000)::VARCHAR, 4, '0') AS text
+              FROM customer WHERE c_custkey < 500
+            )
+            SELECT c_custkey,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                     '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS redacted
+            FROM t
+        """,
+        "top_terms": rf"""
+            WITH d AS (
+              SELECT doc_id, {words} AS w FROM documents WHERE doc_id < 100
+            ), tf AS (
+              SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, unnest(w) AS t FROM d)
+              GROUP BY doc_id, t
+            ), dfreq AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS doc_freq FROM tf GROUP BY term
+            )
+            SELECT doc_id, term, tf, doc_freq, rank FROM (
+              SELECT tf.doc_id, tf.term, tf.tf, dfreq.doc_freq,
+                     row_number() OVER (PARTITION BY tf.doc_id
+                       ORDER BY tf.tf DESC, dfreq.doc_freq ASC, tf.term ASC) AS rank
+              FROM tf JOIN dfreq USING (term)
+            ) WHERE rank <= 3
+        """,
+        "ann_lsh_portable": """
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding::DOUBLE[],
+                                    x -> CAST(round(x * 1000) AS BIGINT)) AS q
+              FROM embeddings
+            ), ed AS (
+              SELECT vec_id, d, q[d + 1] AS x FROM e, UNNEST(range(64)) AS t(d)
+            ), pd AS (
+              SELECT vec_id, p,
+                     sum(CASE WHEN ascii(substr(md5(p::VARCHAR || ',' || d::VARCHAR), 1, 1)) % 2 = 0
+                              THEN x ELSE -x END) AS dp
+              FROM ed, UNNEST(range(8)) AS tp(p)
+              GROUP BY vec_id, p
+            ), b AS (
+              SELECT vec_id,
+                     CAST(sum(CASE WHEN dp > 0 THEN (1::BIGINT << p::INT) ELSE 0 END) AS BIGINT) AS bucket
+              FROM pd GROUP BY vec_id
+            ), qb AS (SELECT bucket FROM b WHERE vec_id = 0),
+            qv AS (SELECT q FROM e WHERE vec_id = 0),
+            cand AS (
+              SELECT e.vec_id, e.q FROM e JOIN b USING (vec_id), qb
+              WHERE b.bucket = qb.bucket
+            )
+            SELECT c.vec_id, CAST(sum(c.q[d + 1] * qv.q[d + 1]) AS BIGINT) AS score
+            FROM cand c, qv, UNNEST(range(64)) AS t(d)
+            GROUP BY c.vec_id
+            ORDER BY score DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "ann_ivf_portable": """
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding::DOUBLE[],
+                                    x -> CAST(round(x * 1000) AS BIGINT)) AS q
+              FROM embeddings
+            ), c AS (
+              SELECT vec_id AS cid, q AS cq FROM e WHERE vec_id < 8
+            ), dists AS (
+              SELECT e.vec_id, c.cid,
+                     CAST(sum((e.q[d+1] - c.cq[d+1]) * (e.q[d+1] - c.cq[d+1])) AS BIGINT) AS dist
+              FROM e, c, UNNEST(range(64)) AS t(d)
+              GROUP BY e.vec_id, c.cid
+            ), cell AS (
+              SELECT vec_id, cid AS cell FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+                FROM dists
+              ) WHERE rn = 1
+            ), probes AS (
+              SELECT cid FROM (
+                SELECT cid, row_number() OVER (ORDER BY dist ASC, cid ASC) AS rn
+                FROM dists WHERE vec_id = 0
+              ) WHERE rn <= 2
+            )
+            SELECT d.vec_id, d.dist
+            FROM dists d JOIN cell ON d.vec_id = cell.vec_id
+            WHERE d.cid = 0 AND cell.cell IN (SELECT cid FROM probes)
+            ORDER BY d.dist ASC, d.vec_id ASC
+            LIMIT 10
         """,
         "ngram_jaccard": r"""
             WITH toks AS (

@@ -107,6 +107,111 @@ def quality_score(text: Column) -> Column:
     return F.round((len_score + stop_score + punct_penalty) / 3.0, 4)
 
 
+# ---------------------------------------------------------------------------
+# repetition signals (Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+
+
+def dup_2gram_frac(text: Column) -> Column:
+    """Fraction of duplicate word 2-grams in the document (0.0 for docs with
+    < 2 words) — the within-doc repetition signal used by Gopher-style
+    quality filtering. Pure array exprs, whole-stage codegen."""
+    toks = word_tokens(text)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - 2, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, 2), " "),
+    )
+    frac = F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams)
+    return F.when(n >= 2, F.round(frac, 4)).otherwise(F.lit(0.0))
+
+
+def repetition_profile(df, text_col: str = "text", id_col: str = "doc_id"):
+    """(doc_id, n_words, dup_2gram_frac, top_word_frac) per document.
+
+    top_word_frac (most frequent word's share of all words) needs per-word
+    counts, so it runs as explode -> two hash aggs keyed on doc_id — both
+    map-side combinable; the 2-gram fraction stays a pure array expr. This
+    is the distributed shape (the O(n²) array-only alternative would blow up
+    on long documents)."""
+    toks = word_tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_words"),
+        dup_2gram_frac(F.col(text_col)).alias("dup_2gram_frac"),
+    )
+    top = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("w"))
+        .groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.round(F.max("c") / F.sum("c"), 4).alias("top_word_frac"))
+    )
+    return base.join(top, "doc_id", "left").select(
+        "doc_id", "n_words", "dup_2gram_frac",
+        F.coalesce("top_word_frac", F.lit(0.0)).alias("top_word_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# RE2-safe patterns (no lookaround/backrefs) so Java regex (Spark) and RE2
+# (DuckDB/Go engines) agree byte-for-byte. Order matters: IPs before phones
+# (an IP's digit runs must not be half-eaten by the phone rule).
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails / IPv4s / phone numbers with typed placeholders —
+    the scrub step of a training-data pipeline. One JVM regexp_replace per
+    pattern class, fully inside codegen; patterns are RE2-safe so the kernel
+    is portable across engines."""
+    out = col
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF-style distinctive terms
+# ---------------------------------------------------------------------------
+
+
+def top_terms(df, k: int = 3, text_col: str = "text", id_col: str = "doc_id"):
+    """Top-k distinctive terms per document: rank words by term frequency
+    DESC, document frequency ASC, word ASC — the integer-exact ordering of
+    tf-idf (avoids cross-engine float-log divergence while keeping the same
+    'frequent here, rare elsewhere' semantics). Returns (doc_id, term, tf,
+    doc_freq, rank).
+
+    Plan: explode -> tf agg (shuffle on (doc, word), map-side combine) ->
+    doc_freq agg (shuffle on word) -> broadcast-sized doc_freq joins back ->
+    per-doc window top-k. At 100 TB the doc_freq table is vocabulary-sized —
+    orders of magnitude smaller than the corpus."""
+    from pyspark.sql import Window
+
+    toks = word_tokens(F.col(text_col))
+    tf = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("doc_freq"), F.asc("term")
+    )
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "doc_freq", "rank")
+    )
+
+
 def fingerprint64(text: Column) -> Column:
     """64-bit document fingerprint: xxhash64 over cleaned, lowercased text.
 

@@ -322,6 +322,205 @@ def simhash_candidate_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+def simhash_pairs_portable(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", bits: int = 16,
+                           n_chunks: int = 4, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs via an engine-portable SimHash kernel — the
+    ORACLE-CHECKED specification of the SimHash path (the blake2b Arrow
+    kernel above is the throughput twin; same pattern as
+    minhash_lsh_pairs_portable).
+
+    Portable bit definition (md5-on-strings exists identically in every SQL
+    engine): bit_i(token) = ascii(first hex char of md5(i || '|' || token))
+    mod 2; each token occurrence votes +1/-1 per bit; signature bit i is set
+    iff the vote sum is positive; empty docs hash to 0. Candidates share at
+    least one of `n_chunks` equal bit-chunks (pigeonhole covers Hamming <=
+    n_chunks - 1), then exact Hamming verification.
+
+    Scale shape — 100% JVM/codegen, no Python: token explode (x n_words) ->
+    x `bits` via broadcast range cross join -> two hash aggs with map-side
+    partial agg (doc,bit then doc) -> chunk explode (x n_chunks) ->
+    self-equi-join on (chunk, val). Skew risk is boilerplate-heavy chunk
+    buckets, same as the blake2b path — AQE skew-join splits them."""
+    chunk_width = bits // n_chunks
+    words = F.filter(
+        F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "),
+        lambda w: w != "",
+    )
+    tok = df.select(F.col(id_col).alias("doc_id"), F.explode(words).alias("w"))
+    bit_rng = df.sparkSession.range(bits).select(F.col("id").alias("bit"))
+    votes = (
+        tok.crossJoin(F.broadcast(bit_rng))
+        .withColumn(
+            "b",
+            F.ascii(
+                F.substring(
+                    F.md5(F.concat(F.col("bit").cast("string"), F.lit("|"), F.col("w"))),
+                    1, 1,
+                )
+            ) % 2,
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum(F.col("b") * 2 - 1).alias("v"))
+    )
+    sigs = votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), cast(bit as int))"))
+            .otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+    # docs with zero tokens produce no vote rows -> signature 0
+    all_ids = df.select(F.col(id_col).alias("doc_id")).distinct()
+    sigs = all_ids.join(sigs, "doc_id", "left").select(
+        "doc_id", F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash")
+    )
+    mask = (1 << chunk_width) - 1
+    chunks = sigs.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftrightunsigned("simhash", chunk_width * c)
+                .bitwiseAND(F.lit(mask)).alias("val"),
+            )
+            for c in range(n_chunks)
+        ])).alias("c"),
+    ).select("doc_id", "simhash", "c.chunk", "c.val")
+    left = chunks.alias("l")
+    right = chunks.alias("r")
+    ham = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).cast("long")
+    return (
+        left.join(right, ["chunk", "val"])
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"),
+                ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# connected components (dedup clusters over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(edges: DataFrame, a_col: str = "a", b_col: str = "b",
+                         max_iter: int = 25) -> DataFrame:
+    """(node, component) labels over an undirected edge list; component =
+    MIN node id reachable (deterministic canonical representative).
+
+    A training-data dedup pipeline needs CLUSTERS, not pairs: near-dup pairs
+    from MinHash/SimHash/embedding LSH are single-linkage edges, and the
+    survivor set is one doc per connected component. This is the step that
+    turns candidate pairs into a delete list.
+
+    Algorithm: iterative min-label propagation — label(v) starts at v; each
+    round label(v) = min(label(v), min label over neighbors); stop when no
+    label changed (converges in <= diameter rounds; near-dup components are
+    shallow in practice, so 3-5 rounds is typical). Each round is ONE join
+    (edges x labels, shuffle on node id) + ONE min agg — both map-side
+    combinable, all JVM. Branch points are persisted and released per round.
+
+    At 100 TB: this is the standard Spark CC shape; for adversarially long
+    chains switch to large-star/small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") which converges in O(log n) rounds
+    over the same join primitive — near-dup graphs don't need it."""
+    sym = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).unionByName(
+        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    # localCheckpoint (not persist): iterative joins otherwise grow the
+    # logical plan by one join PER ROUND — planning cost explodes and deep
+    # trees overflow; checkpointing truncates lineage to the materialized
+    # blocks each round (the standard Spark iterative-algorithm shape).
+    labels = nodes.withColumn("comp", F.col("node")).localCheckpoint(eager=True)
+    sym = sym.persist()
+    try:
+        for _ in range(max_iter):
+            nbr = (
+                sym.join(labels, sym["src"] == labels["node"])
+                .groupBy("dst").agg(F.min("comp").alias("nbr_comp"))
+            )
+            new = (
+                labels.join(nbr, labels["node"] == nbr["dst"], "left")
+                .select(
+                    "node",
+                    F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
+                    (F.coalesce("nbr_comp", "comp") < F.col("comp")).alias("_chg"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = new.filter("_chg").count()
+            labels = new.drop("_chg")
+            if changed == 0:
+                break
+    finally:
+        sym.unpersist()
+    return labels
+
+
+def dedup_clusters(df: DataFrame, edges: DataFrame, id_col: str = "doc_id",
+                   a_col: str = "a", b_col: str = "b") -> DataFrame:
+    """(doc_id, cluster) for EVERY doc in df: cluster = min doc id of the
+    doc's near-dup connected component (itself if isolated). `edges` is any
+    candidate-pair DataFrame (minhash/simhash/ngram/embedding pairs)."""
+    comp = connected_components(edges, a_col, b_col)
+    return (
+        df.select(F.col(id_col).alias("doc_id")).distinct()
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("comp", F.col("doc_id")).alias("cluster"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap vs an eval set)
+# ---------------------------------------------------------------------------
+
+
+def mark_contaminated(docs: DataFrame, eval_docs: DataFrame, n: int = 5,
+                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_overlap, contaminated) — training docs sharing >= 1 word
+    n-gram with ANY eval-set document (the standard benchmark-decontamination
+    gate for LLM training data; 13-grams at real scale, n configurable).
+
+    Plan: eval set -> DISTINCT n-gram md5 keys (small: |eval| docs x words,
+    deduped) -> BROADCAST semi-side; training docs explode their distinct
+    n-grams and join against the broadcast set, count matches per doc, left
+    join back so clean docs keep n_overlap = 0. The training table is only
+    ever touched by a map-side broadcast join — no shuffle of the corpus.
+    md5 keys (not raw strings) keep the broadcast rows 32 bytes and make the
+    kernel portable across engines."""
+    def grams(col: F.Column) -> F.Column:
+        toks = F.filter(
+            F.split(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")), " "),
+            lambda w: w != "",
+        )
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.md5(F.array_join(F.slice(toks, i + 1, n), " ")))
+        )
+
+    eval_grams = (
+        eval_docs.select(F.explode(grams(F.col(text_col))).alias("g")).distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(grams(F.col(text_col))).alias("g")
+    )
+    hits = (
+        doc_grams.join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id").agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id")).distinct()
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_overlap", F.lit(0).cast("long")).alias("n_overlap"),
+        )
+        .withColumn("contaminated", F.col("n_overlap") > 0)
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact n-gram Jaccard (shingle join)
 # ---------------------------------------------------------------------------

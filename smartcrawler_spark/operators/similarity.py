@@ -249,6 +249,138 @@ def cosine_topk_ivf(
     )
 
 
+# ---------------------------------------------------------------------------
+# engine-portable ANN twins (oracle-checked specifications)
+# ---------------------------------------------------------------------------
+
+
+def quantized_vec(vec_col: str | Column, scale: int = 1000) -> Column:
+    """array<float> -> array<long>: cast to double, scale, round half-away-
+    from-zero (Spark HALF_UP == DuckDB round for doubles). Integer vectors
+    make every downstream dot product / L2 distance EXACT and portable —
+    no float-summation-order divergence between engines."""
+    col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.transform(
+        col.cast("array<double>"),
+        lambda x: F.round(x * scale).cast("long"),
+    )
+
+
+def _portable_signs(planes: int, dim: int) -> list[list[int]]:
+    """±1 hyperplane entries derived from md5 (portable across engines):
+    s(p, d) = +1 iff ascii(first hex char of md5("{p},{d}")) is even.
+    Recomputable anywhere — closure ships ~planes*dim bytes, no model state."""
+    import hashlib
+
+    return [
+        [
+            1 if ord(hashlib.md5(f"{p},{d}".encode()).hexdigest()[0]) % 2 == 0 else -1
+            for d in range(dim)
+        ]
+        for p in range(planes)
+    ]
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two array<long> columns (JVM codegen)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def topk_lsh_portable(
+    df: DataFrame, k: int = 10, planes: int = 8, dim: int = 64,
+    scale: int = 1000, query_id: int = 0,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k via sign-LSH over quantized embeddings — the ORACLE-CHECKED
+    specification of the hyperplane-LSH path (cosine_topk_lsh above is the
+    throughput twin; same portable-twin pattern as minhash_lsh_pairs_portable).
+
+    Kernel: quantize to integers (see quantized_vec), hash with md5-derived
+    ±1 hyperplanes (sign of exact integer dot), bucket = `planes`-bit id;
+    candidates share the query's bucket; rank by exact integer dot product
+    (MIPS-style score), ties by id. Every step is integer math that any SQL
+    engine reproduces bit-for-bit.
+
+    Scale shape: ONE map-only projection computes bucket + score inside
+    whole-stage codegen (zip_with/aggregate, no Python, no shuffle), then a
+    TakeOrdered top-k. At 100 TB the bucket is a PARTITION KEY — store the
+    table partitioned by bucket and a probe is partition pruning."""
+    signs = _portable_signs(planes, dim)
+    base = df.select(F.col(id_col).alias("vec_id"), quantized_vec(vec_col, scale).alias("q"))
+    bucket = None
+    for p in range(planes):
+        sp = F.array(*[F.lit(s) for s in signs[p]])
+        bit = F.when(_int_dot(F.col("q"), sp) > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long"))
+        bucket = bit if bucket is None else bucket + bit
+    sigs = base.withColumn("bucket", bucket)
+    qrow = sigs.filter(F.col("vec_id") == query_id).select("q", "bucket").collect()[0]
+    qq = F.array(*[F.lit(int(x)) for x in qrow["q"]])
+    return (
+        sigs.filter(F.col("bucket") == int(qrow["bucket"]))
+        .select("vec_id", _int_dot(F.col("q"), qq).alias("score"))
+        .orderBy(F.desc("score"), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def topk_ivf_portable(
+    df: DataFrame, k: int = 10, n_centroids: int = 8, nprobe: int = 2,
+    scale: int = 1000, query_id: int = 0,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN top-k, engine-portable twin of cosine_topk_ivf: coarse
+    centroids are simply the quantized embeddings of ids < n_centroids
+    (deterministic first-K init — the classic k-means seeding), cell =
+    argmin EXACT integer L2² (ties -> min centroid id), the query probes its
+    `nprobe` nearest cells, candidates re-rank by integer L2² to the query
+    (ties by id). Oracle-checkable end-to-end; trained-centroid IVF
+    (kmeans_centroids) is the quality path, this is the spec path.
+
+    Scale shape: centroids are a collected O(K*dim) literal; assignment +
+    rerank are ONE map-only codegen projection (argmin over a struct array),
+    then TakeOrdered. Cell id is the partition key at 100 TB."""
+    base = df.select(F.col(id_col).alias("vec_id"), quantized_vec(vec_col, scale).alias("q"))
+    cents = {
+        int(r["vec_id"]): [int(x) for x in r["q"]]
+        for r in base.filter(F.col("vec_id") < n_centroids).collect()
+    }
+
+    def l2_to(cvec: list[int]) -> Column:
+        carr = F.array(*[F.lit(x) for x in cvec])
+        return F.aggregate(
+            F.zip_with(F.col("q"), carr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    cell = F.array_min(F.array(*[
+        F.struct(l2_to(cvec).alias("dist"), F.lit(cid).cast("long").alias("cid"))
+        for cid, cvec in sorted(cents.items())
+    ]))["cid"]
+    qvec = cents.get(query_id)
+    if qvec is None:
+        qvec = [int(x) for x in
+                base.filter(F.col("vec_id") == query_id).collect()[0]["q"]]
+    # probe cells: exact integer L2² of the query to each centroid (python ints)
+    qdists = sorted(
+        (sum((a - b) * (a - b) for a, b in zip(qvec, cvec)), cid)
+        for cid, cvec in cents.items()
+    )
+    probes = [cid for _, cid in qdists[:nprobe]]
+    return (
+        base.withColumn("cell", cell)
+        .filter(F.col("cell").isin(probes))
+        .select("vec_id", l2_to(qvec).alias("dist"))
+        .orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame, threshold: float = 0.95, dim: int = 64,
     bits: int = 10, tables: int = 6,
