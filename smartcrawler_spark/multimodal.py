@@ -2,12 +2,18 @@
 
 Media assets travel as opaque `binary` columns with typed metadata structs;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
-`mapInPandas` stages. The container has no imaging/audio libraries, so the
-DECODE KERNELS are stubbed: `decoder="fake"` produces deterministic bytes
-(seeded from the media_ref hash) with correct shapes so the Spark-side
-plumbing — schema, batch iteration, partitioning, UDF signatures — is fully
-real and tested; `decoder="real"` raises NotImplementedError at the exact
-point a PIL/ffmpeg call would go.
+`mapInPandas` stages.
+
+Decode kernels, two tiers:
+
+* `decoder="real"` — a REAL pure-numpy image codec for PPM (P6) and
+  uncompressed 24/32-bit BMP (`decode_image` below): the container has no
+  PIL/ffmpeg, but these formats need only header parsing + a reshape, so
+  image decode, feature extraction, and resize are genuinely end-to-end on
+  real pixel data. Formats beyond PPM/BMP (JPEG/PNG/video) raise
+  NotImplementedError at the exact point a PIL/ffmpeg call would go.
+* `decoder="fake"` — deterministic bytes (seeded from the media_ref hash)
+  with correct shapes, for plumbing tests and for synthesizing corpora.
 
 Scale shape: media rows are heavy (MBs) — `mapInPandas` streams Arrow
 batches (bounded by spark.sql.execution.arrow.maxRecordsPerBatch), and the
@@ -43,6 +49,80 @@ def _fake_bytes(media_ref: str, n: int) -> bytes:
     return rng.integers(0, 256, n, dtype=np.uint8).tobytes()
 
 
+# ---------------------------------------------------------------------------
+# pure-numpy image codec (PPM P6 + uncompressed BMP) — the "real" decode tier
+# ---------------------------------------------------------------------------
+
+
+def decode_image(payload: bytes) -> np.ndarray | None:
+    """Decode PPM (P6, maxval 255) or uncompressed 24/32-bit BI_RGB BMP
+    bytes to an HxWx3 uint8 RGB array. Returns None for anything else
+    (JPEG/PNG need a real imaging stack). Pure stdlib+numpy."""
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    return None
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray | None:
+    # header = magic, width, height, maxval as whitespace-separated tokens,
+    # '#' comments allowed; pixel data starts after the single whitespace
+    # byte following maxval
+    pos, tokens = 0, []
+    while len(tokens) < 4 and pos < len(payload):
+        c = payload[pos : pos + 1]
+        if c == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(payload[start:pos])
+    if len(tokens) < 4 or tokens[0] != b"P6" or tokens[3] != b"255":
+        return None
+    w, h = int(tokens[1]), int(tokens[2])
+    pos += 1  # the single whitespace after maxval
+    need = w * h * 3
+    if len(payload) - pos < need:
+        return None
+    return np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos).reshape(h, w, 3)
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray | None:
+    import struct
+
+    if len(payload) < 54:
+        return None
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+        return None
+    top_down = h < 0
+    h = abs(h)
+    bypp = bpp // 8
+    row_stride = (w * bypp + 3) & ~3  # rows pad to 4-byte boundaries
+    if len(payload) < data_off + row_stride * h:
+        return None
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_stride * h, offset=data_off
+    ).reshape(h, row_stride)
+    px = rows[:, : w * bypp].reshape(h, w, bypp)
+    rgb = px[:, :, [2, 1, 0]]  # stored BGR(A) -> RGB
+    return rgb if top_down else rgb[::-1].copy()
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """HxWx3 uint8 -> PPM P6 bytes (for corpus synthesis and tests)."""
+    h, w = arr.shape[0], arr.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(arr, dtype=np.uint8).tobytes()
+
+
 def media_assets_from_spans(docs: DataFrame, decoder: str = "fake") -> DataFrame:
     """documents(spans) -> one row per media span with synthesized payload +
     metadata. The binary payload column is the real schema the pipeline
@@ -58,8 +138,9 @@ def media_assets_from_spans(docs: DataFrame, decoder: str = "fake") -> DataFrame
         for pdf in batches:
             if decoder == "real":
                 raise NotImplementedError(
-                    "real media fetch/decode needs an imaging stack; "
-                    "plug PIL/ffmpeg here"
+                    "span refs carry no payload bytes — fetching needs "
+                    "network I/O; ingest real images via "
+                    "image_assets_from_bytes instead"
                 )
             rows = []
             for ref in pdf["media_ref"]:
@@ -92,18 +173,63 @@ def media_assets_from_spans(docs: DataFrame, decoder: str = "fake") -> DataFrame
     )
 
 
+def image_assets_from_bytes(raw: DataFrame, ref_col: str = "media_ref",
+                            payload_col: str = "payload") -> DataFrame:
+    """REAL image ingestion: (media_ref, payload) rows with actual PPM/BMP
+    bytes -> the standard asset table with decoded width/height metadata.
+    Undecodable payloads are dropped (the scrub step a real pipeline wants).
+    Same Arrow-streamed, hash-repartitioned shape as the synthesized path."""
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                arr = decode_image(bytes(r[payload_col]))
+                if arr is None:
+                    continue
+                rows.append({
+                    "media_ref": r[ref_col], "media_type": "image",
+                    "payload": bytes(r[payload_col]),
+                    "width": int(arr.shape[1]), "height": int(arr.shape[0]),
+                    "duration_ms": 0, "n_bytes": len(r[payload_col]),
+                })
+            yield pd.DataFrame(rows, columns=[
+                "media_ref", "media_type", "payload", "width", "height",
+                "duration_ms", "n_bytes",
+            ])
+
+    schema = (
+        "media_ref string, media_type string, payload binary, width int, "
+        "height int, duration_ms int, n_bytes long"
+    )
+    return raw.repartition(F.pmod(F.xxhash64(ref_col), F.lit(32))).mapInPandas(
+        meta, schema
+    )
+
+
 def extract_features(assets: DataFrame, dim: int = 16, decoder: str = "fake") -> DataFrame:
-    """payload -> feature vector (the 'embed the image' stage). Fake kernel:
-    per-asset deterministic histogram-ish reduction of the payload bytes —
-    REAL byte-level work with the real signature, stand-in math."""
+    """payload -> feature vector (the 'embed the image' stage).
+
+    real: decode PPM/BMP pixels (decode_image) and compute an L2-normalized
+    `dim`-bin intensity histogram over the actual pixel values (JPEG/PNG —
+    anything decode_image can't read — raises where a PIL call would go).
+    fake: the same histogram math over the raw payload bytes — real
+    byte-level work with the real signature, stand-in pixels."""
 
     def feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decoder == "real":
-                raise NotImplementedError("plug a vision/audio model here")
             feats = []
             for payload in pdf["payload"]:
-                arr = np.frombuffer(payload, dtype=np.uint8)
+                if decoder == "real":
+                    img = decode_image(bytes(payload))
+                    if img is None:
+                        raise NotImplementedError(
+                            "payload is not PPM/BMP; plug PIL here for "
+                            "JPEG/PNG"
+                        )
+                    arr = img.reshape(-1)
+                else:
+                    arr = np.frombuffer(payload, dtype=np.uint8)
                 hist = np.bincount(arr >> 4, minlength=16)[:dim].astype(np.float32)
                 norm = float(np.linalg.norm(hist)) or 1.0
                 feats.append((hist / norm).tolist())
@@ -138,20 +264,31 @@ def media_near_dup(docs: DataFrame, threshold: float = 0.98, dim: int = 16,
 
 
 def resize_images(assets: DataFrame, max_side: int = 32, decoder: str = "fake") -> DataFrame:
-    """Image thumbnailing stage (shape-preserving byte subsample as the fake
-    kernel; PIL.Image.thumbnail in the real one)."""
+    """Image thumbnailing stage.
+
+    real: decode PPM/BMP pixels and stride-subsample the decoded image
+    (nearest-neighbor downscale; non-PPM/BMP raises where PIL would go).
+    fake: the same stride math over the payload bytes reinterpreted at the
+    metadata's claimed geometry."""
 
     def thumb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decoder == "real":
-                raise NotImplementedError("plug PIL here")
             rows = []
             for _, r in pdf.iterrows():
                 if r["media_type"] != "image":
                     continue
-                scale = max(1, max(r["width"], r["height"]) // max_side)
-                arr = np.frombuffer(r["payload"], dtype=np.uint8)
-                arr = arr.reshape(r["height"], r["width"], 3)[::scale, ::scale]
+                if decoder == "real":
+                    arr = decode_image(bytes(r["payload"]))
+                    if arr is None:
+                        raise NotImplementedError(
+                            "payload is not PPM/BMP; plug PIL here"
+                        )
+                else:
+                    arr = np.frombuffer(r["payload"], dtype=np.uint8).reshape(
+                        r["height"], r["width"], 3
+                    )
+                scale = max(1, max(arr.shape[0], arr.shape[1]) // max_side)
+                arr = arr[::scale, ::scale]
                 th, tw = arr.shape[0], arr.shape[1]  # stride slicing ceils
                 rows.append({"media_ref": r["media_ref"], "thumb": arr.tobytes(),
                              "thumb_w": tw, "thumb_h": th})

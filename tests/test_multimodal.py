@@ -93,3 +93,86 @@ def test_media_near_dup_matches_numpy_oracle(spark, tmp_path_factory):
         for r in MM.media_near_dup(docs, threshold=0.98, bits=4, tables=8).collect()
     }
     assert got == want and len(want) > 0
+
+
+# ---------------------------------------------------------------------------
+# real codec tier: PPM/BMP decode end-to-end on actual pixels
+# ---------------------------------------------------------------------------
+
+
+def _gradient(h, w):
+    import numpy as np
+
+    y = np.arange(h, dtype=np.uint8)[:, None, None]
+    x = np.arange(w, dtype=np.uint8)[None, :, None]
+    c = np.arange(3, dtype=np.uint8)[None, None, :]
+    return (y * 7 + x * 3 + c * 31).astype(np.uint8)
+
+
+def _encode_bmp(arr, top_down=False):
+    """Independent test-side BMP writer (24-bit BI_RGB, padded rows)."""
+    import struct
+
+    import numpy as np
+
+    h, w = arr.shape[0], arr.shape[1]
+    stride = (w * 3 + 3) & ~3
+    bgr = arr[:, :, ::-1]
+    rows = bgr if top_down else bgr[::-1]
+    body = b"".join(
+        rows[i].tobytes() + b"\x00" * (stride - w * 3) for i in range(h)
+    )
+    hh = -h if top_down else h
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, hh, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    assert len(header) + len(dib) == 54
+    return header + dib + body
+
+
+def test_codec_roundtrip_ppm_and_bmp():
+    import numpy as np
+
+    img = _gradient(5, 7)
+    assert np.array_equal(MM.decode_image(MM.encode_ppm(img)), img)
+    assert np.array_equal(MM.decode_image(_encode_bmp(img)), img)
+    assert np.array_equal(MM.decode_image(_encode_bmp(img, top_down=True)), img)
+    # comments + arbitrary whitespace in the PPM header
+    with_comment = b"P6 # a comment\n# more\n 7\t5 \n255\n" + img.tobytes()
+    assert np.array_equal(MM.decode_image(with_comment), img)
+    assert MM.decode_image(b"\x89PNG....") is None
+    assert MM.decode_image(b"P6\n7 5\n255\nshort") is None
+
+
+def test_real_image_pipeline_end_to_end(spark):
+    """image_assets_from_bytes -> extract_features(real) ->
+    resize_images(real): decoded metadata, features, and thumbnails must
+    equal a direct numpy computation over the same pixels."""
+    import numpy as np
+
+    imgs = {f"img{i}.ppm": _gradient(16 + i, 40 + 2 * i) for i in range(3)}
+    rows = [(k, MM.encode_ppm(v)) for k, v in imgs.items()]
+    rows.append(("img_bmp.bmp", _encode_bmp(_gradient(12, 20))))
+    imgs["img_bmp.bmp"] = _gradient(12, 20)
+    rows.append(("junk.jpg", b"\xff\xd8\xff not really a jpeg"))
+    raw = spark.createDataFrame(rows, "media_ref string, payload binary")
+
+    assets = MM.image_assets_from_bytes(raw).cache()
+    got_meta = {r["media_ref"]: (r["width"], r["height"]) for r in assets.collect()}
+    assert got_meta == {k: (v.shape[1], v.shape[0]) for k, v in imgs.items()}  # junk dropped
+
+    feats = {r["media_ref"]: np.array(r["feature"])
+             for r in MM.extract_features(assets, decoder="real").collect()}
+    for k, v in imgs.items():
+        hist = np.bincount(v.reshape(-1) >> 4, minlength=16).astype(np.float32)
+        hist /= np.linalg.norm(hist) or 1.0
+        assert np.allclose(feats[k], hist, atol=1e-6), k
+
+    thumbs = {r["media_ref"]: r for r in
+              MM.resize_images(assets, max_side=8, decoder="real").collect()}
+    for k, v in imgs.items():
+        scale = max(1, max(v.shape[0], v.shape[1]) // 8)
+        want = v[::scale, ::scale]
+        t = thumbs[k]
+        assert (t["thumb_h"], t["thumb_w"]) == want.shape[:2]
+        assert bytes(t["thumb"]) == want.tobytes()
+    assets.unpersist()
