@@ -192,6 +192,8 @@ def headline_queries():
         "politeness_topk", "broadcast_semi_mark", "crawl_order_emission",
         "url_canonicalize", "template_rewrite_sql", "explode_distinct",
         "dedup_exact", "dedup_minhash", "ngram_jaccard",
+        "dedup_clusters", "decontamination", "repetition_profile",
+        "pii_redaction", "top_terms",
         "ann_cosine_topk", "embedding_near_dup", "lang_id",
         "token_count", "fingerprint_groups",
     ]

@@ -153,3 +153,28 @@ def test_host_sharded_admission_equals_unsharded(spark, sf_dir):
         sharded |= part_rows
     assert sharded == whole
     raw.unpersist(); seen.unpersist(); with_host.unpersist()
+
+
+def test_decontamination_join_is_broadcast(spark, sf_dir):
+    """The eval-ngram set must reach the corpus via a BroadcastHashJoin —
+    the training table is never shuffled by the decontamination gate."""
+    from smartcrawler_spark.operators import dedup as DD
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    evals = docs.filter(F.col("doc_id") % 50 == 0)
+    plan = plan_of(DD.mark_contaminated(train, evals, n=5))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ann_portable_twins_are_map_only_topk(spark, sf_dir):
+    """The portable LSH/IVF rerank paths must be a single map-side
+    projection into TakeOrderedAndProject — no join, no full sort."""
+    from smartcrawler_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    for q in (SIM.topk_lsh_portable(emb, k=10, planes=8, dim=64),
+              SIM.topk_ivf_portable(emb, k=10, n_centroids=4, nprobe=2)):
+        plan = plan_of(q)
+        assert "TakeOrderedAndProject" in plan
+        assert "Join" not in plan and "Exchange" not in plan
