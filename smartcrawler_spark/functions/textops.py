@@ -137,8 +137,9 @@ def repetition_profile(df, text_col: str = "text", id_col: str = "doc_id"):
     toks = word_tokens(F.col(text_col))
     base = df.select(
         F.col(id_col).alias("doc_id"),
-        F.size(toks).alias("n_words"),
-        dup_2gram_frac(F.col(text_col)).alias("dup_2gram_frac"),
+        # NULL text counts as an empty document (0 words, 0.0 fractions)
+        F.coalesce(F.size(toks), F.lit(0)).alias("n_words"),
+        F.coalesce(dup_2gram_frac(F.col(text_col)), F.lit(0.0)).alias("dup_2gram_frac"),
     )
     top = (
         df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("w"))
