@@ -113,8 +113,18 @@ def _scheduled_plan(spark, raw, seen, robots, budgets, cap):
         ["url_canon"]
     )
     gated = FR.robots_gate(cands, robots)
-    blooms = FR.build_bucket_blooms(seen, n_buckets=32)
-    pre = FR.bloom_maybe_seen(spark, gated, blooms, n_buckets=32).persist()
+    # two equivalent bloom-prefilter paths (equality pytest-verified):
+    #   broadcast — blobs collect to the driver and broadcast whole; fast at
+    #               sandbox scale, impossible at 10^10 keys (~12 GB blobs)
+    #   bucketed  — executor-built blob table cogrouped with candidates per
+    #               bucket; zero driver traffic however large the frontier
+    #               (the engine crawl loop's path; plans/crawl.py:150)
+    if os.environ.get("SPARK_GRAFT_BLOOM_PATH", "broadcast") == "bucketed":
+        blobs_df = FR.build_bucket_blooms_df(seen, n_buckets=32)
+        pre = FR.bloom_probe_bucketed(gated, blobs_df, n_buckets=32).persist()
+    else:
+        blooms = FR.build_bucket_blooms(seen, n_buckets=32)
+        pre = FR.bloom_maybe_seen(spark, gated, blooms, n_buckets=32).persist()
     tagged = FR.tag_seen(pre, seen).persist()
     admitted = FR.admit_with_cap(tagged, seen, cap=cap).filter("admitted")
     scheduled = FR.politeness_topk(
