@@ -97,3 +97,88 @@ def test_stateful_politeness_budget_across_batches_and_restart(spark, tmp_path):
     b_rows = {u for h, u in got2 if h == "b.example.com"}
     assert len(a_rows) == 3  # budget 3 enforced ACROSS batches via state
     assert b_rows == {f"https://b.example.com/p{i:03d}" for i in range(4)}
+
+
+def test_streaming_document_pipeline_matches_oracle(spark, tmp_path):
+    """Two drops of raw docs through the streaming corpus ingestion: PII
+    scrub + quality gate + decontamination + cross-run exact dedup must
+    land exactly the docs a python oracle keeps, in O(batch) appends."""
+    import datetime
+    import re
+
+    from smartcrawler_spark.sources.snapshot import SnapshotTable
+    from smartcrawler_spark.streaming import pipeline_stream as PS
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    corpus = SnapshotTable(str(tmp_path / "tables"), "corpus")
+    t0 = datetime.datetime(2026, 8, 16, 12, 0, 0)
+
+    eval_rows = [(900, "alpha beta gamma delta epsilon zeta")]
+    eval_df = spark.createDataFrame(eval_rows, "doc_id long, text string")
+
+    batch1 = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick  brown fox jumps over the lazy dog today"),  # dup of 1 after clean
+        (3, "contact me at alice@example.com for more details soon"),
+        (4, "too short"),                                           # quality-gated
+        (5, "prefix alpha beta gamma delta epsilon zeta suffix"),   # contaminated
+        (6, "spam spam spam spam spam spam spam spam spam spam"),   # repetition-gated
+    ]
+    batch2 = [
+        (7, "the quick brown fox jumps over the lazy dog today"),   # cross-run dup of 1
+        (8, "a genuinely new document with plenty of unique words"),
+        (9, "contact me at alice@example.com for more details soon"),  # dup of 3 post-scrub
+    ]
+
+    def drop_batch(rows, name):
+        df = spark.createDataFrame(
+            [(i, t, t0) for i, t in rows],
+            "doc_id long, text string, fetched_at timestamp",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        import shutil, glob, os
+        for f in glob.glob(str(tmp_path / name / "*.parquet")):
+            shutil.copy(f, str(drop / (name + os.path.basename(f))))
+
+    drop_batch(batch1, "b1")
+    PS.run_document_ingest(spark, str(drop), ckpt, corpus, eval_docs=eval_df)
+    drop_batch(batch2, "b2")
+    PS.run_document_ingest(spark, str(drop), ckpt, corpus, eval_docs=eval_df)
+
+    got = {r["doc_id"]: r for r in corpus.read(spark).collect()}
+
+    # python oracle over the same rules
+    def scrub(t):
+        t = re.sub(r"\s+", " ", t).strip()
+        for pat, repl in [
+            (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+            (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+            (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+        ]:
+            t = re.sub(pat, repl, t)
+        return t
+
+    eval_grams = set()
+    toks = eval_rows[0][1].split()
+    for i in range(max(len(toks) - 5, 0) + 1):
+        eval_grams.add(" ".join(toks[i : i + 5]))
+    seen, want = set(), {}
+    for i, t in batch1 + batch2:
+        s = scrub(t).lower()
+        toks = scrub(t).lower().split()
+        grams5 = {" ".join(toks[j : j + 5]) for j in range(max(len(toks) - 5, 0) + 1)}
+        grams2 = [" ".join(toks[j : j + 2]) for j in range(max(len(toks) - 1, 1))]
+        dup2 = 1 - len(set(grams2)) / len(grams2) if len(toks) >= 2 else 0.0
+        if len(toks) < 3 or dup2 > 0.8 or (grams5 & eval_grams) or s in seen:
+            continue
+        seen.add(s)
+        want[i] = scrub(t)
+
+    assert set(got) == set(want), (set(got), set(want))
+    for i, text in want.items():
+        assert got[i]["text"] == text
+    assert "<EMAIL>" in got[3]["text"]
+    # cross-run + in-batch dups collapsed to the first arrival
+    assert 2 not in got and 7 not in got and 9 not in got
