@@ -628,6 +628,24 @@ def q_token_count(spark, sf_dir):
     )
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic md5-bucket train/val/test assignment (80/10/10) —
+    membership is a pure function of doc_id, stable across runs/engines."""
+    from smartcrawler_spark.operators import sampling as SA
+
+    docs = _t(spark, sf_dir, "documents")
+    return SA.hash_split(docs).select("doc_id", "bucket", "split")
+
+
+def q_token_budget_pack(spark, sf_dir):
+    """Per-language greedy token-budget packing (corpus-mixing step):
+    biggest docs first, keep while the running token total <= 5000."""
+    from smartcrawler_spark.operators import sampling as SA
+
+    docs = _t(spark, sf_dir, "documents")
+    return SA.token_budget_pack(docs, budget=5000, group_col="lang")
+
+
 def q_fingerprint_groups(spark, sf_dir):
     """Document fingerprinting: distinct fingerprints per source (md5 over
     the normalized text — portable across engines)."""
@@ -681,6 +699,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_features": q_quality_features,
         "token_count": q_token_count,
         "fingerprint_groups": q_fingerprint_groups,
+        "hash_split": q_hash_split,
+        "token_budget_pack": q_token_budget_pack,
     }
 
 
@@ -1265,6 +1285,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]'))) AS BIGINT) AS total_tokens,
                    count(*) AS n_docs
             FROM documents GROUP BY source
+        """,
+        "hash_split": r"""
+            WITH h AS (
+              SELECT doc_id,
+                     substr(md5(doc_id::VARCHAR), 1, 1) AS c1,
+                     substr(md5(doc_id::VARCHAR), 2, 1) AS c2
+              FROM documents
+            ), b AS (
+              SELECT doc_id,
+                     ((CASE WHEN ascii(c1) <= 57 THEN ascii(c1) - 48
+                            ELSE ascii(c1) - 87 END) * 16
+                      + (CASE WHEN ascii(c2) <= 57 THEN ascii(c2) - 48
+                              ELSE ascii(c2) - 87 END)) % 100 AS bucket
+              FROM h
+            )
+            SELECT doc_id, bucket,
+                   CASE WHEN bucket < 80 THEN 'train'
+                        WHEN bucket < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b
+        """,
+        "token_budget_pack": r"""
+            WITH t AS (
+              SELECT lang AS grp, doc_id,
+                     len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]')) AS n_tokens
+              FROM documents
+            )
+            SELECT grp, doc_id, n_tokens, cum_tokens FROM (
+              SELECT grp, doc_id, n_tokens,
+                     CAST(sum(n_tokens) OVER (
+                       PARTITION BY grp ORDER BY n_tokens DESC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                       AS cum_tokens
+              FROM t
+            ) WHERE cum_tokens <= 5000
         """,
         "fingerprint_groups": rf"""
             SELECT source,

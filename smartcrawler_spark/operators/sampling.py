@@ -1,0 +1,93 @@
+"""Deterministic corpus sampling / splitting / budget packing.
+
+The sampling ops a training-data pipeline actually ships with:
+
+* `hash_split`     — md5-bucket train/val/test assignment. Hash-based (not
+                     RNG-based) so membership is a PURE FUNCTION of the id:
+                     stable across runs, machines, engines, and table
+                     versions; new rows join splits without reshuffling old
+                     ones. The bucket math uses only md5 + string ops that
+                     exist identically in every SQL engine (same portable
+                     discipline as the minhash/simhash twins).
+* `token_budget_pack` — greedy selection to a per-group token budget:
+                     within each group (e.g. language or source), order by
+                     descending priority and keep rows while the running
+                     token total stays under budget. This is the "mix N
+                     billion tokens per language" step of corpus assembly.
+                     One window over the group — skew-safe for realistic
+                     group counts (per-language groups are few and large:
+                     the window is a single sort per group, no driver role).
+
+Both are pure column expressions / window functions — whole-stage codegen,
+no UDFs, no RNG state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_HEX = "0123456789abcdef"
+
+
+def _hex_val(c: Column) -> Column:
+    """hex char -> 0..15 via ascii arithmetic ('0'-'9' => 48..57, 'a'-'f'
+    => 97..102) — portable to any engine with ascii()."""
+    a = F.ascii(c)
+    return F.when(a <= 57, a - 48).otherwise(a - 87)
+
+
+def md5_bucket(col: Column, n_buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, n_buckets): first two md5 hex digits of
+    the value's string form -> integer -> mod. Engine-portable (md5 +
+    substring + ascii arithmetic only)."""
+    h = F.md5(col.cast("string"))
+    d1 = _hex_val(F.substring(h, 1, 1))
+    d2 = _hex_val(F.substring(h, 2, 1))
+    return (d1 * 16 + d2) % n_buckets
+
+
+def hash_split(df: DataFrame, id_col: str = "doc_id",
+               train_pct: int = 80, val_pct: int = 10) -> DataFrame:
+    """Assign each row a stable split label: bucket = md5_bucket(id, 100);
+    train if bucket < train_pct, val if < train_pct + val_pct, else test."""
+    b = md5_bucket(F.col(id_col))
+    split = (
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("bucket", b).withColumn("split", split)
+
+
+def token_budget_pack(
+    df: DataFrame, budget: int, text_col: str = "text",
+    id_col: str = "doc_id", group_col: str = "lang",
+    priority: Column | None = None,
+) -> DataFrame:
+    """Keep, per group, the highest-priority rows whose RUNNING token total
+    stays within `budget` (greedy prefix pack; a row that would cross the
+    budget line is excluded, as is everything after it in priority order).
+
+    Default priority = more tokens first (pack big docs), ties by id — pass
+    e.g. a quality score column for quality-first mixing. Returns
+    (group, doc_id, n_tokens, cum_tokens) for the selected rows."""
+    from ..functions.textops import token_count
+
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("doc_id"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+        (priority if priority is not None else token_count(F.col(text_col)))
+        .alias("_prio"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy(F.desc("_prio"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        toks.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= budget)
+        .select("grp", "doc_id", "n_tokens", "cum_tokens")
+    )

@@ -1,0 +1,83 @@
+"""Deterministic sampling ops vs pure-python oracles."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from pyspark.sql import functions as F
+
+from smartcrawler_spark.operators import sampling as S
+
+_HEX = "0123456789abcdef"
+
+
+def py_bucket(v, n=100):
+    h = hashlib.md5(str(v).encode()).hexdigest()
+    return (_HEX.index(h[0]) * 16 + _HEX.index(h[1])) % n
+
+
+def test_hash_split_matches_python_and_is_stable(spark):
+    ids = list(range(500))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r["doc_id"]: (r["bucket"], r["split"]) for r in S.hash_split(df).collect()}
+    for i in ids:
+        b = py_bucket(i)
+        want = "train" if b < 80 else ("val" if b < 90 else "test")
+        assert got[i] == (b, want), i
+    # roughly proportional
+    n_train = sum(1 for v in got.values() if v[1] == "train")
+    assert 350 < n_train < 450
+
+
+def test_hash_split_stable_under_append(spark):
+    """New rows never change old rows' membership (pure function of id)."""
+    small = S.hash_split(spark.createDataFrame([(i,) for i in range(100)], "doc_id long"))
+    big = S.hash_split(spark.createDataFrame([(i,) for i in range(1000)], "doc_id long"))
+    s = {r["doc_id"]: r["split"] for r in small.collect()}
+    b = {r["doc_id"]: r["split"] for r in big.collect()}
+    assert all(b[i] == s[i] for i in s)
+
+
+def test_token_budget_pack_matches_python(spark):
+    rows = [
+        (0, "en", "one two three four five"),
+        (1, "en", "a b c d e f g h i j k l"),
+        (2, "en", "short text"),
+        (3, "de", "ein zwei drei"),
+        (4, "de", "eins zwei drei vier funf sechs sieben acht"),
+        (5, "en", "medium length document here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = [(r["grp"], r["doc_id"], r["n_tokens"], r["cum_tokens"])
+           for r in S.token_budget_pack(df, budget=15).collect()]
+
+    def ntok(t):
+        return len(re.findall(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]", t))
+
+    want = []
+    for grp in ("de", "en"):
+        cand = sorted(
+            [(i, ntok(t)) for i, g, t in rows if g == grp],
+            key=lambda x: (-x[1], x[0]),
+        )
+        cum = 0
+        for i, n in cand:
+            cum += n
+            if cum > 15:
+                break
+            want.append((grp, i, n, cum))
+    assert sorted(got) == sorted(want)
+    # the 12-token en doc packs first; the 5-token one fits after; rest don't
+    en = [t for t in got if t[0] == "en"]
+    assert {t[1] for t in en} == {1}.union(
+        {t[1] for t in want if t[0] == "en"} - {1})
+
+
+def test_token_budget_pack_priority_override(spark):
+    rows = [(0, "en", "low quality " * 5), (1, "en", "high quality text")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    pri = F.when(F.col("doc_id") == 1, 100.0).otherwise(0.0)
+    got = [r["doc_id"] for r in
+           S.token_budget_pack(df, budget=3, priority=pri).collect()]
+    assert got == [1]
