@@ -158,6 +158,40 @@ class SnapshotTable:
                 if d not in referenced and os.path.exists(d):
                     shutil.rmtree(d)
 
+    def compact(self, spark: SparkSession, target_partitions: int | None = None,
+                keep_last: int = 1) -> int | None:
+        """Small-files compaction (Iceberg rewrite_data_files analog).
+
+        An append-only table accumulates one data dir per commit — after
+        thousands of crawl rounds / micro-batches the read path opens
+        thousands of small parquet files, the classic small-files failure
+        mode at scale.  `compact` rewrites the CURRENT contents as one new
+        full commit (optionally coalesced to `target_partitions` files),
+        then expires everything older, so reads are one dir again while
+        readers of already-published versions stay correct (their manifests
+        and files persist until expiration).  Returns the new version, or
+        None for an empty table."""
+        df = self.read(spark)
+        if df is None:
+            return None
+        if target_partitions:
+            df = df.coalesce(target_partitions)
+        # materialize into the NEW version's dir first; expiration below
+        # drops the old dirs only after the manifest is published
+        v = self.commit(df, meta={**self.latest_meta(), "compacted": True})
+        self.expire_older_than(keep_last=keep_last)
+        return v
+
+    def data_file_count(self) -> int:
+        """Number of parquet part files the current version's read opens."""
+        n = 0
+        for d in self._data_dirs(self.manifest()):
+            try:
+                n += sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+            except FileNotFoundError:
+                pass
+        return n
+
 
 class BucketedSnapshotTable(SnapshotTable):
     """Hash-bucketed snapshot table with partition-scoped upsert.
@@ -255,6 +289,21 @@ class BucketedSnapshotTable(SnapshotTable):
             return None
         return spark.read.parquet(*dirs)
 
+    def compact(self, spark: SparkSession, target_partitions: int | None = None,
+                keep_last: int = 1) -> int | None:
+        """Full-table rewrite into one fresh version (every bucket gets one
+        new dir), then expire superseded versions' dirs. The bucketed READ
+        path never accumulates small files (each bucket points at its
+        latest dir), so this reclaims disk from superseded bucket dirs and
+        re-chunks buckets whose files fragmented across many upserts."""
+        df = self.read(spark)
+        if df is None:
+            return None
+        v = self.commit_upsert(df, changed_buckets=None,
+                               meta={**self.latest_meta(), "compacted": True})
+        self.expire_older_than(keep_last=keep_last)
+        return v
+
     def expire_older_than(self, keep_last: int = 3) -> None:
         vs = self.versions()
         keep, drop = vs[-keep_last:], vs[:-keep_last]
@@ -267,10 +316,17 @@ class BucketedSnapshotTable(SnapshotTable):
             for p in self._buckets_map(m).values():
                 if p not in referenced and os.path.exists(p):
                     shutil.rmtree(p)
-        # sweep now-empty version dirs
+        # sweep version dirs left with no data (only _SUCCESS markers /
+        # empty shells remain once their bucket dirs were reclaimed)
         data_root = os.path.join(self.path, "data")
         if os.path.isdir(data_root):
             for d in os.listdir(data_root):
                 full = os.path.join(data_root, d)
-                if os.path.isdir(full) and not os.listdir(full):
-                    os.rmdir(full)
+                if not os.path.isdir(full):
+                    continue
+                has_data = any(
+                    f.endswith(".parquet")
+                    for _, _, files in os.walk(full) for f in files
+                )
+                if not has_data:
+                    shutil.rmtree(full)

@@ -151,3 +151,51 @@ def test_crawl_frontier_commits_are_incremental(spark, tmp_path):
     total_logical = job.crawl_log().count()
     total_physical = sum(_parquet_rows_under(p) for p in log_m["data_dirs"])
     assert total_physical == total_logical
+
+
+def test_append_table_compaction(spark, tmp_path):
+    """Many appends -> many data dirs/files; compact() collapses the read
+    path to one dir while contents stay identical and old readers' versions
+    expire cleanly."""
+    from smartcrawler_spark.sources.snapshot import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path), "log")
+    for r in range(8):
+        t.append(spark.createDataFrame([(r, f"row{r}")], "rnd int, s string"))
+    before = {(r["rnd"], r["s"]) for r in t.read(spark).collect()}
+    assert t.data_file_count() >= 8
+    v = t.compact(spark, target_partitions=1)
+    assert v == 9
+    after = {(r["rnd"], r["s"]) for r in t.read(spark).collect()}
+    assert after == before
+    assert t.data_file_count() == 1
+    assert t.versions() == [9]
+    # appends keep working after compaction
+    t.append(spark.createDataFrame([(99, "post")], "rnd int, s string"))
+    assert {(r["rnd"], r["s"]) for r in t.read(spark).collect()} == before | {(99, "post")}
+
+
+def test_bucketed_table_compaction(spark, tmp_path):
+    """Upserts fragment buckets across version dirs; compact() rewrites all
+    buckets into one version and reclaims superseded dirs."""
+    import os
+
+    from smartcrawler_spark.sources.snapshot import BucketedSnapshotTable
+
+    t = BucketedSnapshotTable(str(tmp_path), "frontier", n_buckets=4, key_col="k")
+    for r in range(5):
+        rows = [(r * 10 + i, f"v{r}") for i in range(8)]
+        t.commit_upsert(spark.createDataFrame(rows, "k long, s string"),
+                        changed_buckets="written")
+    before = {(r["k"], r["s"]) for r in t.read(spark).collect()}
+    n_dirs_before = len(os.listdir(os.path.join(t.path, "data")))
+    v = t.compact(spark)
+    after = {(r["k"], r["s"]) for r in t.read(spark).collect()}
+    assert after == before
+    assert t.versions() == [v]
+    assert len(os.listdir(os.path.join(t.path, "data"))) < n_dirs_before
+    # upserts keep working after compaction
+    t.commit_upsert(spark.createDataFrame([(0, "post")], "k long, s string"),
+                    changed_buckets=[0])
+    got = {(r["k"], r["s"]) for r in t.read(spark).collect()}
+    assert (0, "post") in got
