@@ -64,6 +64,10 @@ class EngineConfig:
     salt_buckets: int = 8
     use_bloom: bool = True
     bloom_rebuild_every: int = 4  # rounds between full bloom rebuilds
+    compact_every: int | None = 16  # rounds between crawl_log/metrics
+                                    # small-files compactions (None = never);
+                                    # a 10^5-round crawl otherwise leaves the
+                                    # log read path opening 10^5 tiny files
     raw_artifacts: bool = False   # parse robots_raw/sitemaps_raw instead of
                                   # reading the pre-built rule tables
 
@@ -238,6 +242,12 @@ class CrawlJob:
         # everything is on disk now -> drop the round's working-set caches
         for df in getattr(self, "_round_caches", []):
             df.unpersist()
+        ce = self.cfg.compact_every
+        if ce and round_no > 0 and round_no % ce == 0:
+            # content-preserving maintenance: collapses the append-only
+            # tables' read paths back to one dir each (small-files control)
+            self.t_log.compact(self.spark)
+            self.t_metrics.compact(self.spark)
         self._round_caches = []
 
     # ------------------------------------------------------------- lifecycle

@@ -175,3 +175,20 @@ def test_raw_artifact_ingest_matches_table_run(spark, corpus, oracle_result, tmp
                       cfg=_engine_cfg(raw_artifacts=True))
     assert _log_tuples(job) == oracle_result.crawl_log
     assert set(_frontier_map(job)) == set(oracle_result.frontier)
+
+
+def test_compaction_in_loop_preserves_outputs(spark, corpus, tmp_path):
+    """compact_every=1 (maintenance after every round) must not change the
+    crawl_log or metrics contents vs the uncompacted run, while the log's
+    read path stays at one data dir."""
+    d, manifest = corpus
+    plain = _run_engine(spark, d, manifest["seeds"], tmp_path / "plain",
+                        _engine_cfg(compact_every=None))
+    tight = _run_engine(spark, d, manifest["seeds"], tmp_path / "tight",
+                        _engine_cfg(compact_every=1))
+    assert _log_tuples(tight) == _log_tuples(plain)
+    pm = {tuple(sorted(r.asDict().items())) for r in plain.metrics().collect()}
+    tm = {tuple(sorted(r.asDict().items())) for r in tight.metrics().collect()}
+    assert tm == pm
+    assert tight.t_log.data_file_count() <= spark.sparkContext.defaultParallelism
+    assert len(tight.t_log.versions()) == 1
