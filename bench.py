@@ -236,7 +236,10 @@ def run_suite(sf_dir: str, cpus: str) -> dict:
 
     total = round(sum(timings.values()), 3)
     out = {
-        "metric": "headline suite wall seconds (frontier round + operator queries)",
+        "metric": "headline suite wall seconds (frontier round + operator "
+                  "queries; suite GREW round over round — compare per-query "
+                  "times and frontier_urls_per_sec, not the total)",
+        "n_queries": len(timings),
         "value": total,
         "unit": "sec",
         "queries": timings,
