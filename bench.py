@@ -540,6 +540,36 @@ def main():
     if "--scaling-sharded" in sys.argv:
         print(json.dumps(run_scaling_sharded(SF_DIR)))
         return
+    if "--probe-bandwidth" in sys.argv:
+        # the two no-Spark controls behind BENCH.md's round-2 analysis:
+        # processes scale on compute but not on DRAM-streaming work, so
+        # single-box wide-concurrency bounds the memory controller
+        probe_tpl = (
+            "import numpy as np\n"
+            "a = np.arange({n}, dtype=np.uint64)\n"
+            "acc = 0\n"
+            "for i in range({it}):\n"
+            "    acc ^= int(((a * np.uint64(0x9E3779B97F4A7C15 + i)) >> np.uint64(29)).sum())\n"
+        )
+        out = {}
+        for name, n, it in (("bandwidth_bound_512MB", 64_000_000, 8),
+                            ("cache_resident_800KB", 100_000, 4000)):
+            walls = {}
+            for k in (1, 4, 8):
+                t0 = time.time()
+                ps = [subprocess.Popen([sys.executable, "-c",
+                                        probe_tpl.format(n=n, it=it)])
+                      for _ in range(k)]
+                for p in ps:
+                    if p.wait() != 0:
+                        raise RuntimeError("probe failed")
+                walls[k] = round(time.time() - t0, 2)
+            out[name] = {"wall_s": walls,
+                         "eff_4": round(walls[1] / walls[4], 3),
+                         "eff_8": round(walls[1] / walls[8], 3)}
+        print(json.dumps({"metric": "process-scaling controls (no Spark)",
+                          **out}))
+        return
     if "--scaling-2core" in sys.argv:
         # the criterion-meeting pair: 2-core executors stay under the
         # sandbox's per-process thread throttle (BENCH.md controls), so
