@@ -222,8 +222,13 @@ class CrawlJob:
         * filter blobs: upsert of the buckets this round's admissions
           touched."""
         lineage = {"round": round_no, "source": "crawl-loop"}
-        self.t_frontier.commit_upsert(frontier_changed, changed_buckets,
-                                      meta=lineage)
+        # commit ORDER is the crash-consistency contract: side tables first,
+        # the frontier LAST. The frontier manifest's round is the resume
+        # authority — a crash before it publishes leaves side-table versions
+        # for an unacknowledged round, which bootstrap() trims
+        # (rollback_newer_than) before deterministically re-running the
+        # round. Frontier-first would instead LOSE the round's log rows
+        # silently (frontier says done, log never written).
         if log_rows is not None:
             self.t_log.append(log_rows, meta=lineage)
         if metrics is not None:
@@ -239,6 +244,8 @@ class CrawlJob:
                 },
             )
             self._pending_filter_update = None
+        self.t_frontier.commit_upsert(frontier_changed, changed_buckets,
+                                      meta=lineage)
         # everything is on disk now -> drop the round's working-set caches
         for df in getattr(self, "_round_caches", []):
             df.unpersist()
@@ -255,8 +262,16 @@ class CrawlJob:
     def bootstrap(self) -> int:
         """Round 0: admit seeds + sitemap URLs of seed hosts. Returns the
         round to resume from (reads the checkpoint when one exists)."""
-        if self.t_frontier.latest_version() is not None:
-            return int(self.t_frontier.latest_meta().get("round", 0))
+        durable = (
+            int(self.t_frontier.latest_meta().get("round", 0))
+            if self.t_frontier.latest_version() is not None else -1
+        )
+        # trim side-table versions from a round whose frontier commit never
+        # published (crash window inside _commit_round); the round re-runs
+        for t in (self.t_log, self.t_metrics, self.t_filters):
+            t.rollback_newer_than(durable)
+        if durable >= 0:
+            return durable
 
         seeds_df = self.spark.createDataFrame([(s,) for s in self.seeds], "url string")
         seed_hosts = seeds_df.select(

@@ -158,6 +158,36 @@ class SnapshotTable:
                 if d not in referenced and os.path.exists(d):
                     shutil.rmtree(d)
 
+    def _manifest_dirs(self, m: dict | None) -> list[str]:
+        """Every data dir a manifest references (storage-layout specific)."""
+        return self._data_dirs(m)
+
+    def rollback_newer_than(self, round_no: int) -> int:
+        """Crash recovery: delete trailing versions whose lineage round is
+        NEWER than `round_no`. A round's commits land log/metrics/filters
+        first and the frontier LAST (the resume authority) — if the process
+        dies in between, the side tables hold rows for a round the frontier
+        never acknowledged; on resume those versions are trimmed and the
+        round re-runs deterministically. Returns versions removed."""
+        removed = 0
+        while True:
+            v = self.latest_version()
+            if v is None:
+                break
+            m = self.manifest(v)
+            r = (m.get("meta") or {}).get("round")
+            if r is None or int(r) <= round_no:
+                break
+            os.remove(self._manifest_path(v))
+            referenced: set[str] = set()
+            for vv in self.versions():
+                referenced.update(self._manifest_dirs(self.manifest(vv)))
+            for d in self._manifest_dirs(m):
+                if d not in referenced and os.path.exists(d):
+                    shutil.rmtree(d)
+            removed += 1
+        return removed
+
     def compact(self, spark: SparkSession, target_partitions: int | None = None,
                 keep_last: int = 1) -> int | None:
         """Small-files compaction (Iceberg rewrite_data_files analog).
@@ -222,6 +252,9 @@ class BucketedSnapshotTable(SnapshotTable):
         if not m:
             return {}
         return {int(b): p for b, p in m.get("buckets", {}).items() if p}
+
+    def _manifest_dirs(self, m: dict | None) -> list[str]:
+        return list(self._buckets_map(m).values())
 
     def commit_upsert(self, df: DataFrame,
                       changed_buckets: list[int] | str | None = None,

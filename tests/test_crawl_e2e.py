@@ -192,3 +192,70 @@ def test_compaction_in_loop_preserves_outputs(spark, corpus, tmp_path):
     assert tm == pm
     assert tight.t_log.data_file_count() <= spark.sparkContext.defaultParallelism
     assert len(tight.t_log.versions()) == 1
+
+
+def test_crash_between_side_commits_and_frontier_publish_recovers(
+        spark, corpus, tmp_path):
+    """Kill the job after the round's crawl_log/metrics/filter commits but
+    BEFORE the frontier publish (the _commit_round crash window). Resume
+    must trim the unacknowledged side-table versions, re-run the round, and
+    converge to outputs byte-identical to an uninterrupted run."""
+    d, manifest = corpus
+    ref = _run_engine(spark, d, manifest["seeds"], tmp_path / "ref")
+
+    job = CrawlJob(spark, d, str(tmp_path / "crash"), _engine_cfg(),
+                   manifest["seeds"])
+    start = job.bootstrap()
+    job.run_round(start + 1)
+    job.run_round(start + 2)
+
+    # simulate dying right before the frontier publish of round 3
+    real_upsert = job.t_frontier.commit_upsert
+    def dying_upsert(*a, **kw):
+        raise RuntimeError("simulated crash before frontier publish")
+    job.t_frontier.commit_upsert = dying_upsert
+    try:
+        job.run_round(start + 3)
+        assert False, "expected the simulated crash"
+    except RuntimeError:
+        pass
+    job.t_frontier.commit_upsert = real_upsert
+    # the crash window is real: side tables now lead the frontier
+    assert int(job.t_log.latest_meta()["round"]) == start + 3
+    assert int(job.t_frontier.latest_meta()["round"]) == start + 2
+
+    resumed = CrawlJob(spark, d, str(tmp_path / "crash"), _engine_cfg(),
+                       manifest["seeds"])
+    resumed.run()
+    assert _log_tuples(resumed) == _log_tuples(ref)
+    assert _frontier_map(resumed) == _frontier_map(ref)
+    pm = {tuple(sorted(r.asDict().items())) for r in ref.metrics().collect()}
+    rm = {tuple(sorted(r.asDict().items())) for r in resumed.metrics().collect()}
+    assert rm == pm
+
+
+def test_crash_during_bootstrap_recovers(spark, corpus, tmp_path):
+    """Dying after bootstrap's metrics commit but before the frontier's
+    round-0 publish must not leave duplicate round-0 metrics behind."""
+    d, manifest = corpus
+    ref = _run_engine(spark, d, manifest["seeds"], tmp_path / "ref0")
+
+    job = CrawlJob(spark, d, str(tmp_path / "crash0"), _engine_cfg(),
+                   manifest["seeds"])
+    real_upsert = job.t_frontier.commit_upsert
+    job.t_frontier.commit_upsert = lambda *a, **kw: (_ for _ in ()).throw(
+        RuntimeError("simulated crash"))
+    try:
+        job.bootstrap()
+        assert False, "expected the simulated crash"
+    except RuntimeError:
+        pass
+    job.t_frontier.commit_upsert = real_upsert
+
+    resumed = CrawlJob(spark, d, str(tmp_path / "crash0"), _engine_cfg(),
+                       manifest["seeds"])
+    resumed.run()
+    assert _log_tuples(resumed) == _log_tuples(ref)
+    pm = {tuple(sorted(r.asDict().items())) for r in ref.metrics().collect()}
+    rm = {tuple(sorted(r.asDict().items())) for r in resumed.metrics().collect()}
+    assert rm == pm
