@@ -251,10 +251,15 @@ class CrawlJob:
             df.unpersist()
         ce = self.cfg.compact_every
         if ce and round_no > 0 and round_no % ce == 0:
-            # content-preserving maintenance: collapses the append-only
+            # content-preserving maintenance: collapse the append-only
             # tables' read paths back to one dir each (small-files control)
+            # and expire superseded frontier/filter versions (otherwise a
+            # 10^5-round crawl keeps 10^5 manifests + their orphaned bucket
+            # dirs). keep_last > 1 preserves a resume/debug horizon.
             self.t_log.compact(self.spark)
             self.t_metrics.compact(self.spark)
+            self.t_frontier.expire_older_than(keep_last=4)
+            self.t_filters.expire_older_than(keep_last=4)
         self._round_caches = []
 
     # ------------------------------------------------------------- lifecycle
