@@ -3,10 +3,12 @@
 `queries()` exposes one entry per implemented operator shape from
 SURVEY.md §2 plus the training-data-pipeline operators, each runnable on the
 driver's testdata tables; `oracle_sql()` gives the DuckDB-equivalent ANSI
-SQL. Queries marked rows-only (no oracle entry) are the genuinely
-non-SQL-expressible ones (blake2b-based minhash/simhash signatures, LSH
-bucketing): their exact semantics are pytest-verified against pure-Python
-oracles in tests/ instead.
+SQL. The four rows-only entries (no oracle) are the numpy/blake2b
+THROUGHPUT kernels (dedup_minhash, dedup_simhash, ann_lsh, ann_ivf) —
+each is pytest-verified against a pure-Python oracle AND carries an
+engine-portable md5/integer twin of the same algorithm with a full
+value-hash gate (minhash_lsh_portable, simhash_portable, ann_lsh_portable,
+ann_ivf_portable), so every algorithm family is oracle-checked end-to-end.
 
 Numeric discipline for the value-hash comparison: every float column is
 rounded identically on both sides, embeddings are cast to DOUBLE in both
