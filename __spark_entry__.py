@@ -1091,8 +1091,11 @@ def oracle_sql() -> dict[str, str]:
             WITH d AS (
               SELECT doc_id, {words} AS w FROM documents WHERE doc_id < 500
             ), g AS (
+              -- range(1, len(w)-4+1) is EMPTY for docs under 5 words:
+              -- short docs emit no (partial) gram, mirroring the engine's
+              -- size(toks) >= n guard in mark_contaminated
               SELECT DISTINCT doc_id, md5(array_to_string(w[i:i+4], ' ')) AS g
-              FROM d, UNNEST(range(1, greatest(len(w)-4, 1)+1)) AS t(i)
+              FROM d, UNNEST(range(1, len(w)-4+1)) AS t(i)
             ), ev AS (
               SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0
             ), hits AS (

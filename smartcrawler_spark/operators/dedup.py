@@ -405,7 +405,8 @@ def simhash_pairs_portable(df: DataFrame, text_col: str = "text",
 
 
 def connected_components(edges: DataFrame, a_col: str = "a", b_col: str = "b",
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         on_nonconverged: str = "escalate") -> DataFrame:
     """(node, component) labels over an undirected edge list; component =
     MIN node id reachable (deterministic canonical representative).
 
@@ -421,10 +422,13 @@ def connected_components(edges: DataFrame, a_col: str = "a", b_col: str = "b",
     (edges x labels, shuffle on node id) + ONE min agg — both map-side
     combinable, all JVM. Branch points are persisted and released per round.
 
-    At 100 TB: this is the standard Spark CC shape; for adversarially long
-    chains switch to large-star/small-star (Kiveris et al., "Connected
-    Components in MapReduce and Beyond") which converges in O(log n) rounds
-    over the same join primitive — near-dup graphs don't need it."""
+    Non-convergence is NEVER silent: a component with diameter > max_iter
+    would otherwise be split into several clusters and duplicate documents
+    would survive dedup undetected at scale. `on_nonconverged` picks the
+    policy: 'escalate' (default) re-solves with the O(log n)
+    large-star/small-star variant below; 'raise' fails loudly."""
+    if on_nonconverged not in ("escalate", "raise"):
+        raise ValueError(f"on_nonconverged: {on_nonconverged!r}")
     sym = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).unionByName(
         edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     )
@@ -435,6 +439,7 @@ def connected_components(edges: DataFrame, a_col: str = "a", b_col: str = "b",
     # blocks each round (the standard Spark iterative-algorithm shape).
     labels = nodes.withColumn("comp", F.col("node")).localCheckpoint(eager=True)
     sym = sym.persist()
+    changed = 0
     try:
         for _ in range(max_iter):
             nbr = (
@@ -456,6 +461,107 @@ def connected_components(edges: DataFrame, a_col: str = "a", b_col: str = "b",
                 break
     finally:
         sym.unpersist()
+    if changed != 0:
+        if on_nonconverged == "raise":
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds "
+                f"({changed} labels still changing): a component has diameter "
+                f"> max_iter — raise max_iter or use the large-star/small-star "
+                f"variant (connected_components_star)"
+            )
+        return connected_components_star(edges, a_col, b_col)
+    return labels
+
+
+def connected_components_star(edges: DataFrame, a_col: str = "a",
+                              b_col: str = "b", max_iter: int = 64) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14): converges in
+    O(log n) rounds regardless of component DIAMETER, where min-label
+    propagation needs diameter rounds — the escalation path for
+    adversarially chained near-dup graphs (e.g. doc_i ~ doc_{i+1} template
+    chains thousands long).
+
+    Per round, two alternating contractions over the edge set:
+    * LARGE-STAR at u: every strictly-larger neighbor v > u re-attaches to
+      m = min(N(u) ∪ {u});
+    * SMALL-STAR at u (edges pre-oriented big->small, so N(u) are all
+      smaller): every neighbor AND u itself re-attach to m = min(N(u) ∪ {u}).
+    The fixed point is a forest of stars rooted at each component's min
+    node, so labels read off directly. Each phase is one groupBy-min + one
+    join on node id — all JVM, shuffle keys are 8-byte node ids.
+    Convergence test: (count, xxhash64-sum) signature of the canonical
+    (big, small) edge set is unchanged by a full round (the paper's
+    potential argument rules out oscillation, so signature equality means
+    fixed point)."""
+    e = (
+        edges.select(F.col(a_col).cast("long").alias("x"),
+                     F.col(b_col).cast("long").alias("y"))
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull()
+                & (F.col("x") != F.col("y")))
+        .select(F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def signature(df: DataFrame) -> tuple:
+        # decimal sum: a long sum of 64-bit hashes overflows under ANSI mode
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], None if row["h"] is None else int(row["h"]))
+
+    sig = signature(e)
+    converged = False
+    for _ in range(max_iter):
+        # large-star over the symmetric view: emit (v, m) for v > u
+        sym = e.select("u", "v").unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+        m = F.least(F.col("_mn"), F.col("u"))
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), m.alias("v"))  # v > u >= m: canonical
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: input already (big, small); m = min neighbor (< u)
+        mins2 = large.groupBy("u").agg(F.min("v").alias("_mn"))
+        e = (
+            large.join(mins2, "u")
+            .select(F.col("v").alias("x"), F.col("_mn").alias("y"))
+            .unionByName(mins2.select(F.col("u").alias("x"),
+                                      F.col("_mn").alias("y")))
+            .filter(F.col("x") != F.col("y"))
+            .select(F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_sig = signature(e)
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not reach a fixed point in "
+            f"{max_iter} rounds — O(log n) convergence means this input is "
+            f"beyond any realistic component count; raise max_iter"
+        )
+    # fixed point = stars rooted at component minima: every edge is
+    # (member, root). Roots label themselves; isolated nodes never appear
+    # in `edges` and are the caller's coalesce case (dedup_clusters).
+    labels = (
+        e.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+        .unionByName(e.select(F.col("v").alias("node"), F.col("v").alias("comp")))
+        .groupBy("node").agg(F.min("comp").alias("comp"))
+    )
+    # nodes only ever seen as the larger endpoint of an original edge still
+    # need a row; the unionByName above covers both endpoints of the FINAL
+    # edge set, which spans every non-isolated node of the input graph
     return labels
 
 
@@ -496,8 +602,16 @@ def mark_contaminated(docs: DataFrame, eval_docs: DataFrame, n: int = 5,
             lambda w: w != "",
         )
         idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-        return F.array_distinct(
+        full = F.array_distinct(
             F.transform(idx, lambda i: F.md5(F.array_join(F.slice(toks, i + 1, n), " ")))
+        )
+        # docs shorter than n words have NO full n-gram — emit nothing
+        # (without the guard, sequence(0, 0) yields one partial < n-word
+        # gram, and two short docs sharing it would be flagged as
+        # contaminated despite sharing no full n-gram). Applied to both
+        # the eval and training sides; the DuckDB oracle mirrors it.
+        return F.when(F.size(toks) >= n, full).otherwise(
+            F.array().cast("array<string>")
         )
 
     eval_grams = (

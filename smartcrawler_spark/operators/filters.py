@@ -28,6 +28,15 @@ from __future__ import annotations
 
 import numpy as np
 
+# Sentinel blob marking a bucket whose cuckoo delta OVERFLOWED: admitted
+# keys could not all be inserted, so the filter pair would return false
+# NEGATIVES (bloom fast path would skip the exact join and re-admit seen
+# URLs). A degraded bucket answers maybe_seen=True for everything — every
+# candidate in it pays the exact join (correct, just slower) until the next
+# bloom rebuild absorbs the delta. 6 bytes, shorter than any valid blob
+# (cuckoo blobs are 8 + n_buckets*8 bytes), so it can never be misparsed.
+CUCKOO_SATURATED = b"\xffCKSAT"
+
 _C1 = np.uint64(0xBF58476D1CE4E5B9)
 _C2 = np.uint64(0x94D049BB133111EB)
 _PHI = np.uint64(0x9E3779B97F4A7C15)
@@ -230,13 +239,17 @@ class SeenFilterState:
         )
 
     def contains_delta(self, keys) -> np.ndarray:
-        """Per-bucket delta membership probe (tests / driver small path)."""
+        """Per-bucket delta membership probe (tests / driver small path).
+        A saturated (degraded) bucket answers True for every key."""
         keys = list(keys)
         buckets = self._bucket_of(keys)
         out = np.zeros(len(keys), dtype=bool)
         for b in set(buckets.tolist()):
-            ck = self._bucket_filter(b)
             mask = buckets == b
+            if self.cuckoos.get(int(b)) == CUCKOO_SATURATED:
+                out[mask] = True
+                continue
+            ck = self._bucket_filter(b)
             out[mask] = ck.contains_many([k for k, m in zip(keys, mask) if m])
         return out
 
@@ -244,6 +257,9 @@ class SeenFilterState:
         return (
             self.rounds_since_rebuild is None
             or self.rounds_since_rebuild >= self.rebuild_every
+            # a degraded bucket forces every candidate in it through the
+            # exact join — rebuild early to restore the fast path
+            or any(v == CUCKOO_SATURATED for v in self.cuckoos.values())
         )
 
     def rebuilt(self, blooms: dict[int, bytes]) -> None:
@@ -261,25 +277,36 @@ class SeenFilterState:
 
     def add_delta(self, url_hashes) -> int:
         """Driver-side small path: insert keys into their buckets' cuckoos.
-        Returns the number actually inserted; on saturation the rest are
-        simply not in any filter => they look 'novel' and pay the exact
-        join (safe)."""
+        Returns the number actually inserted. A bucket that cannot absorb
+        ALL its keys is marked CUCKOO_SATURATED: a key missing from both
+        filters is a false NEGATIVE (the bloom fast path would re-admit it
+        without the exact join), so the degraded bucket must answer
+        maybe_seen=True for everything until the next bloom rebuild."""
         url_hashes = list(url_hashes)
         buckets = self._bucket_of(url_hashes)
         ok = 0
         for b in set(buckets.tolist()):
+            if self.cuckoos.get(int(b)) == CUCKOO_SATURATED:
+                continue  # already degraded; stays degraded until rebuild
+            keys = [k for k, m in zip(url_hashes, buckets == b) if m]
             ck = self._bucket_filter(b)
-            ok += ck.add_many([k for k, m in zip(url_hashes, buckets == b) if m])
-            self.cuckoos[int(b)] = ck.to_bytes()
+            inserted = ck.add_many(keys)
+            ok += inserted
+            self.cuckoos[int(b)] = (
+                ck.to_bytes() if inserted == len(keys) else CUCKOO_SATURATED
+            )
         self.rounds_since_rebuild = (self.rounds_since_rebuild or 0) + 1
         return ok
 
     def remove_delta(self, url_hashes) -> int:
-        """Roll back keys (e.g. a round being replayed after resume)."""
+        """Roll back keys (e.g. a round being replayed after resume).
+        Saturated buckets stay degraded (their contents are unknown)."""
         url_hashes = list(url_hashes)
         buckets = self._bucket_of(url_hashes)
         removed = 0
         for b in set(buckets.tolist()):
+            if self.cuckoos.get(int(b)) == CUCKOO_SATURATED:
+                continue
             ck = self._bucket_filter(b)
             removed += sum(
                 ck.delete(int(k)) for k, m in zip(url_hashes, buckets == b) if m

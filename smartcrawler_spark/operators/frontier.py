@@ -38,7 +38,7 @@ from pyspark.sql.types import BooleanType
 
 from ..functions import urls as U
 from ..functions.relevance import relevance_score_udf
-from .filters import BloomFilter
+from .filters import CUCKOO_SATURATED, BloomFilter
 
 # ---------------------------------------------------------------------------
 # candidate preparation
@@ -92,6 +92,42 @@ def robots_gate(candidates: DataFrame, robots: DataFrame) -> DataFrame:
         candidates.join(F.broadcast(rules), "host", "left")
         .withColumn("robots_blocked", F.coalesce(blocked, F.lit(False)))
         .drop("_prefixes")
+    )
+
+
+def robots_gate_rfc(candidates: DataFrame, rules: DataFrame) -> DataFrame:
+    """Full RFC 9309 §2.2.2 gate: per-host rule structs are broadcast and
+    resolved JVM-side — `filter` keeps the rules whose anchored regex
+    matches the path, `aggregate` folds them to the most specific match
+    (longest pattern wins; tie -> allow wins); no match => allowed. Zero
+    Python per row and no theta join: rule lists ride one broadcast row
+    per host, exactly like the prefix gate.
+
+    rules(host, regex, is_allow, priority) — robots_rules_rfc_from_text
+    output. Adds `robots_blocked`."""
+    per_host = rules.groupBy("host").agg(
+        F.collect_list(F.struct("regex", "is_allow", "priority")).alias("_rules")
+    )
+    path = F.coalesce(U.url_path(F.col("url_canon")), F.lit("/"))
+    matches = F.filter("_rules", lambda r: F.regexp_like(path, r["regex"]))
+    none = F.struct(
+        F.lit(-1).alias("priority"), F.lit(True).alias("is_allow")
+    )
+    best = F.aggregate(
+        matches,
+        none,
+        lambda acc, r: F.when(
+            (r["priority"] > acc["priority"])
+            | ((r["priority"] == acc["priority"]) & r["is_allow"]),
+            F.struct(r["priority"].alias("priority"),
+                     r["is_allow"].alias("is_allow")),
+        ).otherwise(acc),
+    )
+    blocked = (best["priority"] >= 0) & ~best["is_allow"]
+    return (
+        candidates.join(F.broadcast(per_host), "host", "left")
+        .withColumn("robots_blocked", F.coalesce(blocked, F.lit(False)))
+        .drop("_rules")
     )
 
 
@@ -167,7 +203,9 @@ def bloom_maybe_seen(
                 bf = BloomFilter.from_bytes(blob)
                 res[mask] = np.asarray(bf.contains_many(h[mask]), dtype=bool)
             ck_blob = ck_blobs.get(int(b))
-            if ck_blob is not None:
+            if ck_blob == CUCKOO_SATURATED:
+                res[mask] = True  # degraded bucket: exact join for all
+            elif ck_blob is not None:
                 ck = CuckooFilter.from_bytes(ck_blob)
                 res[mask] |= np.asarray(ck.contains_many(h[mask]), dtype=bool)
         return pd.Series(res, index=url_hash.index)
@@ -195,9 +233,14 @@ def update_bucket_cuckoos(
     def upd(pdf: pd.DataFrame) -> pd.DataFrame:
         b = int(pdf["bucket"].iloc[0])
         blob = bcast.value.get(b)
+        if blob == CUCKOO_SATURATED:  # degraded: stays degraded until rebuild
+            return pd.DataFrame({"bucket": [b], "blob": [CUCKOO_SATURATED]})
         ck = CuckooFilter.from_bytes(blob) if blob else CuckooFilter(capacity)
-        ck.add_many(pdf["url_hash"].to_numpy())
-        return pd.DataFrame({"bucket": [b], "blob": [ck.to_bytes()]})
+        inserted = ck.add_many(pdf["url_hash"].to_numpy())
+        # overflow => false NEGATIVES (fast path would re-admit seen URLs):
+        # mark the bucket degraded so every probe in it pays the exact join
+        out = ck.to_bytes() if inserted == len(pdf) else CUCKOO_SATURATED
+        return pd.DataFrame({"bucket": [b], "blob": [out]})
 
     rows = (
         admitted.select(
@@ -274,9 +317,13 @@ def bloom_probe_bucketed(
                     BloomFilter.from_bytes(bytes(bl)).contains_many(h), dtype=bool
                 )
             if ck is not None:
-                res |= np.asarray(
-                    CuckooFilter.from_bytes(bytes(ck)).contains_many(h), dtype=bool
-                )
+                if bytes(ck) == CUCKOO_SATURATED:
+                    res[:] = True  # degraded bucket: exact join for all
+                else:
+                    res |= np.asarray(
+                        CuckooFilter.from_bytes(bytes(ck)).contains_many(h),
+                        dtype=bool,
+                    )
         return pd.DataFrame({"url_hash": left["url_hash"], "maybe_seen": res})
 
     bucket = F.pmod(F.col("url_hash"), F.lit(n_buckets)).cast("int").alias("bucket")
@@ -325,9 +372,20 @@ def update_bucket_cuckoos_df(
                 bloom = bytes(right["bloom"].iloc[0])
             if right["cuckoo"].iloc[0] is not None:
                 ck_blob = bytes(right["cuckoo"].iloc[0])
+        if ck_blob == CUCKOO_SATURATED:  # degraded: stays degraded until rebuild
+            return pd.DataFrame(
+                {"bucket": [b], "bloom": [bloom], "cuckoo": [CUCKOO_SATURATED]}
+            )
         ck = CuckooFilter.from_bytes(ck_blob) if ck_blob else CuckooFilter(capacity)
-        ck.add_many(left["url_hash"].to_numpy())
-        return pd.DataFrame({"bucket": [b], "bloom": [bloom], "cuckoo": [ck.to_bytes()]})
+        inserted = ck.add_many(left["url_hash"].to_numpy())
+        # overflow => false NEGATIVES (an admitted key absent from BOTH
+        # filters makes bloom_probe_bucketed say maybe_seen=False, and
+        # tag_seen's fast path would re-admit it without the exact join):
+        # mark the bucket degraded — probes answer True for everything in
+        # it, restoring correctness at the cost of the exact join, until
+        # the next bloom rebuild absorbs the delta and clears the marker.
+        out = ck.to_bytes() if inserted == len(left) else CUCKOO_SATURATED
+        return pd.DataFrame({"bucket": [b], "bloom": [bloom], "cuckoo": [out]})
 
     bucket = F.pmod(F.col("url_hash"), F.lit(n_buckets)).cast("int").alias("bucket")
     adm = admitted.select(bucket, "url_hash")

@@ -148,8 +148,14 @@ class CrawlJob:
             # executors (one applyInPandas task per bucket, zero driver
             # traffic), and the probe cogroups candidates with their
             # bucket's blob row.
-            rounds_since = self.t_filters.latest_meta().get("rounds_since_rebuild")
-            if rounds_since is None or rounds_since >= self.cfg.bloom_rebuild_every:
+            f_meta = self.t_filters.latest_meta()
+            rounds_since = f_meta.get("rounds_since_rebuild")
+            # filters_degraded: a cuckoo bucket overflowed in a prior round
+            # (every candidate in it pays the exact join) — rebuild early to
+            # absorb the delta and restore the fast path
+            if (rounds_since is None
+                    or rounds_since >= self.cfg.bloom_rebuild_every
+                    or f_meta.get("filters_degraded")):
                 self.t_filters.commit_upsert(
                     FR.build_bucket_blooms_df(frontier, self.cfg.bloom_buckets),
                     changed_buckets=None,  # full replace: delta absorbed
@@ -234,15 +240,31 @@ class CrawlJob:
         if metrics is not None:
             self.t_metrics.append(metrics, meta=lineage)
         if self._pending_filter_update is not None:
+            from pyspark.sql import functions as _F
+
+            from ..operators.filters import CUCKOO_SATURATED
+
             prev_meta = self.t_filters.latest_meta()
+            # persist the (tiny: touched buckets only) update so the
+            # degraded-bucket scan below doesn't re-run the cogroup
+            upd = self._pending_filter_update.persist()
+            degraded = bool(
+                upd.filter(_F.col("cuckoo") == _F.lit(CUCKOO_SATURATED))
+                .limit(1).count()
+            )
             self.t_filters.commit_upsert(
-                self._pending_filter_update, changed_buckets="written",
+                upd, changed_buckets="written",
                 meta={
                     "rounds_since_rebuild":
                         int(prev_meta.get("rounds_since_rebuild", 0)) + 1,
                     "round": round_no,
+                    # survives resume: _admit forces a bloom rebuild next
+                    # round whenever a bucket's cuckoo delta overflowed
+                    "filters_degraded": degraded
+                    or bool(prev_meta.get("filters_degraded")),
                 },
             )
+            upd.unpersist()
             self._pending_filter_update = None
         self.t_frontier.commit_upsert(frontier_changed, changed_buckets,
                                       meta=lineage)

@@ -42,12 +42,14 @@ def _wildcard_prefix(value: str) -> str:
     CONSERVATIVE (never under-block): '*' truncates the pattern (everything
     with the literal prefix before the wildcard is blocked — a superset of
     the rule) and a trailing '$' anchor is dropped (prefix-blocking a
-    superset of the exact-match rule)."""
+    superset of the exact-match rule). A LEADING wildcard ('Disallow: *'
+    or '*.pdf') truncates to the empty string, which as a prefix would
+    block nothing — map it to '/' (block-all) so the contract holds."""
     if "*" in value:
         value = value.split("*", 1)[0]
     if value.endswith("$"):
         value = value[:-1]
-    return value
+    return value or "/"
 
 
 def parse_robots_text(text: str, user_agent: str = "*") -> list[str]:
@@ -141,6 +143,147 @@ def robots_rules_from_text(df: DataFrame, host_col: str = "host",
                 "disallow_prefix"
             ),
         )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt — full RFC 9309 allow/disallow longest-match rules
+# ---------------------------------------------------------------------------
+#
+# The prefix path above is the CONSERVATIVE subset (never under-blocks) the
+# crawl loop's anti-join gate consumes. This section is the full-fidelity
+# RFC 9309 §2.2.2 model: `Allow:` rules, `*`/`$` wildcards, and
+# most-specific-match resolution (longest pattern wins; on a tie, allow
+# wins) — how real sites carve exceptions like
+#     Disallow: /private/
+#     Allow: /private/public.html
+# Reference policy statement: /root/reference/README.md:112 ("respect
+# robots.txt"); the checkout itself never parses robots, so semantics here
+# follow the RFC directly.
+
+
+def robots_pattern_regex(pattern: str) -> str:
+    """RFC 9309 path pattern -> anchored regex. '*' matches any char
+    sequence; a trailing '$' anchors the end; everything else is literal."""
+    import re as _re
+
+    anchored = pattern.endswith("$")
+    core = pattern[:-1] if anchored else pattern
+    body = "".join(".*" if ch == "*" else _re.escape(ch) for ch in core)
+    return "^" + body + ("$" if anchored else "")
+
+
+def parse_robots_rules(text: str, user_agent: str = "*"
+                       ) -> list[tuple[str, bool]]:
+    """Pure-Python kernel (shared by the UDF and the pytest oracle):
+    robots.txt -> [(pattern, is_allow)] for `user_agent`, patterns kept
+    VERBATIM (wildcards intact) for RFC matching.
+
+    Group/agent resolution is identical to parse_robots_text (longest
+    matching agent token wins, tying groups merge); unlike the prefix
+    path, `Allow:` lines are collected as rules rather than only ending
+    the agent-header run. Empty rule values (allow-all / disallow-nothing)
+    emit no rule, per the RFC."""
+    if not text:
+        return []
+    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+    agents: list[str] = []
+    rules: list[tuple[str, bool]] = []
+    in_group_body = False
+    for raw_line in text.splitlines():
+        line = raw_line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            if in_group_body:
+                groups.append((agents, rules))
+                agents, rules = [], []
+                in_group_body = False
+            agents.append(value.lower())
+        elif key in ("disallow", "allow"):
+            in_group_body = True
+            if value:
+                rules.append((value, key == "allow"))
+        elif key == "crawl-delay":
+            in_group_body = True
+        # 'sitemap' and unknown keys: non-group records per RFC 9309
+    if agents or rules:
+        groups.append((agents, rules))
+
+    ua = user_agent.lower()
+
+    def group_score(agent_tokens: list[str]) -> int | None:
+        best = None
+        for a in agent_tokens:
+            if a == "*":
+                score = 0
+            elif a and a in ua:
+                score = len(a)
+            else:
+                continue
+            if best is None or score > best:
+                best = score
+        return best
+
+    scored = [(group_score(agents), rules) for agents, rules in groups]
+    winning = max((s for s, _ in scored if s is not None), default=None)
+    if winning is None:
+        return []
+    merged: list[tuple[str, bool]] = []
+    for s, grules in scored:
+        if s == winning:
+            merged.extend(r for r in grules if r not in merged)
+    return merged
+
+
+def robots_path_allowed(path: str, rules: list[tuple[str, bool]]) -> bool:
+    """RFC 9309 §2.2.2 resolution (pure-Python kernel / pytest oracle):
+    among matching rules the most specific (longest pattern, by octets)
+    wins; on a priority tie, allow wins; no match => allowed."""
+    import re as _re
+
+    best: tuple[int, bool] | None = None
+    for pattern, is_allow in rules:
+        if _re.match(robots_pattern_regex(pattern), path or "/"):
+            key = (len(pattern), is_allow)  # True > False => tie -> allow
+            if best is None or key > best:
+                best = key
+    return best is None or best[1]
+
+
+def robots_rules_rfc_from_text(df: DataFrame, host_col: str = "host",
+                               text_col: str = "robots_txt",
+                               user_agent: str = "*") -> DataFrame:
+    """(host, robots_txt) -> robots_rules_rfc(host, pattern, regex,
+    is_allow, priority) — the full-fidelity rule table consumed by
+    operators.frontier.robots_gate_rfc. One row per rule; `regex` is the
+    precompiled anchored form (JVM regexp_like probes it without Python),
+    `priority` the RFC specificity (pattern octet length)."""
+
+    @pandas_udf("array<struct<pattern:string,regex:string,is_allow:boolean,"
+                "priority:int>>")
+    def _parse(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if not t:
+                return []
+            return [
+                {"pattern": p, "regex": robots_pattern_regex(p),
+                 "is_allow": a, "priority": len(p)}
+                for p, a in parse_robots_rules(t, user_agent)
+            ]
+
+        return texts.map(one)
+
+    return (
+        df.select(
+            F.col(host_col).alias("host"),
+            F.explode(_parse(F.col(text_col))).alias("r"),
+        )
+        .select("host", "r.pattern", "r.regex", "r.is_allow", "r.priority")
         .distinct()
     )
 

@@ -10,8 +10,10 @@ snapshot frontier, using
 
 * `readStream` file source over a drop directory of parquet candidate
   batches,
-* watermarked `dropDuplicates` on url_hash for in-stream dedup (state
-  bounded by the watermark horizon),
+* `dropDuplicatesWithinWatermark` on url_hash for in-stream dedup — the
+  within-watermark variant is what lets the watermark actually evict
+  per-key dedup state (plain `dropDuplicates` without the event-time
+  column in its keys keeps state forever),
 * `foreachBatch` to run the EXACT batch admission pipeline (bloom prefilter
   + exact anti-join + cap) against the committed frontier snapshot — so the
   streaming path shares one implementation and one determinism contract
@@ -35,17 +37,20 @@ CANDIDATE_SCHEMA = "url string, discovered_at timestamp"
 
 def candidate_stream(spark: SparkSession, drop_dir: str,
                      watermark: str = "10 minutes") -> DataFrame:
-    """Streaming candidates: file source -> canonical columns -> watermarked
-    in-stream dedup on the 8-byte url_hash."""
+    """Streaming candidates: file source -> canonical columns -> in-stream
+    dedup on the 8-byte url_hash, state evicted at the watermark horizon."""
     raw = (
         spark.readStream.schema(CANDIDATE_SCHEMA)
         .option("maxFilesPerTrigger", 8)
         .parquet(drop_dir)
     )
     cands = FR.with_url_columns(raw, "url", {})
-    return cands.withWatermark("discovered_at", watermark).dropDuplicates(
-        ["url_hash", "url_canon"]
-    )
+    # within-watermark dedup: bounded state (plain dropDuplicates on keys
+    # that exclude the event-time column is never watermark-evicted); the
+    # exact anti-join in foreachBatch remains the seen-set authority.
+    return cands.withWatermark(
+        "discovered_at", watermark
+    ).dropDuplicatesWithinWatermark(["url_hash", "url_canon"])
 
 
 def run_frontier_ingest(

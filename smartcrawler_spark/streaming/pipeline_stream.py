@@ -6,8 +6,10 @@ A drop directory of raw-document parquet batches flows through
 * `readStream` file source (bounded per-trigger),
 * stateless enrichment — clean text, PII scrub, fingerprint, language ID,
   quality + repetition signals (all whole-stage-codegen column exprs),
-* watermarked `dropDuplicates` on the 64-bit fingerprint for IN-STREAM
-  exact dedup (state bounded by the watermark horizon),
+* `dropDuplicatesWithinWatermark` on the 64-bit fingerprint for IN-STREAM
+  exact dedup — the within-watermark variant is what actually lets the
+  watermark evict dedup state (plain `dropDuplicates` without the event
+  time in its keys keeps state forever),
 * `foreachBatch`: quality gating, benchmark decontamination against a
   broadcast eval n-gram set, an exact anti-join against the committed
   corpus (the cross-run dedup authority, same pattern as the frontier's
@@ -32,8 +34,9 @@ DOC_STREAM_SCHEMA = "doc_id long, text string, fetched_at timestamp"
 
 def document_stream(spark: SparkSession, drop_dir: str,
                     watermark: str = "10 minutes") -> DataFrame:
-    """Streaming documents: file source -> enrichment columns -> watermarked
-    in-stream exact dedup on the fingerprint."""
+    """Streaming documents: file source -> enrichment columns -> in-stream
+    exact dedup on the fingerprint, state evicted at the watermark horizon.
+    """
     raw = (
         spark.readStream.schema(DOC_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", 8)
@@ -54,9 +57,16 @@ def document_stream(spark: SparkSession, drop_dir: str,
         q["stopword_ratio"].alias("stopword_ratio"),
         T.dup_2gram_frac(scrubbed).alias("dup_2gram_frac"),
     )
-    return enriched.withWatermark("fetched_at", watermark).dropDuplicates(
-        ["fingerprint"]
-    )
+    # dropDuplicatesWithinWatermark (not dropDuplicates): with the plain
+    # variant, a dedup key set that excludes the event-time column is never
+    # evicted by the watermark, so a continuous run grows state unboundedly.
+    # The within-watermark variant drops per-key state once the key's last
+    # event time falls behind the watermark — bounded state, and the
+    # snapshot-backed anti-join in foreachBatch stays the cross-horizon
+    # correctness authority.
+    return enriched.withWatermark(
+        "fetched_at", watermark
+    ).dropDuplicatesWithinWatermark(["fingerprint"])
 
 
 def run_document_ingest(

@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 from smartcrawler_spark.operators.filters import (
+    CUCKOO_SATURATED,
     BloomFilter,
     CuckooFilter,
     SeenFilterState,
@@ -34,6 +35,39 @@ def test_cuckoo_add_contains_delete():
     assert not cf.contains_many(keys[:1])[0]
     cf2 = CuckooFilter.from_bytes(cf.to_bytes())
     assert cf2.contains_many(keys[1:]).all()
+
+
+def test_cuckoo_saturation_degrades_bucket_not_membership(tmp_path):
+    """A cuckoo bucket that cannot absorb ALL its keys must answer
+    maybe_seen=True for EVERYTHING (a key absent from both filters is a
+    false negative: the bloom fast path would re-admit a seen URL without
+    the exact join). Saturation marks the bucket CUCKOO_SATURATED."""
+    rng = np.random.default_rng(3)
+    st = SeenFilterState(n_buckets=1, rebuild_every=100, cuckoo_capacity=64)
+    # force overflow: way more keys than the tiny capacity can hold
+    keys = rng.integers(-2**63, 2**63 - 1, 2000, dtype=np.int64).tolist()
+    inserted = st.add_delta(keys)
+    assert inserted < len(keys)  # genuinely overflowed
+    assert st.cuckoos[0] == CUCKOO_SATURATED
+    # EVERY key — inserted, dropped, or never seen — now reads maybe-seen
+    other = rng.integers(-2**63, 2**63 - 1, 50, dtype=np.int64).tolist()
+    assert st.contains_delta(keys).all()
+    assert st.contains_delta(other).all()
+    # degraded bucket forces an early rebuild
+    assert st.needs_rebuild()
+    # further adds/removes keep it degraded (contents unknown)
+    st.add_delta(other)
+    assert st.cuckoos[0] == CUCKOO_SATURATED
+    st.remove_delta(keys[:5])
+    assert st.cuckoos[0] == CUCKOO_SATURATED
+    # persistence keeps the marker
+    p = str(tmp_path / "sat.pkl")
+    st.save(p)
+    st2 = SeenFilterState.load(p)
+    assert st2.cuckoos[0] == CUCKOO_SATURATED and st2.needs_rebuild()
+    # rebuild clears it
+    st.rebuilt({0: BloomFilter(4096).to_bytes()})
+    assert st.cuckoos == {} and not st.needs_rebuild()
 
 
 def test_seen_filter_state_amortization(tmp_path):

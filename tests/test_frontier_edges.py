@@ -92,3 +92,47 @@ def test_top_k_per_group_plan_is_two_phase(spark):
         out._jdf.queryExecution(), "formatted"
     )
     assert plan.count("Window") >= 2
+
+
+def test_cuckoo_overflow_marks_bucket_degraded_df(spark):
+    """update_bucket_cuckoos_df with an overflowing bucket must emit the
+    CUCKOO_SATURATED marker, and bloom_probe_bucketed must then answer
+    maybe_seen=True for EVERY key in that bucket (a key absent from both
+    filters would be a false negative -> duplicate re-admission)."""
+    from smartcrawler_spark.operators.filters import CUCKOO_SATURATED
+
+    n_buckets = 1
+    # far more keys than a capacity-64 cuckoo can hold
+    admitted = spark.range(2000).select((F.col("id") * 7919 + 13).alias("url_hash"))
+    upd = FR.update_bucket_cuckoos_df(admitted, None, n_buckets, capacity=64)
+    rows = upd.collect()
+    assert len(rows) == 1
+    assert bytes(rows[0]["cuckoo"]) == CUCKOO_SATURATED
+
+    # probing the degraded bucket: everything is maybe_seen, including keys
+    # that were never admitted
+    filters_df = spark.createDataFrame(
+        [(0, None, bytearray(CUCKOO_SATURATED))],
+        "bucket int, bloom binary, cuckoo binary",
+    )
+    cands = spark.range(50).select(
+        (F.col("id") * 104729 + 1).alias("url_hash")
+    )
+    probed = FR.bloom_probe_bucketed(cands, filters_df, n_buckets)
+    assert all(r["maybe_seen"] for r in probed.collect())
+
+    # a further update of a degraded bucket keeps the marker
+    upd2 = FR.update_bucket_cuckoos_df(admitted, filters_df, n_buckets, capacity=64)
+    assert bytes(upd2.collect()[0]["cuckoo"]) == CUCKOO_SATURATED
+
+
+def test_cuckoo_no_overflow_keeps_real_blob(spark):
+    from smartcrawler_spark.operators.filters import CUCKOO_SATURATED, CuckooFilter
+
+    admitted = spark.range(100).select((F.col("id") * 7919 + 13).alias("url_hash"))
+    upd = FR.update_bucket_cuckoos_df(admitted, None, 1, capacity=4096)
+    blob = bytes(upd.collect()[0]["cuckoo"])
+    assert blob != CUCKOO_SATURATED
+    ck = CuckooFilter.from_bytes(blob)
+    keys = [i * 7919 + 13 for i in range(100)]
+    assert ck.contains_many(keys).all()

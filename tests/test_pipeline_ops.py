@@ -132,6 +132,46 @@ def test_connected_components_long_chain(spark):
     assert got == {i: 0 for i in range(10)}
 
 
+def test_connected_components_star_matches_union_find(spark):
+    edges = [(1, 2), (2, 3), (5, 6), (8, 9), (9, 1), (20, 21)]
+    uf = UnionFind()
+    for a, b in edges:
+        uf.union(a, b)
+    want = {n: uf.find(n) for ab in edges for n in ab}
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["node"]: r["comp"]
+           for r in DD.connected_components_star(df).collect()}
+    assert got == want
+
+
+def test_connected_components_escalates_past_max_iter(spark):
+    # path graph of diameter 40 with max_iter=5: min-label propagation
+    # CANNOT converge — the default policy escalates to large-star/
+    # small-star, which must return the exact labels (never silently
+    # returning split components)
+    edges = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["node"]: r["comp"]
+           for r in DD.connected_components(df, max_iter=5).collect()}
+    assert got == {i: 0 for i in range(41)}
+
+
+def test_connected_components_raises_when_asked(spark):
+    edges = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        DD.connected_components(df, max_iter=5, on_nonconverged="raise")
+
+
+def test_connected_components_star_long_chain_few_rounds(spark):
+    # O(log n) convergence: a 64-node path collapses well within 64 rounds
+    edges = [(i, i + 1) for i in range(63)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["node"]: r["comp"]
+           for r in DD.connected_components_star(df).collect()}
+    assert got == {i: 0 for i in range(64)}
+
+
 def test_dedup_clusters_includes_singletons(spark):
     docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
     edges = spark.createDataFrame([(1, 3), (3, 5)], "a long, b long")
@@ -146,8 +186,9 @@ def test_dedup_clusters_includes_singletons(spark):
 
 def py_grams(text: str, n: int) -> set[str]:
     toks = _words(text)
-    hi = max(len(toks) - n, 0)
-    return {" ".join(toks[i : i + n]) for i in range(hi + 1)}
+    if len(toks) < n:
+        return set()  # no full n-gram exists — short docs emit nothing
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
 
 
 def test_mark_contaminated_matches_python(spark):
@@ -171,6 +212,27 @@ def test_mark_contaminated_matches_python(spark):
     }
     assert got == want
     assert got[0][1] and got[2][1] and not got[1][1]
+
+
+def test_mark_contaminated_short_docs_never_flagged(spark):
+    # a doc shorter than n words shares NO full n-gram with anything —
+    # without the size(toks) >= n guard, two short docs sharing their
+    # single partial (< n-word) gram were falsely flagged
+    tdf = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    edf = spark.createDataFrame(
+        [(100, "alpha beta gamma"), (101, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_overlap"], r["contaminated"])
+        for r in DD.mark_contaminated(tdf, edf, n=5).collect()
+    }
+    # doc 0 (3 words) emits no 5-gram despite eval doc 100 being identical;
+    # doc 1 shares its full 5-gram with eval doc 101
+    assert got == {0: (0, False), 1: (1, True)}
 
 
 # ---------------------------------------------------------------------------

@@ -5,8 +5,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from smartcrawler_spark.sources.robots_txt import (
+    parse_robots_rules,
     parse_robots_text,
+    robots_path_allowed,
     robots_rules_from_text,
+    robots_rules_rfc_from_text,
     sitemap_urls_from_xml,
 )
 
@@ -146,5 +149,85 @@ Disallow: /exact$
 Disallow: *
 """
     # '*' truncates (over-block, never under-block); trailing '$' dropped;
-    # a bare '*' pattern reduces to empty and emits no rule
-    assert parse_robots_text(txt, "anybot") == ["/cgi/", "/exact"]
+    # a LEADING-wildcard pattern ('Disallow: *') truncates to empty, which
+    # as a prefix would block NOTHING — it maps to '/' (block-all) so the
+    # conservative contract holds
+    assert parse_robots_text(txt, "anybot") == ["/cgi/", "/exact", "/"]
+
+
+# ---------------------------------------------------------------------------
+# RFC 9309 full allow/disallow longest-match (the non-conservative path)
+# ---------------------------------------------------------------------------
+
+RFC_TXT = """
+User-agent: *
+Disallow: /private/
+Allow: /private/public.html
+Disallow: *.pdf$
+Allow: /a
+Disallow: /a
+Allow: /folder
+Disallow: /folder/sub
+"""
+
+
+def test_rfc_rules_collect_allow_and_disallow():
+    rules = parse_robots_rules(RFC_TXT)
+    assert ("/private/public.html", True) in rules
+    assert ("/private/", False) in rules
+    assert ("*.pdf$", False) in rules
+
+
+def test_rfc_longest_match_allow_carveout():
+    rules = parse_robots_rules(RFC_TXT)
+    # longer allow beats shorter disallow
+    assert robots_path_allowed("/private/public.html", rules)
+    assert not robots_path_allowed("/private/secret.html", rules)
+
+
+def test_rfc_tie_goes_to_allow():
+    rules = parse_robots_rules(RFC_TXT)
+    # '/a' appears as BOTH allow and disallow with equal priority: RFC
+    # 9309 2.2.2 -- the least restrictive (allow) rule wins the tie
+    assert robots_path_allowed("/a", rules)
+    assert robots_path_allowed("/abc", rules)
+
+
+def test_rfc_wildcard_and_anchor():
+    rules = parse_robots_rules(RFC_TXT)
+    assert not robots_path_allowed("/files/doc.pdf", rules)  # *.pdf$
+    assert robots_path_allowed("/files/doc.pdfx", rules)     # $ anchored
+    # nested precedence: /folder allowed, /folder/sub disallowed (longer)
+    assert robots_path_allowed("/folder/x", rules)
+    assert not robots_path_allowed("/folder/sub/x", rules)
+
+
+def test_rfc_no_match_is_allowed():
+    assert robots_path_allowed("/anything", [])
+    assert robots_path_allowed("/other", parse_robots_rules(RFC_TXT))
+
+
+def test_rfc_gate_matches_python_kernel(spark):
+    """The Spark robots_gate_rfc (broadcast + JVM regexp fold) must agree
+    with the pure-Python RFC kernel on every candidate."""
+    from smartcrawler_spark.operators.frontier import robots_gate_rfc
+
+    rules = parse_robots_rules(RFC_TXT)
+    paths = [
+        "/private/x", "/private/public.html", "/doc.pdf", "/doc.pdfx",
+        "/a", "/abc", "/b", "/folder/x", "/folder/sub/x", "/",
+    ]
+    rdf = robots_rules_rfc_from_text(
+        spark.createDataFrame([("h.com", RFC_TXT)],
+                              "host string, robots_txt string")
+    )
+    cands = spark.createDataFrame(
+        [("h.com", f"https://h.com{p}") for p in paths]
+        + [("unruled.com", "https://unruled.com/q")],
+        "host string, url_canon string",
+    )
+    got = {r["url_canon"]: r["robots_blocked"]
+           for r in robots_gate_rfc(cands, rdf).collect()}
+    for p in paths:
+        assert got[f"https://h.com{p}"] == (not robots_path_allowed(p, rules)), p
+    assert got["https://unruled.com/q"] is False
