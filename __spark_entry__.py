@@ -3,12 +3,15 @@
 `queries()` exposes one entry per implemented operator shape from
 SURVEY.md §2 plus the training-data-pipeline operators, each runnable on the
 driver's testdata tables; `oracle_sql()` gives the DuckDB-equivalent ANSI
-SQL. The four rows-only entries (no oracle) are the numpy/blake2b
-THROUGHPUT kernels (dedup_minhash, dedup_simhash, ann_lsh, ann_ivf) —
-each is pytest-verified against a pure-Python oracle AND carries an
-engine-portable md5/integer twin of the same algorithm with a full
-value-hash gate (minhash_lsh_portable, simhash_portable, ann_lsh_portable,
-ann_ivf_portable), so every algorithm family is oracle-checked end-to-end.
+SQL. The four numpy/blake2b THROUGHPUT kernels (dedup_minhash,
+dedup_simhash, ann_lsh, ann_ivf) cannot be re-expressed in SQL directly;
+their gates instead read GOLDEN PARQUET computed by an independent
+pure-Python/numpy re-implementation (tools/gen_golden.py, bit-exact vs the
+kernels — invariant enforced by tests/test_golden.py) over the fixed
+sf0.01 driver tables, making them full rows+schema+hash gates. Each
+family additionally carries an engine-portable md5/integer twin with an
+in-SQL gate (minhash_lsh_portable, simhash_portable, ann_lsh_portable,
+ann_ivf_portable) proving the algorithm spec itself.
 
 Numeric discipline for the value-hash comparison: every float column is
 rounded identically on both sides, embeddings are cast to DOUBLE in both
@@ -452,9 +455,9 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_minhash(spark, sf_dir):
-    """MinHash-LSH near-dup dedup survivors. rows-only (blake2b shingle
-    hashing + banding not SQL-expressible); pytest oracle in
-    tests/test_dedup.py."""
+    """MinHash-LSH near-dup dedup survivors (blake2b production kernel).
+    Gated against golden parquet from tools/gen_golden.py (independent
+    pure-Python oracle, bit-exact; tests/test_golden.py enforces)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
     return DD.minhash_dedup(docs, num_perm=64, bands=16).select("doc_id")
 
@@ -468,8 +471,9 @@ def q_minhash_lsh_portable(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash near-dup candidate pairs. rows-only; bit-exact python oracle
-    in tests/test_dedup.py."""
+    """SimHash near-dup candidate pairs (blake2b production kernel). Gated
+    against golden parquet from tools/gen_golden.py (independent
+    pure-Python oracle, bit-exact; tests/test_golden.py enforces)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
     return DD.simhash_candidate_pairs(docs, max_hamming=6)
 
@@ -548,16 +552,20 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    """LSH-bucketed ANN top-10 (scale path). rows-only: recall-bounded
-    approximation, pytest-verified recall in tests/test_similarity.py."""
+    """LSH-bucketed ANN top-10 (seeded-hyperplane production kernel;
+    deterministic). Gated against golden parquet from tools/gen_golden.py
+    (independent numpy oracle replicating the engine's float32/double
+    coercions, bit-exact; tests/test_golden.py enforces)."""
     emb = _t(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     return SIM.cosine_topk_lsh(emb, [float(x) for x in qv], k=10, bits=4, tables=16)
 
 
 def q_ann_ivf(spark, sf_dir):
-    """IVF-bucketed ANN top-10 (partition-pruning scale path). rows-only;
-    recall pytest-verified in tests/test_similarity.py."""
+    """IVF-bucketed ANN top-10 (partition-pruning scale path;
+    deterministic seeded centroids). Gated against golden parquet from
+    tools/gen_golden.py (independent numpy oracle, bit-exact;
+    tests/test_golden.py enforces)."""
     emb = _t(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     return SIM.cosine_topk_ivf(emb, [float(x) for x in qv], k=10,
@@ -1005,6 +1013,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents
             GROUP BY md5(lower({_CLEAN.format(col='text')}))
+        """,
+        # ---- golden-parquet gates for the 4 production (numpy/blake2b)
+        # kernels: the expected outputs are computed by an INDEPENDENT
+        # pure-Python/numpy oracle (tools/gen_golden.py — bit-exactness vs
+        # the kernels enforced by tests/test_golden.py) over the fixed
+        # sf0.01 driver tables, then materialized as parquet the DuckDB
+        # gate reads back. Same rows+schema+hash strength as the in-SQL
+        # oracles; regenerate with `python tools/gen_golden.py` if the
+        # driver testdata ever changes.
+        "dedup_minhash": """
+            SELECT doc_id
+            FROM read_parquet('/root/repo/fixtures/golden/dedup_minhash.parquet')
+        """,
+        "dedup_simhash": """
+            SELECT a, b, hamming
+            FROM read_parquet('/root/repo/fixtures/golden/dedup_simhash.parquet')
+        """,
+        "ann_lsh": """
+            SELECT vec_id, sim
+            FROM read_parquet('/root/repo/fixtures/golden/ann_lsh.parquet')
+        """,
+        "ann_ivf": """
+            SELECT vec_id, sim
+            FROM read_parquet('/root/repo/fixtures/golden/ann_ivf.parquet')
         """,
         "minhash_lsh_portable": r"""
             WITH toks AS (

@@ -1,0 +1,278 @@
+#!/usr/bin/env python3
+"""Golden-parquet oracles for the four production (numpy/blake2b) kernels.
+
+The driver's DuckDB gate needs SQL it can run — but `dedup_minhash`,
+`dedup_simhash`, `ann_lsh` and `ann_ivf` hash with blake2b / seeded numpy
+hyperplanes, which no SQL engine reproduces. Their algorithm SPECS are
+already oracle-gated through the md5/integer portable twins
+(`minhash_lsh_portable`, `simhash_portable`, `ann_lsh_portable`,
+`ann_ivf_portable`); THIS tool closes the remaining gap for the production
+kernels themselves: it recomputes each kernel's expected output with an
+INDEPENDENT pure-Python/numpy implementation (no pyspark, no
+smartcrawler_spark imports — the same re-derivation standard as the pytest
+oracles in tests/test_dedup.py / tests/test_similarity.py) over the fixed
+sf0.01 driver tables, and materializes the result as golden parquet. The
+driver gate then becomes `SELECT * FROM read_parquet(golden)` — a full
+rows+schema+hash check of the production kernel against an independent
+implementation (VERDICT r02 next-step 1: the template_detect trick,
+extended to fixtures).
+
+Bit-exactness notes (each replicates a documented engine-side coercion):
+* Spark `l2_norm` over array<float> multiplies v*v in FLOAT32 (FloatType x
+  FloatType -> FloatType) before accumulating in double; the dot product
+  against the double query literal promotes per-element to double.
+* Spark `round(x, 6)` on doubles goes through BigDecimal(Double.toString)
+  with HALF_UP — identical to Decimal(repr(x)).quantize(..., ROUND_HALF_UP)
+  in Python (both use the shortest decimal representation).
+* LSH/IVF matmuls run float32 numpy in the engine's Arrow UDF; the oracle
+  uses the same dtype and op shapes, and `tests/test_golden.py` asserts
+  generator == Spark output so any BLAS/batching divergence fails loudly.
+
+Regenerate with:  python tools/gen_golden.py [sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+M31 = (1 << 31) - 1
+
+
+def _blake8(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+
+
+def _load(sf_dir: str, table: str):
+    return pq.read_table(f"{sf_dir}/{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash: survivors of MinHash-LSH banding (operators/dedup.py
+# minhash_dedup; num_perm=64, bands=16, shingle_n=3, seed=7, doc_id < 1000)
+# ---------------------------------------------------------------------------
+
+
+def golden_dedup_minhash(sf_dir: str, num_perm=64, bands=16, shingle_n=3,
+                         seed=7, max_doc=1000) -> pa.Table:
+    t = _load(sf_dir, "documents")
+    docs = [
+        (int(i), s if s is not None else "")
+        for i, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+        if int(i) < max_doc
+    ]
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, M31, num_perm, dtype=np.uint64)
+    b = rng.integers(0, M31, num_perm, dtype=np.uint64)
+    r = num_perm // bands
+    sigs: dict[int, tuple] = {}
+    for doc_id, text in docs:
+        toks = text.lower().split()
+        if not toks:
+            sh = set()
+        elif len(toks) < shingle_n:
+            sh = {" ".join(toks)}
+        else:
+            sh = {" ".join(toks[i:i + shingle_n])
+                  for i in range(len(toks) - shingle_n + 1)}
+        if not sh:
+            sig = (0,) * num_perm
+        else:
+            arr = np.fromiter((_blake8(s) & M31 for s in sh),
+                              dtype=np.uint64, count=len(sh))
+            sig = tuple(
+                ((arr[:, None] * a[None, :] + b[None, :]) % np.uint64(M31))
+                .min(axis=0).astype(np.int64).tolist()
+            )
+        sigs[doc_id] = sig
+    # group-min per (band, band-slice): grouping on the slice VALUES is the
+    # same partition the engine's xxhash64(to_json(slice)) bucket induces
+    # (the hash only renames the group key)
+    gmin: dict[tuple, int] = {}
+    for d, sig in sigs.items():
+        for bi in range(bands):
+            key = (bi, sig[bi * r:(bi + 1) * r])
+            if key not in gmin or d < gmin[key]:
+                gmin[key] = d
+    survivors = sorted(
+        d for d, sig in sigs.items()
+        if all(gmin[(bi, sig[bi * r:(bi + 1) * r])] == d for bi in range(bands))
+    )
+    return pa.table({"doc_id": pa.array(survivors, pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# dedup_simhash: chunk-collision candidate pairs with Hamming <= 6
+# (operators/dedup.py simhash_candidate_pairs; seed=11 blake2b bits)
+# ---------------------------------------------------------------------------
+
+
+def _simhash64(text: str) -> int:
+    toks = text.lower().split()
+    if not toks:
+        return 0
+    votes = [0] * 64
+    for w in toks:
+        h = _blake8(w)
+        for i in range(64):
+            votes[i] += 1 if (h >> i) & 1 else -1
+    v = 0
+    for i in range(64):
+        if votes[i] > 0:
+            v |= 1 << i
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def golden_dedup_simhash(sf_dir: str, max_hamming=6, max_doc=1000) -> pa.Table:
+    t = _load(sf_dir, "documents")
+    docs = [
+        (int(i), s if s is not None else "")
+        for i, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+        if int(i) < max_doc
+    ]
+    sig = {d: _simhash64(s) for d, s in docs}
+    buckets: dict[tuple, list[int]] = {}
+    for d, v in sig.items():
+        u = v & ((1 << 64) - 1)
+        for c in range(4):
+            buckets.setdefault((c, (u >> (16 * c)) & 0xFFFF), []).append(d)
+    pairs = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i, da in enumerate(ids):
+            for db in ids[i + 1:]:
+                ua, ub = sig[da] & ((1 << 64) - 1), sig[db] & ((1 << 64) - 1)
+                ham = bin(ua ^ ub).count("1")
+                if ham <= max_hamming:
+                    pairs.add((da, db, ham))
+    rows = sorted(pairs)
+    return pa.table({
+        "a": pa.array([r[0] for r in rows], pa.int64()),
+        "b": pa.array([r[1] for r in rows], pa.int64()),
+        "hamming": pa.array([r[2] for r in rows], pa.int32()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# shared: Spark-coercion-faithful cosine + HALF_UP rounding
+# ---------------------------------------------------------------------------
+
+
+def _round6(x: float) -> float:
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                           rounding=ROUND_HALF_UP))
+
+
+def _spark_cosine(vec_f32: np.ndarray, q: list[float]) -> float:
+    dot = 0.0
+    for xv, yv in zip(vec_f32.tolist(), q):  # f32 widened exactly to double
+        dot += xv * yv
+    na = 0.0
+    for xv in vec_f32:  # v*v in FLOAT32 first (FloatType x FloatType)
+        na += float(np.float32(xv) * np.float32(xv))
+    nb = 0.0
+    for yv in q:
+        nb += yv * yv
+    return _round6(dot / (math.sqrt(na) * math.sqrt(nb)))
+
+
+def _embeddings(sf_dir: str):
+    t = _load(sf_dir, "embeddings")
+    ids = [int(i) for i in t["vec_id"].to_pylist()]
+    vecs = [np.asarray(v, dtype=np.float32) for v in t["embedding"].to_pylist()]
+    return ids, vecs
+
+
+# ---------------------------------------------------------------------------
+# ann_lsh: hyperplane-LSH candidates + exact rerank (operators/similarity.py
+# cosine_topk_lsh; k=10, bits=4, tables=16, seed=5, query = vec_id 0)
+# ---------------------------------------------------------------------------
+
+
+def golden_ann_lsh(sf_dir: str, k=10, bits=4, tables=16, seed=5) -> pa.Table:
+    ids, vecs = _embeddings(sf_dir)
+    dim = len(vecs[0])
+    planes = np.random.default_rng(seed).standard_normal(
+        (tables, bits, dim)).astype(np.float32)
+    qv = vecs[ids.index(0)]
+    q = [float(x) for x in qv]
+    weights = 1 << np.arange(bits, dtype=np.int64)
+    mat = np.stack(vecs)  # float32, all rows at once (engine batches match;
+    # tests/test_golden.py asserts equality so any divergence fails loudly)
+    sigs = np.zeros((len(ids), tables), dtype=np.int64)
+    for ti, plane in enumerate(planes):
+        sigs[:, ti] = ((mat @ plane.T) > 0) @ weights
+    qb = [int(((plane @ np.asarray(q, dtype=np.float32)) > 0) @ weights)
+          for plane in planes]
+    cand = [i for i, vid in enumerate(ids)
+            if any(int(sigs[i, t]) == qb[t] for t in range(tables))]
+    scored = sorted(
+        ((-_spark_cosine(vecs[i], q), ids[i]) for i in cand)
+    )[:k]
+    return pa.table({
+        "vec_id": pa.array([vid for _, vid in scored], pa.int64()),
+        "sim": pa.array([-s for s, _ in scored], pa.float64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# ann_ivf: coarse-cell probe + exact rerank (operators/similarity.py
+# cosine_topk_ivf; k=10, n_centroids=32, nprobe=16, seed=13, query vec_id 0)
+# ---------------------------------------------------------------------------
+
+
+def golden_ann_ivf(sf_dir: str, k=10, n_centroids=32, nprobe=16,
+                   seed=13) -> pa.Table:
+    ids, vecs = _embeddings(sf_dir)
+    dim = len(vecs[0])
+    c = np.random.default_rng(seed).standard_normal(
+        (n_centroids, dim)).astype(np.float32)
+    cents = c / np.linalg.norm(c, axis=1, keepdims=True)
+    qv = vecs[ids.index(0)]
+    q = [float(x) for x in qv]
+    qf = np.asarray(q, dtype=np.float32)
+    qn = qf / (np.linalg.norm(qf) or 1.0)
+    probes = set(np.argsort(-(cents @ qn))[:nprobe].tolist())
+    mat = np.stack(vecs)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    cells = (mat / norms @ cents.T).argmax(axis=1)
+    cand = [i for i in range(len(ids)) if int(cells[i]) in probes]
+    scored = sorted(
+        ((-_spark_cosine(vecs[i], q), ids[i]) for i in cand)
+    )[:k]
+    return pa.table({
+        "vec_id": pa.array([vid for _, vid in scored], pa.int64()),
+        "sim": pa.array([-s for s, _ in scored], pa.float64()),
+    })
+
+
+GOLDENS = {
+    "dedup_minhash": golden_dedup_minhash,
+    "dedup_simhash": golden_dedup_simhash,
+    "ann_lsh": golden_ann_lsh,
+    "ann_ivf": golden_ann_ivf,
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "fixtures/golden"
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    for name, fn in GOLDENS.items():
+        table = fn(sf_dir)
+        path = f"{out_dir}/{name}.parquet"
+        pq.write_table(table, path)
+        print(f"{name}: {table.num_rows} rows -> {path}")
+
+
+if __name__ == "__main__":
+    main()
