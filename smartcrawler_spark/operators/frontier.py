@@ -546,19 +546,51 @@ def politeness_topk(
     )
 
 
-def global_crawl_order(scheduled: DataFrame, round_no: int) -> DataFrame:
+def global_crawl_order(scheduled: DataFrame, round_no: int,
+                       n_partitions: int | None = None) -> DataFrame:
     """crawl_log rows (round, seq, url_canon): the deterministic total order
     the oracle pins (is_root desc, score desc, url_canon asc).
 
-    The final row_number is a single-partition window — fine here because a
-    round's schedule is politeness-bounded (hosts x budget rows), and the
-    contract REQUIRES one total sequence per round. At 10^10 frontier the
-    schedule is still budget-bounded; if a deployment ever needs a huge
-    per-round schedule, swap to zipWithIndex over a range-partitioned sort
-    (same order, same output)."""
-    w = Window.orderBy(*_order())
-    return scheduled.select(
+    The contract requires ONE total sequence per round, but no stage here
+    ever sees the whole schedule: the rows are RANGE-partitioned on the
+    pinned order, each range partition ranks its own slice in parallel
+    (the window's partition key is the range-partition id, so no
+    SinglePartition exchange exists anywhere in the plan), and the global
+    seq is local rank + the sum of earlier partitions' counts (one tiny
+    n_partitions-row collect). Because the order is STRICT (url_canon is
+    unique within a schedule), the result is identical to a single global
+    row_number regardless of where the range boundaries fall.
+
+    The range-partitioned input is localCheckpointed: offsets and ranks
+    must be computed from the SAME materialized partitioning (a lazy
+    recompute could resample different range boundaries between the count
+    pass and the rank pass)."""
+    spark = scheduled.sparkSession
+    n = n_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parts = (
+        scheduled.repartitionByRange(n, *_order())
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    cnts = {
+        r["_pid"]: r["n"]
+        for r in parts.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(cnts):
+        offsets[pid] = acc
+        acc += cnts[pid]
+    if cnts:
+        off_map = F.create_map(
+            *[x for pid in sorted(cnts) for x in (F.lit(pid), F.lit(offsets[pid]))]
+        )
+        offset = F.coalesce(off_map[F.col("_pid")], F.lit(0))
+    else:
+        offset = F.lit(0)  # empty schedule: typed map() literal won't resolve
+    w = Window.partitionBy("_pid").orderBy(*_order())
+    return parts.select(
         F.lit(round_no).alias("round"),
-        F.row_number().over(w).alias("seq"),
+        (F.row_number().over(w) + offset).cast("int").alias("seq"),
         "url_canon",
     )

@@ -178,3 +178,39 @@ def test_ann_portable_twins_are_map_only_topk(spark, sf_dir):
         plan = plan_of(q)
         assert "TakeOrderedAndProject" in plan
         assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_global_crawl_order_has_no_single_partition_stage(spark):
+    """The crawl-log sequence must be computed by parallel range-partition
+    ranking + offsets — no stage may funnel the schedule through ONE
+    partition (the round-2 implementation's single-partition window was
+    the first stage to melt at scale)."""
+    from smartcrawler_spark.operators import frontier as FR
+
+    sched = spark.range(500).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 37), F.lit(".com/p"),
+                 F.col("id")).alias("url_canon"),
+        (F.col("id") % 7 == 0).alias("is_root"),
+        (F.col("id") % 13).cast("double").alias("score"),
+    )
+    out = FR.global_crawl_order(sched, round_no=3, n_partitions=8)
+    plan = plan_of(out)
+    assert "SinglePartition" not in plan
+    # output equality vs the single-window specification
+    rows = out.orderBy("seq").collect()
+    want = sorted(
+        sched.collect(),
+        key=lambda r: (not r["is_root"], -r["score"], r["url_canon"]),
+    )
+    assert [r["url_canon"] for r in rows] == [r["url_canon"] for r in want]
+    assert [r["seq"] for r in rows] == list(range(1, len(want) + 1))
+    assert all(r["round"] == 3 for r in rows)
+
+
+def test_global_crawl_order_empty_schedule(spark):
+    from smartcrawler_spark.operators import frontier as FR
+
+    sched = spark.createDataFrame(
+        [], "url_canon string, is_root boolean, score double"
+    )
+    assert FR.global_crawl_order(sched, round_no=0).count() == 0
