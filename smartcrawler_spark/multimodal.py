@@ -6,12 +6,17 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
 
 Decode kernels, two tiers:
 
-* `decoder="real"` — a REAL pure-numpy image codec for PPM (P6) and
-  uncompressed 24/32-bit BMP (`decode_image` below): the container has no
-  PIL/ffmpeg, but these formats need only header parsing + a reshape, so
-  image decode, feature extraction, and resize are genuinely end-to-end on
-  real pixel data. Formats beyond PPM/BMP (JPEG/PNG/video) raise
-  NotImplementedError at the exact point a PIL/ffmpeg call would go.
+* `decoder="real"` — a REAL pure-stdlib+numpy image codec (`decode_image`
+  below) for:
+    - PNG: full zlib inflate + per-row filter reconstruction (None/Sub/Up/
+      Average/Paeth per RFC 2083 §6), 8-bit depth, color types gray/RGB/
+      palette/gray+alpha/RGBA, non-interlaced — the profile virtually all
+      real-corpus PNGs use (interlaced Adam7 and 16-bit return None);
+    - PPM (P6) and uncompressed 24/32-bit BMP (header + reshape).
+  Image decode, feature extraction, and resize are genuinely end-to-end on
+  real pixel data for all three formats. JPEG (DCT entropy coding) and
+  video raise NotImplementedError at the exact point a PIL/ffmpeg call
+  would go.
 * `decoder="fake"` — deterministic bytes (seeded from the media_ref hash)
   with correct shapes, for plumbing tests and for synthesizing corpora.
 
@@ -55,9 +60,12 @@ def _fake_bytes(media_ref: str, n: int) -> bytes:
 
 
 def decode_image(payload: bytes) -> np.ndarray | None:
-    """Decode PPM (P6, maxval 255) or uncompressed 24/32-bit BI_RGB BMP
-    bytes to an HxWx3 uint8 RGB array. Returns None for anything else
-    (JPEG/PNG need a real imaging stack). Pure stdlib+numpy."""
+    """Decode PNG (8-bit, non-interlaced), PPM (P6, maxval 255) or
+    uncompressed 24/32-bit BI_RGB BMP bytes to an HxWx3 uint8 RGB array.
+    Returns None for anything else (JPEG needs a real imaging stack).
+    Pure stdlib+numpy."""
+    if payload[:8] == _PNG_SIG:
+        return _decode_png(payload)
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
@@ -115,6 +123,154 @@ def _decode_bmp(payload: bytes) -> np.ndarray | None:
     px = rows[:, : w * bypp].reshape(h, w, bypp)
     rgb = px[:, :, [2, 1, 0]]  # stored BGR(A) -> RGB
     return rgb if top_down else rgb[::-1].copy()
+
+
+# -- PNG (RFC 2083 / W3C PNG spec): zlib inflate + filter reconstruction ----
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/px
+
+
+def _decode_png(payload: bytes) -> np.ndarray | None:
+    """PNG -> HxWx3 uint8 RGB. Supported profile: bit depth 8, color types
+    0/2/3/4/6, non-interlaced (what real web corpora overwhelmingly carry);
+    16-bit or Adam7-interlaced images return None. Alpha is dropped,
+    grayscale broadcast to RGB, palette entries resolved via PLTE.
+
+    The two real decode stages (public spec, no imaging stack needed):
+    * zlib.decompress over the concatenated IDAT stream;
+    * per-scanline filter reconstruction — each row is prefixed with a
+      filter byte; Sub/Up/Average/Paeth are exact byte recurrences on the
+      reconstructed left/up/up-left neighbors (spec §6). Up and None are
+      vectorized row ops; Sub is a per-channel cumulative sum mod 256;
+      Average/Paeth carry an intra-row data dependency and run as a per-byte
+      loop on only the rows that use them."""
+    import struct
+
+    if payload[:8] != _PNG_SIG:
+        return None
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc32
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr[:13])
+    channels = _PNG_CHANNELS.get(color)
+    if (comp != 0 or filt != 0 or interlace != 0 or depth != 8
+            or channels is None or w == 0 or h == 0):
+        return None
+    if color == 3 and plte is None:
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels  # bytes per pixel at depth 8
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        row = np.frombuffer(raw, np.uint8, stride, pos + 1).copy()
+        pos += stride + 1
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub: recon[x] = raw[x] + recon[x-bpp]
+            row = (np.cumsum(row.reshape(w, bpp), axis=0, dtype=np.int64)
+                   & 0xFF).astype(np.uint8).reshape(stride)
+        elif ft == 2:  # Up
+            row += prev
+        elif ft == 3:  # Average
+            for x in range(stride):
+                left = int(row[x - bpp]) if x >= bpp else 0
+                row[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                a = int(row[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            return None
+        out[y] = row
+        prev = row
+    px = out.reshape(h, w, channels)
+    if color == 2:
+        return px.copy()
+    if color == 6:
+        return px[:, :, :3].copy()
+    if color == 0:
+        return np.repeat(px, 3, axis=2)
+    if color == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    # color == 3: palette lookup
+    pal = np.frombuffer(plte, dtype=np.uint8)
+    pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3)
+    idx = px[:, :, 0]
+    if idx.max(initial=0) >= len(pal):
+        return None
+    return pal[idx]
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """uint8 image -> PNG bytes (for corpus synthesis and tests). Accepts
+    HxW (gray), HxWx3 (RGB) or HxWx4 (RGBA); every scanline uses
+    `filter_type` (0=None default; 1/2 exercise Sub/Up decode paths —
+    the encoder applies the spec's forward filter so decode must invert)."""
+    import struct
+
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        color, px = 0, arr[:, :, None]
+    elif arr.shape[2] == 3:
+        color, px = 2, arr
+    elif arr.shape[2] == 4:
+        color, px = 6, arr
+    else:
+        raise ValueError(f"unsupported shape {arr.shape}")
+    h, w, channels = px.shape
+    bpp = channels
+    lines = []
+    prev = np.zeros(w * channels, dtype=np.uint8)
+    for y in range(h):
+        row = px[y].reshape(-1)
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:  # Sub: raw[x] - raw[x-bpp]
+            shifted = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]])
+            filt = row - shifted
+        elif filter_type == 2:  # Up
+            filt = row - prev
+        else:
+            raise ValueError("encoder supports filter types 0/1/2")
+        lines.append(bytes([filter_type]) + filt.tobytes())
+        prev = row
+    raw = b"".join(lines)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
 
 
 def encode_ppm(arr: np.ndarray) -> bytes:
@@ -175,8 +331,8 @@ def media_assets_from_spans(docs: DataFrame, decoder: str = "fake") -> DataFrame
 
 def image_assets_from_bytes(raw: DataFrame, ref_col: str = "media_ref",
                             payload_col: str = "payload") -> DataFrame:
-    """REAL image ingestion: (media_ref, payload) rows with actual PPM/BMP
-    bytes -> the standard asset table with decoded width/height metadata.
+    """REAL image ingestion: (media_ref, payload) rows with actual
+    PNG/PPM/BMP bytes -> the standard asset table with decoded width/height metadata.
     Undecodable payloads are dropped (the scrub step a real pipeline wants).
     Same Arrow-streamed, hash-repartitioned shape as the synthesized path."""
 
@@ -210,7 +366,7 @@ def image_assets_from_bytes(raw: DataFrame, ref_col: str = "media_ref",
 def extract_features(assets: DataFrame, dim: int = 16, decoder: str = "fake") -> DataFrame:
     """payload -> feature vector (the 'embed the image' stage).
 
-    real: decode PPM/BMP pixels (decode_image) and compute an L2-normalized
+    real: decode PNG/PPM/BMP pixels (decode_image) and compute an L2-normalized
     `dim`-bin intensity histogram over the actual pixel values (JPEG/PNG —
     anything decode_image can't read — raises where a PIL call would go).
     fake: the same histogram math over the raw payload bytes — real
@@ -224,8 +380,8 @@ def extract_features(assets: DataFrame, dim: int = 16, decoder: str = "fake") ->
                     img = decode_image(bytes(payload))
                     if img is None:
                         raise NotImplementedError(
-                            "payload is not PPM/BMP; plug PIL here for "
-                            "JPEG/PNG"
+                            "payload is not PNG/PPM/BMP; plug PIL here "
+                            "for JPEG"
                         )
                     arr = img.reshape(-1)
                 else:
@@ -266,8 +422,8 @@ def media_near_dup(docs: DataFrame, threshold: float = 0.98, dim: int = 16,
 def resize_images(assets: DataFrame, max_side: int = 32, decoder: str = "fake") -> DataFrame:
     """Image thumbnailing stage.
 
-    real: decode PPM/BMP pixels and stride-subsample the decoded image
-    (nearest-neighbor downscale; non-PPM/BMP raises where PIL would go).
+    real: decode PNG/PPM/BMP pixels and stride-subsample the decoded image
+    (nearest-neighbor downscale; JPEG raises where PIL would go).
     fake: the same stride math over the payload bytes reinterpreted at the
     metadata's claimed geometry."""
 
@@ -281,7 +437,7 @@ def resize_images(assets: DataFrame, max_side: int = 32, decoder: str = "fake") 
                     arr = decode_image(bytes(r["payload"]))
                     if arr is None:
                         raise NotImplementedError(
-                            "payload is not PPM/BMP; plug PIL here"
+                            "payload is not PNG/PPM/BMP; plug PIL here for JPEG"
                         )
                 else:
                     arr = np.frombuffer(r["payload"], dtype=np.uint8).reshape(

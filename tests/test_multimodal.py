@@ -176,3 +176,162 @@ def test_real_image_pipeline_end_to_end(spark):
         assert (t["thumb_h"], t["thumb_w"]) == want.shape[:2]
         assert bytes(t["thumb"]) == want.tobytes()
     assets.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# PNG codec (pure zlib+numpy decode vs an independent per-byte reference)
+# ---------------------------------------------------------------------------
+
+import struct as _struct
+import zlib as _zlib
+
+import numpy as np
+
+
+def _ref_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (_struct.pack(">I", len(data)) + ctype + data
+            + _struct.pack(">I", _zlib.crc32(ctype + data)))
+
+
+def _ref_forward_filter(px: np.ndarray, ftype: int) -> bytes:
+    """Independent per-byte forward filter straight from the PNG spec —
+    decode must invert this exactly."""
+    h, w, c = px.shape
+    out = b""
+    prev = bytes(w * c)
+    for y in range(h):
+        row = px[y].tobytes()
+        filt = bytearray(w * c)
+        for x in range(w * c):
+            a = row[x - c] if x >= c else 0
+            b = prev[x]
+            cc = prev[x - c] if x >= c else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            filt[x] = (row[x] - pred) & 0xFF
+        out += bytes([ftype]) + bytes(filt)
+        prev = row
+    return out
+
+
+def _ref_png(px: np.ndarray, color: int, ftype: int,
+             plte: bytes | None = None) -> bytes:
+    h, w = px.shape[:2]
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    body = _ref_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        body += _ref_chunk(b"PLTE", plte)
+    raw = _ref_forward_filter(px, ftype)
+    # split IDAT in two chunks: decode must concatenate the stream
+    z = _zlib.compress(raw)
+    mid = len(z) // 2
+    body += _ref_chunk(b"IDAT", z[:mid]) + _ref_chunk(b"IDAT", z[mid:])
+    return b"\x89PNG\r\n\x1a\n" + body + _ref_chunk(b"IEND", b"")
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_rgb_all_filter_types(ftype):
+    rng = np.random.default_rng(100 + ftype)
+    px = rng.integers(0, 256, (11, 7, 3), dtype=np.uint8)
+    got = MM.decode_image(_ref_png(px[:, :, :3], color=2, ftype=ftype))
+    assert got is not None and np.array_equal(got, px)
+
+
+def test_png_color_types():
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 256, (6, 5, 1), dtype=np.uint8)
+    got = MM.decode_image(_ref_png(gray, color=0, ftype=4))
+    assert np.array_equal(got, np.repeat(gray, 3, axis=2))
+
+    ga = rng.integers(0, 256, (6, 5, 2), dtype=np.uint8)
+    got = MM.decode_image(_ref_png(ga, color=4, ftype=2))
+    assert np.array_equal(got, np.repeat(ga[:, :, :1], 3, axis=2))
+
+    rgba = rng.integers(0, 256, (4, 9, 4), dtype=np.uint8)
+    got = MM.decode_image(_ref_png(rgba, color=6, ftype=1))
+    assert np.array_equal(got, rgba[:, :, :3])
+
+    # palette: 8 entries, indices within range
+    plte = bytes(rng.integers(0, 256, 8 * 3, dtype=np.uint8))
+    idx = rng.integers(0, 8, (5, 5, 1), dtype=np.uint8)
+    got = MM.decode_image(_ref_png(idx, color=3, ftype=0, plte=plte))
+    pal = np.frombuffer(plte, np.uint8).reshape(8, 3)
+    assert np.array_equal(got, pal[idx[:, :, 0]])
+
+
+def test_png_encoder_roundtrip():
+    rng = np.random.default_rng(21)
+    for ftype in (0, 1, 2):
+        px = rng.integers(0, 256, (16, 12, 3), dtype=np.uint8)
+        assert np.array_equal(MM.decode_image(MM.encode_png(px, ftype)), px)
+    gray = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    assert np.array_equal(
+        MM.decode_image(MM.encode_png(gray)),
+        np.repeat(gray[:, :, None], 3, axis=2),
+    )
+    rgba = rng.integers(0, 256, (8, 8, 4), dtype=np.uint8)
+    assert np.array_equal(MM.decode_image(MM.encode_png(rgba)), rgba[:, :, :3])
+
+
+def test_png_unsupported_profiles_return_none():
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    ok = _ref_png(px, color=2, ftype=0)
+    # 16-bit depth
+    bad_ihdr = _struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    bad = (b"\x89PNG\r\n\x1a\n" + _ref_chunk(b"IHDR", bad_ihdr)
+           + _ref_chunk(b"IDAT", _zlib.compress(b"\x00" * 100))
+           + _ref_chunk(b"IEND", b""))
+    assert MM.decode_image(bad) is None
+    # interlaced
+    il_ihdr = _struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
+    bad = (b"\x89PNG\r\n\x1a\n" + _ref_chunk(b"IHDR", il_ihdr)
+           + _ref_chunk(b"IDAT", _zlib.compress(b"\x00" * 100))
+           + _ref_chunk(b"IEND", b""))
+    assert MM.decode_image(bad) is None
+    # truncated IDAT / corrupt deflate
+    assert MM.decode_image(ok[:40]) is None
+    # JPEG magic stays at the declared seam
+    assert MM.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 64) is None
+
+
+def test_png_real_pipeline_end_to_end(spark):
+    """PNG payloads flow through the REAL decode tier: ingestion extracts
+    true dimensions, features/thumbnails equal those of the same pixels
+    shipped as PPM (decode-format invariance)."""
+    rng = np.random.default_rng(5)
+    imgs = {f"img{i}.png": rng.integers(0, 256, (24 + i, 17, 3), dtype=np.uint8)
+            for i in range(4)}
+    rows = [(ref, bytearray(MM.encode_png(px, filter_type=1)))
+            for ref, px in imgs.items()]
+    rows += [("junk.jpg", bytearray(b"\xff\xd8not-an-image"))]
+    raw = spark.createDataFrame(rows, "media_ref string, payload binary")
+    assets = MM.image_assets_from_bytes(raw)
+    got = {r["media_ref"]: r for r in assets.collect()}
+    assert set(got) == set(imgs)  # undecodable junk dropped
+    for ref, px in imgs.items():
+        assert (got[ref]["width"], got[ref]["height"]) == (px.shape[1], px.shape[0])
+
+    ppm_rows = [(ref, bytearray(MM.encode_ppm(px))) for ref, px in imgs.items()]
+    ppm_assets = MM.image_assets_from_bytes(
+        spark.createDataFrame(ppm_rows, "media_ref string, payload binary"))
+    f_png = {r["media_ref"]: r["feature"]
+             for r in MM.extract_features(assets, decoder="real").collect()}
+    f_ppm = {r["media_ref"]: r["feature"]
+             for r in MM.extract_features(ppm_assets, decoder="real").collect()}
+    assert f_png == f_ppm
+    t_png = {r["media_ref"]: (bytes(r["thumb"]), r["thumb_w"], r["thumb_h"])
+             for r in MM.resize_images(assets, decoder="real").collect()}
+    t_ppm = {r["media_ref"]: (bytes(r["thumb"]), r["thumb_w"], r["thumb_h"])
+             for r in MM.resize_images(ppm_assets, decoder="real").collect()}
+    assert t_png == t_ppm
