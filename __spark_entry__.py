@@ -163,6 +163,50 @@ def q_robots_prefix_gate(spark, sf_dir):
     return gated.select("doc_id", "source")
 
 
+def q_robots_rfc_gate(spark, sf_dir):
+    """RFC 9309 §2.2.2 allow/disallow longest-match resolution
+    (operators.frontier.robots_gate_rfc): per-host rule structs broadcast,
+    JVM regexp filter + aggregate fold to the most specific match (longest
+    pattern wins; tie -> allow). Exercises the carve-out (longer Allow
+    inside a Disallow subtree), the $-anchored wildcard, the tie->allow
+    rule, and unruled hosts. Rules are synthesized relationally so the
+    DuckDB oracle resolves the same table with regexp_matches + arg_max."""
+    from smartcrawler_spark.operators.frontier import robots_gate_rfc
+
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 400)
+    k = F.col("c_custkey")
+    host = F.concat(F.lit("h"), (k % 20).cast("string"), F.lit(".example.com"))
+    path = (
+        F.when(k % 5 == 0, F.concat(F.lit("/private/doc"), k.cast("string"),
+                                    F.lit(".html")))
+        .when(k % 5 == 1, F.lit("/private/pub.html"))
+        .when(k % 5 == 2, F.concat(F.lit("/files/f"), k.cast("string"),
+                                   F.lit(".pdf")))
+        .when(k % 5 == 3, F.lit("/page1"))
+        .otherwise(F.concat(F.lit("/other"), k.cast("string")))
+    )
+    cands = cust.select(
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, path).alias("url_canon"),
+    )
+    rules_rows = []
+    for i in range(10):  # hosts h10..h19 stay unruled -> always allowed
+        h = f"h{i}.example.com"
+        rules_rows += [
+            (h, "^/private/", False, 9),
+            (h, r"^/private/pub\.html", True, 17),
+            (h, r"^.*\.pdf$", False, 6),
+            (h, "^/page1", False, 6),
+            (h, "^/page1", True, 6),  # exact tie -> allow wins
+        ]
+    rules = spark.createDataFrame(
+        rules_rows, "host string, regex string, is_allow boolean, priority int"
+    )
+    return robots_gate_rfc(cands, rules).select(
+        "host", "url_canon", "robots_blocked"
+    )
+
+
 def q_crawl_order_emission(spark, sf_dir):
     """W2 — deterministic total-order emission (crawl_log shape)."""
     ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "click")
@@ -677,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_topk": q_politeness_topk,
         "broadcast_semi_mark": q_broadcast_semi_mark,
         "robots_prefix_gate": q_robots_prefix_gate,
+        "robots_rfc_gate": q_robots_rfc_gate,
         "crawl_order_emission": q_crawl_order_emission,
         "crawl_two_rounds": q_crawl_two_rounds,
         "url_canonicalize": q_url_canonicalize,
@@ -837,6 +882,42 @@ def oracle_sql() -> dict[str, str]:
         "robots_prefix_gate": """
             SELECT doc_id, source FROM documents
             WHERE NOT (starts_with(source, 'src1') OR starts_with(source, 'src0'))
+        """,
+        "robots_rfc_gate": """
+            WITH c AS (
+              SELECT c_custkey AS k,
+                     'h' || CAST(c_custkey % 20 AS VARCHAR) || '.example.com' AS host,
+                     CASE CAST(c_custkey % 5 AS INT)
+                       WHEN 0 THEN '/private/doc' || CAST(c_custkey AS VARCHAR) || '.html'
+                       WHEN 1 THEN '/private/pub.html'
+                       WHEN 2 THEN '/files/f' || CAST(c_custkey AS VARCHAR) || '.pdf'
+                       WHEN 3 THEN '/page1'
+                       ELSE '/other' || CAST(c_custkey AS VARCHAR) END AS path
+              FROM customer WHERE c_custkey < 400
+            ), r AS (
+              SELECT 'h' || CAST(i AS VARCHAR) || '.example.com' AS host,
+                     v.regex, v.is_allow, v.priority
+              FROM range(10) t(i), (VALUES
+                ('^/private/', false, 9),
+                ('^/private/pub\\.html', true, 17),
+                ('^.*\\.pdf$', false, 6),
+                ('^/page1', false, 6),
+                ('^/page1', true, 6)) v(regex, is_allow, priority)
+            ), m AS (
+              SELECT c.k, c.host, c.path, r.is_allow, r.priority
+              FROM c LEFT JOIN r
+                ON c.host = r.host AND regexp_matches(c.path, r.regex)
+            ), g AS (
+              -- most specific match: max (priority, is_allow) — the
+              -- composite 2*priority + is_allow makes ties resolve to allow
+              SELECT k, host, path, count(priority) AS nm,
+                     arg_max(is_allow,
+                             priority * 2 + CAST(is_allow AS INT)) AS best_allow
+              FROM m GROUP BY k, host, path
+            )
+            SELECT host, 'https://' || host || path AS url_canon,
+                   (nm > 0 AND NOT best_allow) AS robots_blocked
+            FROM g
         """,
         "crawl_order_emission": """
             SELECT row_number() OVER (ORDER BY value DESC, event_id ASC) AS seq,

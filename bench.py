@@ -113,13 +113,19 @@ def _scheduled_plan(spark, raw, seen, robots, budgets, cap):
         ["url_canon"]
     )
     gated = FR.robots_gate(cands, robots)
-    # two equivalent bloom-prefilter paths (equality pytest-verified):
+    # three selectable prefilter paths (on-path equality pytest-verified;
+    # off-path output equality asserted by --bloom-compare):
     #   broadcast — blobs collect to the driver and broadcast whole; fast at
     #               sandbox scale, impossible at 10^10 keys (~12 GB blobs)
     #   bucketed  — executor-built blob table cogrouped with candidates per
     #               bucket; zero driver traffic however large the frontier
     #               (the engine crawl loop's path; plans/crawl.py:150)
-    if os.environ.get("SPARK_GRAFT_BLOOM_PATH", "broadcast") == "bucketed":
+    #   off       — no prefilter: every candidate pays the exact anti-join
+    #               (the control --bloom-compare measures the bloom against)
+    bloom_path = os.environ.get("SPARK_GRAFT_BLOOM_PATH", "broadcast")
+    if bloom_path == "off":
+        pre = gated.persist()
+    elif bloom_path == "bucketed":
         blobs_df = FR.build_bucket_blooms_df(seen, n_buckets=32)
         pre = FR.bloom_probe_bucketed(gated, blobs_df, n_buckets=32).persist()
     else:
@@ -292,6 +298,130 @@ def run_scaling(sf_dir: str, n_low: int = 1, n_high: int = 4,
         "efficiency": round(eff, 3),
         "sf": sf_dir,
         "detail": results,
+    }
+
+
+_PROBE_TPL = (
+    "import numpy as np\n"
+    "a = np.arange({n}, dtype=np.uint64)\n"
+    "acc = 0\n"
+    "for i in range({it}):\n"
+    "    acc ^= int(((a * np.uint64(0x9E3779B97F4A7C15 + i)) >> np.uint64(29)).sum())\n"
+)
+
+
+def _probe_procs(n: int, it: int, k: int) -> float:
+    """Wall seconds for k concurrent no-Spark probe processes."""
+    t0 = time.time()
+    ps = [subprocess.Popen([sys.executable, "-c", _PROBE_TPL.format(n=n, it=it)])
+          for _ in range(k)]
+    for p in ps:
+        if p.wait() != 0:
+            raise RuntimeError("probe failed")
+    return round(time.time() - t0, 2)
+
+
+def _quick_probe() -> dict:
+    """One-shot DRAM-contention check (subset of --probe-bandwidth): the
+    bandwidth-bound streaming kernel at 1 and 4 processes. On an unloaded
+    box eff_4 ~= 1.0; co-tenant DRAM contention (what invalidated the
+    round-2 wide measurements) collapses it (0.18 observed)."""
+    w1 = _probe_procs(64_000_000, 4, 1)
+    w4 = _probe_procs(64_000_000, 4, 4)
+    return {"ts": round(time.time(), 1), "wall_1": w1, "wall_4": w4,
+            "eff_4": round(w1 / w4, 3)}
+
+
+def run_scaling_qualified(sf_dir: str, min_eff4: float = 0.6,
+                          attempts: int = 6, cooldown_s: float = 120.0) -> dict:
+    """Probe-QUALIFIED scaling measurement (VERDICT r02 item 3): the
+    1x2 -> 4x2-core executor pair only counts when no-Spark control probes
+    bracket it in a clean window — probe BEFORE (box must show
+    bandwidth-bound 4-process efficiency >= min_eff4 and a 1-process wall
+    within 2x the best seen) and probe AFTER (window must not have degraded
+    mid-measurement). Unqualified windows retry after `cooldown_s`, and
+    every probe lands in the output either way, so a box that never offers
+    a clean window still yields an honest time series."""
+    probes: list[dict] = []
+    best_w1: float | None = None
+    pair: dict | None = None
+
+    def ok(p: dict) -> bool:
+        return p["eff_4"] >= min_eff4 and p["wall_1"] <= 2 * (best_w1 or p["wall_1"])
+
+    for attempt in range(1, attempts + 1):
+        p0 = {**_quick_probe(), "when": f"attempt{attempt}-pre"}
+        probes.append(p0)
+        best_w1 = min(best_w1 or p0["wall_1"], p0["wall_1"])
+        if not ok(p0):
+            time.sleep(cooldown_s)
+            continue
+        pair = run_scaling(sf_dir, n_low=1, n_high=4, cores_per_exec=2)
+        p1 = {**_quick_probe(), "when": f"attempt{attempt}-post"}
+        probes.append(p1)
+        best_w1 = min(best_w1, p1["wall_1"])
+        if ok(p1):
+            return {
+                "metric": "probe-qualified frontier scaling efficiency "
+                          "(1 -> 4 executor JVMs x 2 cores; no-Spark DRAM "
+                          "controls clean before AND after)",
+                "qualified": True,
+                "efficiency": pair["efficiency"],
+                "urls_per_sec_low": pair["urls_per_sec_low"],
+                "urls_per_sec_high": pair["urls_per_sec_high"],
+                "probes": probes,
+                "pair": pair,
+            }
+        time.sleep(cooldown_s)
+    return {
+        "metric": "probe-qualified frontier scaling efficiency — NO clean "
+                  "window found on this box",
+        "qualified": False,
+        "probes": probes,
+        "last_pair": pair,
+    }
+
+
+def run_bloom_compare(sf_dir: str, mults=(4, 16),
+                      paths=("off", "broadcast", "bucketed")) -> dict:
+    """Quantify the bloom prefilter (VERDICT r02 item 8): the full frontier
+    round with the prefilter OFF (every candidate pays the exact anti-join)
+    vs ON via both blob transports, at 3M (mult=4) and 12M (mult=16) URLs.
+    Each cell is a fresh subprocess (2 warm-ups, best-of-2 measured).
+    NB the ON cells rebuild the blobs INSIDE the measured round; the engine
+    amortizes rebuilds over `bloom_rebuild_every` rounds, so the steady-
+    state win is at least the number reported here."""
+    out: dict[str, dict] = {}
+    for mult in mults:
+        sched = set()
+        for path in paths:
+            env = dict(os.environ, SPARK_GRAFT_FRONTIER_MULT=str(mult),
+                       SPARK_GRAFT_BLOOM_PATH=path, SPARK_GRAFT_SF_DIR=sf_dir,
+                       SPARK_GRAFT_SCORE_IMPL=os.environ.get(
+                           "SPARK_GRAFT_SCORE_IMPL", "jvm"))
+            proc = subprocess.run(
+                [sys.executable, __file__, "--frontier-only"],
+                capture_output=True, text=True, env=env, timeout=3600,
+            )
+            line = [ln for ln in proc.stdout.strip().splitlines()
+                    if ln.startswith("{")][-1]
+            r = json.loads(line)
+            out[f"mult{mult}_{path}"] = r
+            sched.add(r["scheduled"])
+        # prefilter is an optimization, never a semantics change
+        out[f"mult{mult}_scheduled_identical"] = len(sched) == 1
+    summary = {}
+    for mult in mults:
+        off = out[f"mult{mult}_off"]["urls_per_sec"]
+        for path in paths[1:]:
+            on = out[f"mult{mult}_{path}"]["urls_per_sec"]
+            summary[f"mult{mult}_{path}_speedup_vs_off"] = round(on / off, 3)
+    return {
+        "metric": "frontier round urls/sec, bloom prefilter off vs on "
+                  "(blob rebuild INSIDE the measured round; engine "
+                  "amortizes it over bloom_rebuild_every rounds)",
+        **summary,
+        "detail": out,
     }
 
 
@@ -544,31 +674,25 @@ def main():
         # the two no-Spark controls behind BENCH.md's round-2 analysis:
         # processes scale on compute but not on DRAM-streaming work, so
         # single-box wide-concurrency bounds the memory controller
-        probe_tpl = (
-            "import numpy as np\n"
-            "a = np.arange({n}, dtype=np.uint64)\n"
-            "acc = 0\n"
-            "for i in range({it}):\n"
-            "    acc ^= int(((a * np.uint64(0x9E3779B97F4A7C15 + i)) >> np.uint64(29)).sum())\n"
-        )
         out = {}
         for name, n, it in (("bandwidth_bound_512MB", 64_000_000, 8),
                             ("cache_resident_800KB", 100_000, 4000)):
-            walls = {}
-            for k in (1, 4, 8):
-                t0 = time.time()
-                ps = [subprocess.Popen([sys.executable, "-c",
-                                        probe_tpl.format(n=n, it=it)])
-                      for _ in range(k)]
-                for p in ps:
-                    if p.wait() != 0:
-                        raise RuntimeError("probe failed")
-                walls[k] = round(time.time() - t0, 2)
+            walls = {k: _probe_procs(n, it, k) for k in (1, 4, 8)}
             out[name] = {"wall_s": walls,
                          "eff_4": round(walls[1] / walls[4], 3),
                          "eff_8": round(walls[1] / walls[8], 3)}
         print(json.dumps({"metric": "process-scaling controls (no Spark)",
                           **out}))
+        return
+    if "--bloom-compare" in sys.argv:
+        print(json.dumps(run_bloom_compare(SF_DIR)))
+        return
+    if "--scaling-qualified" in sys.argv:
+        # VERDICT r02 item 3: the criterion pair, bracketed by no-Spark
+        # DRAM-contention probes; retries across windows
+        os.environ.setdefault("SPARK_GRAFT_SCORE_IMPL", "jvm")
+        os.environ.setdefault("SPARK_GRAFT_FRONTIER_MULT", "16")
+        print(json.dumps(run_scaling_qualified(SF_DIR)))
         return
     if "--scaling-2core" in sys.argv:
         # the criterion-meeting pair: 2-core executors stay under the

@@ -8,15 +8,17 @@ Decode kernels, two tiers:
 
 * `decoder="real"` — a REAL pure-stdlib+numpy image codec (`decode_image`
   below) for:
+    - JPEG: baseline sequential DCT profile — Huffman entropy decode,
+      dequant, IDCT, chroma upsampling, YCbCr->RGB (jpeg.py; progressive/
+      arithmetic return None);
     - PNG: full zlib inflate + per-row filter reconstruction (None/Sub/Up/
       Average/Paeth per RFC 2083 §6), 8-bit depth, color types gray/RGB/
       palette/gray+alpha/RGBA, non-interlaced — the profile virtually all
       real-corpus PNGs use (interlaced Adam7 and 16-bit return None);
     - PPM (P6) and uncompressed 24/32-bit BMP (header + reshape).
   Image decode, feature extraction, and resize are genuinely end-to-end on
-  real pixel data for all three formats. JPEG (DCT entropy coding) and
-  video raise NotImplementedError at the exact point a PIL/ffmpeg call
-  would go.
+  real pixel data for all four formats. Video frame extraction raises
+  NotImplementedError at the exact point an ffmpeg call would go.
 * `decoder="fake"` — deterministic bytes (seeded from the media_ref hash)
   with correct shapes, for plumbing tests and for synthesizing corpora.
 
@@ -60,10 +62,13 @@ def _fake_bytes(media_ref: str, n: int) -> bytes:
 
 
 def decode_image(payload: bytes) -> np.ndarray | None:
-    """Decode PNG (8-bit, non-interlaced), PPM (P6, maxval 255) or
-    uncompressed 24/32-bit BI_RGB BMP bytes to an HxWx3 uint8 RGB array.
-    Returns None for anything else (JPEG needs a real imaging stack).
-    Pure stdlib+numpy."""
+    """Decode baseline JPEG, PNG (8-bit, non-interlaced), PPM (P6, maxval
+    255) or uncompressed 24/32-bit BI_RGB BMP bytes to an HxWx3 uint8 RGB
+    array. Returns None for anything else. Pure stdlib+numpy."""
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if payload[:8] == _PNG_SIG:
         return _decode_png(payload)
     if payload[:2] == b"P6":
@@ -332,7 +337,7 @@ def media_assets_from_spans(docs: DataFrame, decoder: str = "fake") -> DataFrame
 def image_assets_from_bytes(raw: DataFrame, ref_col: str = "media_ref",
                             payload_col: str = "payload") -> DataFrame:
     """REAL image ingestion: (media_ref, payload) rows with actual
-    PNG/PPM/BMP bytes -> the standard asset table with decoded width/height metadata.
+    JPEG/PNG/PPM/BMP bytes -> the standard asset table with decoded width/height metadata.
     Undecodable payloads are dropped (the scrub step a real pipeline wants).
     Same Arrow-streamed, hash-repartitioned shape as the synthesized path."""
 
@@ -366,7 +371,7 @@ def image_assets_from_bytes(raw: DataFrame, ref_col: str = "media_ref",
 def extract_features(assets: DataFrame, dim: int = 16, decoder: str = "fake") -> DataFrame:
     """payload -> feature vector (the 'embed the image' stage).
 
-    real: decode PNG/PPM/BMP pixels (decode_image) and compute an L2-normalized
+    real: decode JPEG/PNG/PPM/BMP pixels (decode_image) and compute an L2-normalized
     `dim`-bin intensity histogram over the actual pixel values (JPEG/PNG —
     anything decode_image can't read — raises where a PIL call would go).
     fake: the same histogram math over the raw payload bytes — real
@@ -380,8 +385,8 @@ def extract_features(assets: DataFrame, dim: int = 16, decoder: str = "fake") ->
                     img = decode_image(bytes(payload))
                     if img is None:
                         raise NotImplementedError(
-                            "payload is not PNG/PPM/BMP; plug PIL here "
-                            "for JPEG"
+                            "payload is not baseline-JPEG/PNG/PPM/BMP; "
+                            "plug PIL here for exotic profiles"
                         )
                     arr = img.reshape(-1)
                 else:
@@ -422,8 +427,8 @@ def media_near_dup(docs: DataFrame, threshold: float = 0.98, dim: int = 16,
 def resize_images(assets: DataFrame, max_side: int = 32, decoder: str = "fake") -> DataFrame:
     """Image thumbnailing stage.
 
-    real: decode PNG/PPM/BMP pixels and stride-subsample the decoded image
-    (nearest-neighbor downscale; JPEG raises where PIL would go).
+    real: decode JPEG/PNG/PPM/BMP pixels and stride-subsample the decoded image
+    (nearest-neighbor downscale; undecodable payloads raise where PIL would go).
     fake: the same stride math over the payload bytes reinterpreted at the
     metadata's claimed geometry."""
 
@@ -437,7 +442,7 @@ def resize_images(assets: DataFrame, max_side: int = 32, decoder: str = "fake") 
                     arr = decode_image(bytes(r["payload"]))
                     if arr is None:
                         raise NotImplementedError(
-                            "payload is not PNG/PPM/BMP; plug PIL here for JPEG"
+                            "payload is not baseline-JPEG/PNG/PPM/BMP; plug PIL here"
                         )
                 else:
                     arr = np.frombuffer(r["payload"], dtype=np.uint8).reshape(

@@ -70,6 +70,12 @@ class EngineConfig:
                                     # log read path opening 10^5 tiny files
     raw_artifacts: bool = False   # parse robots_raw/sitemaps_raw instead of
                                   # reading the pre-built rule tables
+    table_backend: str = "parquet"  # snapshot substrate: "parquet" (the
+                                    # manifest analog, always available) or
+                                    # "iceberg" (real catalog; requires the
+                                    # iceberg-spark-runtime jar + a catalog
+                                    # named by iceberg_namespace)
+    iceberg_namespace: str = "graft.db"  # catalog.namespace for iceberg tables
 
 
 class CrawlJob:
@@ -79,19 +85,43 @@ class CrawlJob:
         self.cfg = cfg
         self.seeds = seeds
         self.corpus_dir = corpus_dir
-        self.t_frontier = BucketedSnapshotTable(
-            checkpoint_dir, "frontier", n_buckets=cfg.frontier_buckets,
-            key_col="url_hash",
-        )
-        self.t_log = SnapshotTable(checkpoint_dir, "crawl_log")
-        self.t_metrics = SnapshotTable(checkpoint_dir, "metrics")
-        # bloom/cuckoo blobs live in their own bucketed table (bucket id IS
-        # the key, so pmod is the identity) — replaces the round-1 driver
-        # pickle; probe/update cogroup against it per bucket
-        self.t_filters = BucketedSnapshotTable(
-            checkpoint_dir, "filters", n_buckets=cfg.bloom_buckets,
-            key_col="bucket",
-        )
+        if cfg.table_backend == "iceberg":
+            from ..sources.iceberg import (
+                IcebergBucketedSnapshotTable,
+                IcebergSnapshotTable,
+                iceberg_available,
+            )
+
+            if not iceberg_available(spark):
+                raise RuntimeError(
+                    "table_backend='iceberg' needs the iceberg-spark-runtime "
+                    "jar on the classpath and a configured catalog"
+                )
+            ns = cfg.iceberg_namespace
+            self.t_frontier = IcebergBucketedSnapshotTable(
+                spark, f"{ns}.frontier", n_buckets=cfg.frontier_buckets,
+                key_col="url_hash",
+            )
+            self.t_log = IcebergSnapshotTable(spark, f"{ns}.crawl_log")
+            self.t_metrics = IcebergSnapshotTable(spark, f"{ns}.metrics")
+            self.t_filters = IcebergBucketedSnapshotTable(
+                spark, f"{ns}.filters", n_buckets=cfg.bloom_buckets,
+                key_col="bucket",
+            )
+        else:
+            self.t_frontier = BucketedSnapshotTable(
+                checkpoint_dir, "frontier", n_buckets=cfg.frontier_buckets,
+                key_col="url_hash",
+            )
+            self.t_log = SnapshotTable(checkpoint_dir, "crawl_log")
+            self.t_metrics = SnapshotTable(checkpoint_dir, "metrics")
+            # bloom/cuckoo blobs live in their own bucketed table (bucket id
+            # IS the key, so pmod is the identity) — replaces the round-1
+            # driver pickle; probe/update cogroup against it per bucket
+            self.t_filters = BucketedSnapshotTable(
+                checkpoint_dir, "filters", n_buckets=cfg.bloom_buckets,
+                key_col="bucket",
+            )
         self._pending_filter_update: DataFrame | None = None
 
         # documents: canonical fetch key precomputed once. At scale this table

@@ -1,0 +1,195 @@
+"""Baseline JPEG codec: spec vectors, independent IDCT cross-check,
+roundtrip error bounds, and the real-pipeline integration.
+
+JPEG is lossy, so unlike PNG there is no bit-exact pixel oracle; the
+evidence is layered instead:
+* a HAND-BUILT minimal stream (independent canonical-code construction in
+  this file, not the encoder) whose decoded output is computable by hand
+  from T.81 — a DC-only block is the flat plane round(dc/8) + 128;
+* the decoder's separable IDCT against an independent direct O(n^4)
+  implementation of the T.81 Annex A formula;
+* near-lossless roundtrip at quant=all-ones, where the only error source
+  is DCT float rounding (bounded at ±2);
+* lossy roundtrips (4:4:4 and 4:2:0, with and without restart markers)
+  under explicit error bounds.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from smartcrawler_spark import multimodal as MM
+from smartcrawler_spark.jpeg import (
+    _STD_AC_LUMA,
+    _STD_DC_LUMA,
+    decode_jpeg,
+    encode_jpeg_baseline,
+)
+
+# ---------------------------------------------------------------------------
+# independent canonical-Huffman code derivation (test-local, per T.81 C.2)
+# ---------------------------------------------------------------------------
+
+
+def _codes(bits, huffval):
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[huffval[k]] = format(code, f"0{ln}b")
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _bits_to_bytes(bitstr):
+    pad = (-len(bitstr)) % 8
+    bitstr += "1" * pad
+    return bytes(int(bitstr[i:i + 8], 2) for i in range(0, len(bitstr), 8))
+
+
+def _minimal_gray_jpeg(dc_value: int, w=8, h=8) -> bytes:
+    """Hand-assembled single-component baseline JPEG: identity quant, one
+    8x8 block, DC = dc_value, no AC (EOB)."""
+    dc_codes = _codes(*_STD_DC_LUMA)
+    ac_codes = _codes(*_STD_AC_LUMA)
+    s = dc_value.bit_length()
+    assert dc_value > 0
+    stream = dc_codes[s] + format(dc_value, f"0{s}b") + ac_codes[0x00]
+    data = _bits_to_bytes(stream)
+
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0]) + bytes([1] * 64))  # identity quant
+    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    bits, vals = _STD_DC_LUMA
+    out += seg(0xC4, bytes([0x00]) + bytes(bits) + bytes(vals))
+    bits, vals = _STD_AC_LUMA
+    out += seg(0xC4, bytes([0x10]) + bytes(bits) + bytes(vals))
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += data + b"\xff\xd9"
+    return out
+
+
+def test_spec_vector_dc_only_flat_block():
+    # T.81: DC-only coefficient v with identity quant decodes to the flat
+    # plane round(v/8) + 128 (orthonormal IDCT: every basis-0 pixel = v/8)
+    for v in (8, 64, 100):
+        got = decode_jpeg(_minimal_gray_jpeg(v))
+        assert got is not None and got.shape == (8, 8, 3)
+        want = int(np.clip(round(v / 8) + 128, 0, 255))
+        assert (got == want).all(), (v, got[0, 0], want)
+
+
+def test_idct_matches_direct_formula():
+    # decoder kernel (separable M @ F @ M.T) vs the direct Annex-A double
+    # sum, independently implemented here
+    from smartcrawler_spark.jpeg import _M
+
+    rng = np.random.default_rng(9)
+    coefs = rng.integers(-200, 200, (8, 8)).astype(np.float64)
+
+    direct = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = (1 / np.sqrt(2)) if u == 0 else 1.0
+                    cv = (1 / np.sqrt(2)) if v == 0 else 1.0
+                    s += (cu * cv / 4.0 * coefs[u, v]
+                          * np.cos((2 * x + 1) * u * np.pi / 16)
+                          * np.cos((2 * y + 1) * v * np.pi / 16))
+            direct[x, y] = s
+    sep = _M @ coefs @ _M.T
+    assert np.abs(sep - direct).max() < 1e-9
+
+
+def _test_image(h=40, w=56):
+    # smooth image: JPEG's favorable regime, keeps error bounds honest
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = (128 + 90 * np.sin(xx / 9.0) * np.cos(yy / 7.0))
+    g = (128 + 80 * np.cos(xx / 11.0))
+    b = (128 + 70 * np.sin((xx + yy) / 13.0))
+    return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+
+
+def test_roundtrip_near_lossless_identity_quant():
+    img = _test_image()
+    ones = np.ones(64, dtype=np.int64)
+    dec = decode_jpeg(encode_jpeg_baseline(img, quant_override=ones))
+    assert dec is not None and dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int)).max()
+    assert err <= 2, err  # only FDCT/IDCT float rounding survives
+
+
+def test_roundtrip_gray_identity_is_exact_for_flat():
+    flat = np.full((16, 16), 77, dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg_baseline(
+        flat, quant_override=np.ones(64, dtype=np.int64)))
+    assert (dec == 77).all()
+
+
+@pytest.mark.parametrize("quality,subsample,bound", [
+    (90, False, 12), (85, False, 16), (90, True, 30),
+])
+def test_roundtrip_lossy_bounded(quality, subsample, bound):
+    img = _test_image()
+    dec = decode_jpeg(encode_jpeg_baseline(img, quality=quality,
+                                           subsample=subsample))
+    assert dec is not None and dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.max() <= bound, err.max()
+    assert err.mean() <= 4.0, err.mean()
+
+
+def test_restart_markers_roundtrip():
+    img = _test_image(24, 80)  # 10 MCUs per row at 4:4:4
+    ones = np.ones(64, dtype=np.int64)
+    enc = encode_jpeg_baseline(img, quant_override=ones, restart_interval=3)
+    assert b"\xff\xd0" in enc or b"\xff\xd1" in enc  # markers really present
+    dec = decode_jpeg(enc)
+    assert dec is not None
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_non_baseline_profiles_return_none():
+    img = _test_image(16, 16)
+    enc = bytearray(encode_jpeg_baseline(img, quality=90))
+    # flip SOF0 -> SOF2 (progressive)
+    i = enc.find(b"\xff\xc0")
+    enc[i + 1] = 0xC2
+    assert decode_jpeg(bytes(enc)) is None
+    assert decode_jpeg(b"\xff\xd8\xff\xd9") is None  # empty
+    assert decode_jpeg(b"not a jpeg") is None
+    # truncated entropy data
+    full = encode_jpeg_baseline(img, quality=90)
+    assert decode_jpeg(full[: len(full) // 2]) is None
+
+
+def test_jpeg_flows_through_real_pipeline(spark):
+    """JPEG payloads now ride the REAL decode tier end-to-end: ingestion
+    extracts true dimensions, features come from decoded pixels."""
+    img = _test_image(32, 48)
+    ones = np.ones(64, dtype=np.int64)
+    rows = [
+        ("a.jpg", bytearray(encode_jpeg_baseline(img, quant_override=ones))),
+        ("b.png", bytearray(MM.encode_png(img))),
+        ("junk.bin", bytearray(b"\x00" * 100)),
+    ]
+    raw = spark.createDataFrame(rows, "media_ref string, payload binary")
+    assets = MM.image_assets_from_bytes(raw)
+    got = {r["media_ref"]: r for r in assets.collect()}
+    assert set(got) == {"a.jpg", "b.png"}
+    assert (got["a.jpg"]["width"], got["a.jpg"]["height"]) == (48, 32)
+    feats = {r["media_ref"]: np.asarray(r["feature"])
+             for r in MM.extract_features(assets, decoder="real").collect()}
+    # near-lossless JPEG of the same pixels: histogram features are close
+    assert float(np.abs(feats["a.jpg"] - feats["b.png"]).max()) < 0.02
