@@ -11,10 +11,10 @@ Decode kernels, two tiers:
     - JPEG: baseline sequential DCT profile — Huffman entropy decode,
       dequant, IDCT, chroma upsampling, YCbCr->RGB (jpeg.py; progressive/
       arithmetic return None);
-    - PNG: full zlib inflate + per-row filter reconstruction (None/Sub/Up/
-      Average/Paeth per RFC 2083 §6), 8-bit depth, color types gray/RGB/
-      palette/gray+alpha/RGBA, non-interlaced — the profile virtually all
-      real-corpus PNGs use (interlaced Adam7 and 16-bit return None);
+    - PNG: full zlib inflate + per-pass filter reconstruction (None/Sub/
+      Up/Average/Paeth per RFC 2083 §6) over the COMPLETE profile — bit
+      depths 1/2/4/8/16, color types gray/RGB/palette/gray+alpha/RGBA,
+      non-interlaced and Adam7-interlaced;
     - PPM (P6) and uncompressed 24/32-bit BMP (header + reshape).
   Image decode, feature extraction, and resize are genuinely end-to-end on
   real pixel data for all four formats. Video frame extraction raises
@@ -62,9 +62,10 @@ def _fake_bytes(media_ref: str, n: int) -> bytes:
 
 
 def decode_image(payload: bytes) -> np.ndarray | None:
-    """Decode baseline JPEG, PNG (8-bit, non-interlaced), PPM (P6, maxval
-    255) or uncompressed 24/32-bit BI_RGB BMP bytes to an HxWx3 uint8 RGB
-    array. Returns None for anything else. Pure stdlib+numpy."""
+    """Decode baseline JPEG, PNG (full profile incl. Adam7/16-bit/sub-byte
+    depths), PPM (P6, maxval 255) or uncompressed 24/32-bit BI_RGB BMP
+    bytes to an HxWx3 uint8 RGB array. Returns None for anything else.
+    Pure stdlib+numpy."""
     if payload[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg
 
@@ -136,20 +137,88 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/px
 
 
-def _decode_png(payload: bytes) -> np.ndarray | None:
-    """PNG -> HxWx3 uint8 RGB. Supported profile: bit depth 8, color types
-    0/2/3/4/6, non-interlaced (what real web corpora overwhelmingly carry);
-    16-bit or Adam7-interlaced images return None. Alpha is dropped,
-    grayscale broadcast to RGB, palette entries resolved via PLTE.
+# Adam7 pass grid: (x_start, y_start, x_step, y_step)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
 
-    The two real decode stages (public spec, no imaging stack needed):
-    * zlib.decompress over the concatenated IDAT stream;
-    * per-scanline filter reconstruction — each row is prefixed with a
-      filter byte; Sub/Up/Average/Paeth are exact byte recurrences on the
-      reconstructed left/up/up-left neighbors (spec §6). Up and None are
-      vectorized row ops; Sub is a per-channel cumulative sum mod 256;
-      Average/Paeth carry an intra-row data dependency and run as a per-byte
-      loop on only the rows that use them."""
+
+def _png_unfilter_pass(raw: bytes, pos: int, ph: int, pw: int,
+                       channels: int, depth: int):
+    """Unfilter + unpack one (sub-)image of `ph` scanlines; returns
+    ((ph, pw, channels) sample array, new pos) or (None, pos) on error.
+
+    Filter reconstruction per spec §6: each scanline is prefixed with a
+    filter byte; Sub/Up/Average/Paeth are exact byte recurrences on the
+    reconstructed left/up/up-left neighbors. Up and None are vectorized
+    row ops; Sub is a per-unit cumulative sum mod 256; Average/Paeth carry
+    an intra-row dependency and loop per byte only on rows using them."""
+    bits_per_px = channels * depth
+    stride = (pw * bits_per_px + 7) // 8
+    bpp = max(1, bits_per_px // 8)  # filter unit, per spec (>=1 byte)
+    if len(raw) - pos < ph * (stride + 1):
+        return None, pos
+    rows = np.zeros((ph, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(ph):
+        ft = raw[pos]
+        row = np.frombuffer(raw, np.uint8, stride, pos + 1).copy()
+        pos += stride + 1
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub: recon[x] = raw[x] + recon[x-bpp]
+            if stride % bpp == 0:
+                row = (np.cumsum(row.reshape(-1, bpp), axis=0, dtype=np.int64)
+                       & 0xFF).astype(np.uint8).reshape(stride)
+            else:  # sub-byte depths with ragged stride: plain loop
+                for x in range(bpp, stride):
+                    row[x] = (int(row[x]) + int(row[x - bpp])) & 0xFF
+        elif ft == 2:  # Up
+            row += prev
+        elif ft == 3:  # Average
+            for x in range(stride):
+                left = int(row[x - bpp]) if x >= bpp else 0
+                row[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                a = int(row[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            return None, pos
+        rows[y] = row
+        prev = row
+    # unpack bytes -> samples
+    if depth == 8:
+        sub = rows[:, : pw * channels].reshape(ph, pw, channels).astype(np.uint16)
+    elif depth == 16:
+        sub = (rows[:, : pw * channels * 2]
+               .reshape(ph, pw * channels, 2).astype(np.uint16))
+        sub = ((sub[:, :, 0] << 8) | sub[:, :, 1]).reshape(ph, pw, channels)
+    else:  # 1/2/4-bit (gray or palette): MSB-first packed samples
+        bits = np.unpackbits(rows, axis=1)[:, : pw * depth]
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+        sub = (bits.reshape(ph, pw, depth) * weights).sum(axis=2,
+                                                          dtype=np.uint16)
+        sub = sub[:, :, None]
+    return sub, pos
+
+
+def _decode_png(payload: bytes) -> np.ndarray | None:
+    """PNG -> HxWx3 uint8 RGB. Full profile: bit depths 1/2/4 (gray,
+    palette), 8 and 16 (all color types), color types 0/2/3/4/6, both
+    non-interlaced and Adam7-interlaced. Alpha is dropped, grayscale
+    broadcast to RGB (sub-byte depths scaled to full range, 16-bit takes
+    the high byte), palette entries resolved via PLTE.
+
+    The real decode stages (public spec, no imaging stack needed):
+    zlib.decompress over the concatenated IDAT stream, then per-pass
+    scanline filter reconstruction (_png_unfilter_pass) — Adam7 images
+    carry 7 independently filtered sub-images scattered over the pixel
+    grid by the pass lattice."""
     import struct
 
     if payload[:8] != _PNG_SIG:
@@ -172,51 +241,40 @@ def _decode_png(payload: bytes) -> np.ndarray | None:
         return None
     w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr[:13])
     channels = _PNG_CHANNELS.get(color)
-    if (comp != 0 or filt != 0 or interlace != 0 or depth != 8
+    if (comp != 0 or filt != 0 or interlace not in (0, 1)
             or channels is None or w == 0 or h == 0):
         return None
+    if depth not in (1, 2, 4, 8, 16):
+        return None
+    if depth < 8 and color not in (0, 3):
+        return None  # sub-byte depths only exist for gray/palette
+    if depth == 16 and color == 3:
+        return None  # no 16-bit palette indices
     if color == 3 and plte is None:
         return None
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
-    stride = w * channels
-    if len(raw) < h * (stride + 1):
-        return None
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    bpp = channels  # bytes per pixel at depth 8
+    samples = np.zeros((h, w, channels), dtype=np.uint16)
     pos = 0
-    for y in range(h):
-        ft = raw[pos]
-        row = np.frombuffer(raw, np.uint8, stride, pos + 1).copy()
-        pos += stride + 1
-        if ft == 0:
-            pass
-        elif ft == 1:  # Sub: recon[x] = raw[x] + recon[x-bpp]
-            row = (np.cumsum(row.reshape(w, bpp), axis=0, dtype=np.int64)
-                   & 0xFF).astype(np.uint8).reshape(stride)
-        elif ft == 2:  # Up
-            row += prev
-        elif ft == 3:  # Average
-            for x in range(stride):
-                left = int(row[x - bpp]) if x >= bpp else 0
-                row[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
-        elif ft == 4:  # Paeth
-            for x in range(stride):
-                a = int(row[x - bpp]) if x >= bpp else 0
-                b = int(prev[x])
-                c = int(prev[x - bpp]) if x >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                row[x] = (int(row[x]) + pred) & 0xFF
-        else:
+    passes = [(0, 0, 1, 1)] if interlace == 0 else _ADAM7
+    for x0, y0, xs, ys in passes:
+        pw = (w - x0 + xs - 1) // xs
+        ph = (h - y0 + ys - 1) // ys
+        if pw <= 0 or ph <= 0:
+            continue
+        sub, pos = _png_unfilter_pass(raw, pos, ph, pw, channels, depth)
+        if sub is None:
             return None
-        out[y] = row
-        prev = row
-    px = out.reshape(h, w, channels)
+        samples[y0::ys, x0::xs] = sub
+    # scale samples to 8-bit
+    if depth == 16:
+        px = (samples >> 8).astype(np.uint8)
+    elif depth < 8 and color == 0:  # gray: expand to full range
+        px = (samples * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    else:
+        px = samples.astype(np.uint8)
     if color == 2:
         return px.copy()
     if color == 6:

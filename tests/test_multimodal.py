@@ -283,26 +283,105 @@ def test_png_encoder_roundtrip():
     assert np.array_equal(MM.decode_image(MM.encode_png(rgba)), rgba[:, :, :3])
 
 
-def test_png_unsupported_profiles_return_none():
+def test_png_corrupt_streams_return_none():
     rng = np.random.default_rng(3)
     px = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
     ok = _ref_png(px, color=2, ftype=0)
-    # 16-bit depth
-    bad_ihdr = _struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    # truncated IDAT / corrupt deflate
+    assert MM.decode_image(ok[:40]) is None
+    # bogus bit depth
+    bad_ihdr = _struct.pack(">IIBBBBB", 4, 4, 3, 2, 0, 0, 0)
     bad = (b"\x89PNG\r\n\x1a\n" + _ref_chunk(b"IHDR", bad_ihdr)
            + _ref_chunk(b"IDAT", _zlib.compress(b"\x00" * 100))
            + _ref_chunk(b"IEND", b""))
     assert MM.decode_image(bad) is None
-    # interlaced
-    il_ihdr = _struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
-    bad = (b"\x89PNG\r\n\x1a\n" + _ref_chunk(b"IHDR", il_ihdr)
+    # sub-byte depth is gray/palette-only per spec
+    bad_ihdr = _struct.pack(">IIBBBBB", 4, 4, 4, 2, 0, 0, 0)
+    bad = (b"\x89PNG\r\n\x1a\n" + _ref_chunk(b"IHDR", bad_ihdr)
            + _ref_chunk(b"IDAT", _zlib.compress(b"\x00" * 100))
            + _ref_chunk(b"IEND", b""))
     assert MM.decode_image(bad) is None
-    # truncated IDAT / corrupt deflate
-    assert MM.decode_image(ok[:40]) is None
-    # JPEG magic stays at the declared seam
-    assert MM.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 64) is None
+
+
+def _ref_png_adam7(px: np.ndarray, color: int, ftype: int) -> bytes:
+    """Independent Adam7 constructor: slice the 7 pass lattices out of the
+    full image and forward-filter each sub-image separately (spec: every
+    pass is its own filtered image)."""
+    h, w = px.shape[:2]
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1)
+    passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    raw = b""
+    for x0, y0, xs, ys in passes:
+        sub = px[y0::ys, x0::xs]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        raw += _ref_forward_filter(np.ascontiguousarray(sub), ftype)
+    return (b"\x89PNG\r\n\x1a\n" + _ref_chunk(b"IHDR", ihdr)
+            + _ref_chunk(b"IDAT", _zlib.compress(raw))
+            + _ref_chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 4])
+def test_png_adam7_interlaced(ftype):
+    rng = np.random.default_rng(40 + ftype)
+    # odd dims exercise ragged pass lattices (some passes partially empty)
+    px = rng.integers(0, 256, (13, 11, 3), dtype=np.uint8)
+    got = MM.decode_image(_ref_png_adam7(px, color=2, ftype=ftype))
+    assert got is not None and np.array_equal(got, px)
+    # tiny image where several passes are entirely empty
+    tiny = rng.integers(0, 256, (2, 2, 3), dtype=np.uint8)
+    got = MM.decode_image(_ref_png_adam7(tiny, color=2, ftype=0))
+    assert np.array_equal(got, tiny)
+
+
+def test_png_16bit_takes_high_byte():
+    rng = np.random.default_rng(8)
+    hi = rng.integers(0, 256, (5, 6, 3), dtype=np.uint8)
+    lo = rng.integers(0, 256, (5, 6, 3), dtype=np.uint8)
+    ihdr = _struct.pack(">IIBBBBB", 6, 5, 16, 2, 0, 0, 0)
+    raw = b""
+    for y in range(5):
+        row = np.stack([hi[y].reshape(-1), lo[y].reshape(-1)], axis=1)
+        raw += b"\x00" + row.astype(np.uint8).tobytes()
+    png = (b"\x89PNG\r\n\x1a\n" + _ref_chunk(b"IHDR", ihdr)
+           + _ref_chunk(b"IDAT", _zlib.compress(raw))
+           + _ref_chunk(b"IEND", b""))
+    got = MM.decode_image(png)
+    assert got is not None and np.array_equal(got, hi)
+
+
+def test_png_subbyte_depths():
+    rng = np.random.default_rng(12)
+    # 4-bit palette, 7 px wide (ragged last byte)
+    idx = rng.integers(0, 8, (4, 7), dtype=np.uint8)
+    packed_rows = []
+    for y in range(4):
+        bits = np.unpackbits(idx[y][:, None], axis=1, count=8)[:, 4:]
+        packed = np.packbits(bits.reshape(-1))
+        packed_rows.append(b"\x00" + packed.tobytes())
+    plte = bytes(rng.integers(0, 256, 8 * 3, dtype=np.uint8))
+    ihdr = _struct.pack(">IIBBBBB", 7, 4, 4, 3, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + _ref_chunk(b"IHDR", ihdr)
+           + _ref_chunk(b"PLTE", plte)
+           + _ref_chunk(b"IDAT", _zlib.compress(b"".join(packed_rows)))
+           + _ref_chunk(b"IEND", b""))
+    got = MM.decode_image(png)
+    pal = np.frombuffer(plte, np.uint8).reshape(8, 3)
+    assert got is not None and np.array_equal(got, pal[idx])
+
+    # 1-bit gray: 0 -> 0, 1 -> 255
+    bw = rng.integers(0, 2, (3, 10), dtype=np.uint8)
+    rows = b"".join(
+        b"\x00" + np.packbits(bw[y]).tobytes() for y in range(3)
+    )
+    ihdr = _struct.pack(">IIBBBBB", 10, 3, 1, 0, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + _ref_chunk(b"IHDR", ihdr)
+           + _ref_chunk(b"IDAT", _zlib.compress(rows))
+           + _ref_chunk(b"IEND", b""))
+    got = MM.decode_image(png)
+    want = np.repeat((bw * 255)[:, :, None], 3, axis=2)
+    assert got is not None and np.array_equal(got, want)
 
 
 def test_png_real_pipeline_end_to_end(spark):
