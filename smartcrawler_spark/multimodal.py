@@ -15,9 +15,11 @@ Decode kernels, two tiers:
       Up/Average/Paeth per RFC 2083 §6) over the COMPLETE profile — bit
       depths 1/2/4/8/16, color types gray/RGB/palette/gray+alpha/RGBA,
       non-interlaced and Adam7-interlaced;
+    - GIF87a/89a: LZW decompression (variable-width codes, clear/EOI,
+      12-bit cap), palette resolution, 4-pass de-interlacing, first frame;
     - PPM (P6) and uncompressed 24/32-bit BMP (header + reshape).
   Image decode, feature extraction, and resize are genuinely end-to-end on
-  real pixel data for all four formats. Video frame extraction raises
+  real pixel data for all five formats. Video frame extraction raises
   NotImplementedError at the exact point an ffmpeg call would go.
 * `decoder="fake"` — deterministic bytes (seeded from the media_ref hash)
   with correct shapes, for plumbing tests and for synthesizing corpora.
@@ -63,8 +65,8 @@ def _fake_bytes(media_ref: str, n: int) -> bytes:
 
 def decode_image(payload: bytes) -> np.ndarray | None:
     """Decode baseline JPEG, PNG (full profile incl. Adam7/16-bit/sub-byte
-    depths), PPM (P6, maxval 255) or uncompressed 24/32-bit BI_RGB BMP
-    bytes to an HxWx3 uint8 RGB array. Returns None for anything else.
+    depths), GIF (first frame), PPM (P6, maxval 255) or uncompressed
+    24/32-bit BI_RGB BMP bytes to an HxWx3 uint8 RGB array. Returns None for anything else.
     Pure stdlib+numpy."""
     if payload[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg
@@ -72,6 +74,8 @@ def decode_image(payload: bytes) -> np.ndarray | None:
         return decode_jpeg(payload)
     if payload[:8] == _PNG_SIG:
         return _decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
@@ -290,6 +294,146 @@ def _decode_png(payload: bytes) -> np.ndarray | None:
     if idx.max(initial=0) >= len(pal):
         return None
     return pal[idx]
+
+
+# -- GIF (GIF87a/89a): LZW decompression + palette, first frame ------------
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int,
+                    expected: int) -> list[int] | None:
+    """GIF-variant LZW: LSB-first bit packing, variable code width starting
+    at min_code_size+1, clear/EOI control codes, 12-bit cap."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out: list[int] = []
+    table: list[tuple[int, ...]] = []
+    width = min_code_size + 1
+    prev: tuple[int, ...] | None = None
+    bitpos = 0
+    total_bits = len(data) * 8
+
+    def reset():
+        nonlocal table, width, prev
+        table = [(i,) for i in range(clear)] + [(), ()]  # + clear, eoi slots
+        width = min_code_size + 1
+        prev = None
+
+    reset()
+    while bitpos + width <= total_bits:
+        byte0 = bitpos >> 3
+        chunk = int.from_bytes(data[byte0:byte0 + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                return None
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + (entry[0],))
+        elif code == len(table):  # the KwKwK case
+            entry = prev + (prev[0],)
+            table.append(entry)
+        else:
+            return None
+        out.extend(entry)
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        if len(out) >= expected:
+            break
+    return out[:expected] if len(out) >= expected else None
+
+
+def _decode_gif(payload: bytes) -> np.ndarray | None:
+    """First frame of a GIF87a/89a -> HxWx3 uint8 RGB (logical-screen
+    sized; a smaller first frame is pasted onto the background color).
+    Interlaced frames are de-interlaced per the 4-pass row order.
+    Transparency is ignored (no alpha channel in the engine's RGB model).
+    Corrupt/truncated streams return None."""
+    import struct
+
+    try:
+        return _decode_gif_inner(payload)
+    except (IndexError, ValueError, struct.error):
+        return None
+
+
+def _decode_gif_inner(payload: bytes) -> np.ndarray | None:
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h, flags, bg_idx, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    if w == 0 or h == 0:
+        return None
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: skip its sub-blocks
+            pos += 2
+            while pos < len(payload):
+                size = payload[pos]
+                pos += 1 + size
+                if size == 0:
+                    break
+        elif b == 0x2C:  # image descriptor: decode the first frame
+            x0, y0, iw, ih, iflags = struct.unpack_from("<HHHHB", payload,
+                                                        pos + 1)
+            pos += 10
+            lct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                lct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if lct is None or iw == 0 or ih == 0:
+                return None
+            min_code_size = payload[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(payload):
+                size = payload[pos]
+                pos += 1
+                if size == 0:
+                    break
+                data += payload[pos:pos + size]
+                pos += size
+            indices = _gif_lzw_decode(bytes(data), min_code_size, iw * ih)
+            if indices is None:
+                return None
+            idx = np.asarray(indices, dtype=np.int32).reshape(ih, iw)
+            if iflags & 0x40:  # interlaced: rows arrive in 4-pass order
+                order = (list(range(0, ih, 8)) + list(range(4, ih, 8))
+                         + list(range(2, ih, 4)) + list(range(1, ih, 2)))
+                de = np.zeros_like(idx)
+                de[order] = idx
+                idx = de
+            if idx.max(initial=0) >= len(lct):
+                return None
+            frame = lct[idx]
+            if (iw, ih) == (w, h) and (x0, y0) == (0, 0):
+                return frame
+            bg = (gct[bg_idx] if gct is not None and bg_idx < len(gct)
+                  else np.zeros(3, np.uint8))
+            screen = np.broadcast_to(bg, (h, w, 3)).copy()
+            screen[y0:y0 + ih, x0:x0 + iw] = frame[: max(h - y0, 0),
+                                                   : max(w - x0, 0)]
+            return screen
+        elif b == 0x3B:  # trailer
+            return None
+        else:
+            return None
+    return None
 
 
 def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:

@@ -414,3 +414,128 @@ def test_png_real_pipeline_end_to_end(spark):
     t_ppm = {r["media_ref"]: (bytes(r["thumb"]), r["thumb_w"], r["thumb_h"])
              for r in MM.resize_images(ppm_assets, decoder="real").collect()}
     assert t_png == t_ppm
+
+
+# ---------------------------------------------------------------------------
+# GIF codec (LZW decode vs an independent encoder built in this file)
+# ---------------------------------------------------------------------------
+
+
+def _ref_gif_lzw_encode(indices, mcs):
+    """Independent GIF-LZW encoder that mirrors the decoder's table/width
+    update rule step for step (emit clear, then data codes, then EOI)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    bits = []
+    state = {"size": clear + 2, "width": mcs + 1, "first": True}
+
+    def emit(code):
+        bits.append((code, state["width"]))
+
+    def emit_data(code):
+        emit(code)
+        if state["first"]:
+            state["first"] = False
+        else:
+            state["size"] += 1
+        if state["size"] == (1 << state["width"]) and state["width"] < 12:
+            state["width"] += 1
+
+    table = {(i,): i for i in range(clear)}
+    emit(clear)
+    seq = ()
+    for s in indices:
+        cand = seq + (int(s),)
+        if cand in table:
+            seq = cand
+            continue
+        emit_data(table[seq])
+        table[cand] = state["size"]
+        seq = (int(s),)
+    emit_data(table[seq])
+    emit(eoi)
+    # LSB-first bit packing
+    acc = nbits = 0
+    out = bytearray()
+    for code, width in bits:
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _ref_gif(idx, palette, mcs=None, interlaced=False, screen=None,
+             offset=(0, 0), bg_idx=0):
+    ih, iw = idx.shape
+    w, h = screen if screen else (iw, ih)
+    n = len(palette)
+    depth = max(1, (n - 1).bit_length())
+    pal_n = 1 << depth
+    mcs = mcs or max(2, depth)
+    rows = idx
+    if interlaced:
+        order = (list(range(0, ih, 8)) + list(range(4, ih, 8))
+                 + list(range(2, ih, 4)) + list(range(1, ih, 2)))
+        rows = idx[order]
+    data = _ref_gif_lzw_encode(rows.reshape(-1).tolist(), mcs)
+    out = bytearray(b"GIF89a")
+    out += _struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), bg_idx, 0)
+    pal = bytes(palette.reshape(-1)) + b"\x00" * ((pal_n - n) * 3)
+    out += pal
+    x0, y0 = offset
+    out += b"\x2c" + _struct.pack("<HHHHB", x0, y0, iw, ih,
+                                  0x40 if interlaced else 0)
+    out += bytes([mcs])
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_roundtrip_exact():
+    rng = np.random.default_rng(17)
+    palette = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (13, 21), dtype=np.uint8)
+    got = MM.decode_image(_ref_gif(idx, palette))
+    assert got is not None and np.array_equal(got, palette[idx])
+
+
+def test_gif_interlaced():
+    rng = np.random.default_rng(18)
+    palette = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 8, (19, 9), dtype=np.uint8)
+    got = MM.decode_image(_ref_gif(idx, palette, interlaced=True))
+    assert got is not None and np.array_equal(got, palette[idx])
+
+
+def test_gif_long_run_exercises_width_growth():
+    # long runs force the LZW table past several width bumps
+    palette = (np.arange(4, dtype=np.uint8).repeat(3).reshape(4, 3) * 20)
+    idx = np.tile(np.repeat(np.arange(4, dtype=np.uint8), 37), 40)[: 60 * 50]
+    idx = idx.reshape(60, 50)
+    got = MM.decode_image(_ref_gif(idx, palette))
+    assert got is not None and np.array_equal(got, palette[idx])
+
+
+def test_gif_small_frame_pasted_on_background():
+    palette = np.array([[9, 9, 9], [250, 10, 10]], dtype=np.uint8)
+    idx = np.ones((2, 3), dtype=np.uint8)
+    got = MM.decode_image(_ref_gif(idx, palette, screen=(6, 5),
+                                   offset=(2, 1), bg_idx=0))
+    assert got is not None and got.shape == (5, 6, 3)
+    assert (got[1:3, 2:5] == palette[1]).all()
+    assert (got[0, :] == palette[0]).all() and (got[4, :] == palette[0]).all()
+
+
+def test_gif_corrupt_returns_none():
+    assert MM.decode_image(b"GIF89a" + b"\x00" * 8) is None
+    rng = np.random.default_rng(4)
+    palette = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    idx = rng.integers(0, 4, (6, 6), dtype=np.uint8)
+    ok = _ref_gif(idx, palette)
+    assert MM.decode_image(ok[:20]) is None
