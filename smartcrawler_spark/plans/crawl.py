@@ -64,6 +64,16 @@ class EngineConfig:
     salt_buckets: int = 8
     use_bloom: bool = True
     bloom_rebuild_every: int = 4  # rounds between full bloom rebuilds
+    bloom_min_frontier_rows: int = 50_000_000
+    # ^ adaptive prefilter floor: MEASURED (bench_runs/bloom_compare_r03.
+    # json) the exact anti-join alone beats bloom-probe + exact-join at
+    # every sandbox-reachable frontier size (3M: off 324k vs on 258k
+    # urls/s; 12M: off 604k vs on 481k) — the per-round blob build/probe
+    # overhead only amortizes when the frontier table dwarfs the round's
+    # candidate batch (the 10^10 steady state, where the probe keeps
+    # definitely-novel candidates from paying a scan of a table 10^4x the
+    # batch). Below the floor the loop silently runs exact-join-only —
+    # same output, measured faster; the filter table just stays stale.
     compact_every: int | None = 16  # rounds between crawl_log/metrics
                                     # small-files compactions (None = never);
                                     # a 10^5-round crawl otherwise leaves the
@@ -170,7 +180,17 @@ class CrawlJob:
             ["url_canon"]
         )
         cands = FR.robots_gate(cands, self.robots)
-        if self.cfg.use_bloom:
+        # adaptive prefilter: probe only once the frontier is big enough
+        # for the blob probe to beat the plain exact join (see
+        # bloom_min_frontier_rows) — the row count comes from parquet
+        # footers / Iceberg manifest stats, no scan
+        bloom_now = (
+            self.cfg.use_bloom
+            and self.t_frontier.row_count_estimate()
+               >= self.cfg.bloom_min_frontier_rows
+        )
+        self._bloom_active = bloom_now
+        if bloom_now:
             # amortized prefilter: blooms cover the bulk frontier (rebuilt
             # every rebuild_every rounds), the cuckoo delta covers rounds
             # since the last rebuild. Blobs live in the bucketed filter
@@ -232,7 +252,7 @@ class CrawlJob:
                 F.lit(None).cast("string").alias("title"),
             )
         )
-        if self.cfg.use_bloom:
+        if bloom_now:
             # feed the admitted keys into the per-bucket cuckoo delta ON THE
             # EXECUTORS (cogroup per bucket): the update emits replacement
             # blob rows for TOUCHED buckets only, committed in _commit_round

@@ -193,6 +193,15 @@ class IcebergSnapshotTable:
             f"SELECT count(*) AS n FROM {_q(self.ident)}.files"
         ).collect()[0]["n"]
 
+    def row_count_estimate(self) -> int:
+        """Row count from Iceberg manifest statistics (no data scan)."""
+        if not self._exists():
+            return 0
+        n = self.spark.sql(
+            f"SELECT sum(record_count) AS n FROM {_q(self.ident)}.files"
+        ).collect()[0]["n"]
+        return int(n or 0)
+
 
 class IcebergBucketedSnapshotTable(IcebergSnapshotTable):
     """Bucketed variant: rows carry an identity `_pb` partition column

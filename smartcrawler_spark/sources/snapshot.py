@@ -222,6 +222,24 @@ class SnapshotTable:
                 pass
         return n
 
+    def row_count_estimate(self) -> int:
+        """Exact current row count from parquet FOOTERS only (no data scan,
+        no Spark job) — the cheap size signal the crawl loop's adaptive
+        bloom policy keys on. Iceberg keeps the same number in its manifest
+        statistics (`SELECT sum(record_count) FROM t.files`)."""
+        import pyarrow.parquet as pq
+
+        n = 0
+        for d in self._manifest_dirs(self.manifest()):
+            try:
+                files = os.listdir(d)
+            except FileNotFoundError:
+                continue
+            for f in files:
+                if f.endswith(".parquet"):
+                    n += pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+        return n
+
 
 class BucketedSnapshotTable(SnapshotTable):
     """Hash-bucketed snapshot table with partition-scoped upsert.

@@ -36,6 +36,11 @@ def oracle_result(corpus):
 
 
 def _engine_cfg(**kw):
+    # bloom_min_frontier_rows=0 pins the bloom path ON at test scale (the
+    # adaptive default would skip it below 50M frontier rows), so the e2e
+    # keeps exercising probe + delta-update + rebuild; use_bloom=False
+    # cases cover the adaptive skip's exact-join-only shape
+    kw.setdefault("bloom_min_frontier_rows", 0)
     return EngineConfig(
         keywords=KEYWORDS, max_urls_per_host=10, max_rounds=30, default_budget=4, **kw
     )

@@ -110,7 +110,8 @@ def test_crawl_reuses_blooms_across_rounds(spark, tmp_path):
     d = str(tmp_path / "c")
     m = generate_corpus(d, CorpusConfig(n_hosts=2, pages_per_host=8, hot_host_pages=8))
     cfg = EngineConfig(keywords={"news": 1.0}, max_urls_per_host=8,
-                       default_budget=3, bloom_rebuild_every=10)
+                       default_budget=3, bloom_rebuild_every=10,
+                       bloom_min_frontier_rows=0)
     job = CrawlJob(spark, d, str(tmp_path / "ck"), cfg, m["seeds"])
     job.run()
     # one rebuild at round 0, then delta-only rounds (the filter table's
@@ -153,3 +154,34 @@ def test_executor_bucket_cuckoo_update_matches_driver_path(spark):
     assert (st_exec.contains_delta(absent)
             == st_driver.contains_delta(absent)).all()
     assert st_exec.rounds_since_rebuild == st_driver.rounds_since_rebuild
+
+
+def test_adaptive_bloom_skips_probe_below_floor(spark, tmp_path):
+    """With the default bloom_min_frontier_rows floor (measured crossover:
+    bench_runs/bloom_compare_r03.json) a small crawl must run exact-join-
+    only — no filter-table version is ever written — while outputs match
+    the forced-bloom run exactly."""
+    from smartcrawler_spark.plans.crawl import CrawlJob, EngineConfig
+    from smartcrawler_spark.sources.corpus import CorpusConfig, generate_corpus
+
+    d = str(tmp_path / "c")
+    m = generate_corpus(d, CorpusConfig(n_hosts=2, pages_per_host=6, hot_host_pages=6))
+    kw = dict(keywords={"news": 1.0}, max_urls_per_host=8, default_budget=3)
+
+    adaptive = CrawlJob(spark, d, str(tmp_path / "a"),
+                        EngineConfig(**kw), m["seeds"])
+    adaptive.run()
+    assert adaptive.t_filters.latest_version() is None  # never probed
+    assert adaptive._bloom_active is False
+
+    forced = CrawlJob(spark, d, str(tmp_path / "f"),
+                      EngineConfig(bloom_min_frontier_rows=0, **kw), m["seeds"])
+    forced.run()
+    assert forced.t_filters.latest_version() is not None
+    assert forced._bloom_active is True
+
+    a = [(r["round"], r["seq"], r["url_canon"])
+         for r in adaptive.crawl_log().orderBy("round", "seq").collect()]
+    f = [(r["round"], r["seq"], r["url_canon"])
+         for r in forced.crawl_log().orderBy("round", "seq").collect()]
+    assert a == f and len(a) > 0
