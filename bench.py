@@ -121,8 +121,11 @@ def _scheduled_plan(spark, raw, seen, robots, budgets, cap):
     #               bucket; zero driver traffic however large the frontier
     #               (the engine crawl loop's path; plans/crawl.py:150)
     #   off       — no prefilter: every candidate pays the exact anti-join
-    #               (the control --bloom-compare measures the bloom against)
-    bloom_path = os.environ.get("SPARK_GRAFT_BLOOM_PATH", "broadcast")
+    #               (DEFAULT since r3: mirrors the engine's adaptive policy,
+    #               which runs exact-join-only below bloom_min_frontier_rows
+    #               — measured faster at every sandbox-reachable size, see
+    #               bench_runs/bloom_compare_r03.json / BENCH.md)
+    bloom_path = os.environ.get("SPARK_GRAFT_BLOOM_PATH", "off")
     if bloom_path == "off":
         pre = gated.persist()
     elif bloom_path == "bucketed":
@@ -244,7 +247,10 @@ def run_suite(sf_dir: str, cpus: str) -> dict:
     out = {
         "metric": "headline suite wall seconds (frontier round + operator "
                   "queries; suite GREW round over round — compare per-query "
-                  "times and frontier_urls_per_sec, not the total)",
+                  "times and frontier_urls_per_sec, not the total; since r3 "
+                  "the frontier round mirrors the engine's adaptive-bloom "
+                  "default: exact-join-only at this scale, measured faster "
+                  "— see BENCH.md bloom section)",
         "n_queries": len(timings),
         "value": total,
         "unit": "sec",
