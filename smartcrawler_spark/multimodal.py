@@ -17,9 +17,14 @@ Decode kernels, two tiers:
       non-interlaced and Adam7-interlaced;
     - GIF87a/89a: LZW decompression (variable-width codes, clear/EOI,
       12-bit cap), palette resolution, 4-pass de-interlacing, first frame;
-    - PPM (P6) and uncompressed 24/32-bit BMP (header + reshape).
+    - PPM (P6) and uncompressed 24/32-bit BMP (header + reshape);
+    - WAV (RIFF PCM 8/16/24/32-bit + IEEE float): the AUDIO modality's
+      real tier — decode, spectral/band features, and clip sampling run
+      end-to-end on decoded samples (decode_audio / extract_audio_features
+      / sample_clips).
   Image decode, feature extraction, and resize are genuinely end-to-end on
-  real pixel data for all five formats. Video frame extraction raises
+  real pixel data for all five image formats, and audio likewise for WAV.
+  Video frame extraction and compressed audio (MP3/OGG/AAC) raise
   NotImplementedError at the exact point an ffmpeg call would go.
 * `decoder="fake"` — deterministic bytes (seeded from the media_ref hash)
   with correct shapes, for plumbing tests and for synthesizing corpora.
@@ -294,6 +299,229 @@ def _decode_png(payload: bytes) -> np.ndarray | None:
     if idx.max(initial=0) >= len(pal):
         return None
     return pal[idx]
+
+
+# -- WAV (RIFF PCM / IEEE-float): the audio modality's real decode tier ----
+#
+# WAV is to audio what PPM/BMP are to images: header + sample reshape, so
+# decode, feature extraction and clip sampling run genuinely end-to-end.
+# Compressed audio (MP3/OGG/AAC) stays at the declared ffmpeg seam.
+
+
+def decode_audio(payload: bytes):
+    """RIFF/WAVE bytes -> (mono float64 samples in [-1, 1], sample_rate).
+    Supports PCM (format 1) at 8/16/24/32 bits and IEEE float (format 3)
+    at 32/64 bits, any channel count (downmixed by mean). Returns None for
+    anything else (MP3/OGG/AAC need a real audio stack)."""
+    import struct
+
+    try:
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            return None
+        pos = 12
+        fmt = None
+        data = None
+        while pos + 8 <= len(payload):
+            cid = payload[pos:pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            body = payload[pos + 8:pos + 8 + size]
+            pos += 8 + size + (size & 1)  # chunks pad to even offsets
+            if cid == b"fmt ":
+                fmt = body
+            elif cid == b"data":
+                data = body
+        if fmt is None or data is None or len(fmt) < 16:
+            return None
+        audio_fmt, n_ch, rate, _br, _ba, bits = struct.unpack_from(
+            "<HHIIHH", fmt, 0)
+        if n_ch == 0 or rate == 0:
+            return None
+        if audio_fmt == 1:  # integer PCM
+            if bits == 8:  # unsigned
+                x = (np.frombuffer(data, np.uint8).astype(np.float64)
+                     - 128.0) / 128.0
+            elif bits == 16:
+                x = np.frombuffer(data, "<i2").astype(np.float64) / 32768.0
+            elif bits == 24:
+                b = np.frombuffer(data, np.uint8,
+                                  count=len(data) - len(data) % 3)
+                b = b.reshape(-1, 3).astype(np.int64)
+                v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+                v = np.where(v >= 1 << 23, v - (1 << 24), v)
+                x = v.astype(np.float64) / float(1 << 23)
+            elif bits == 32:
+                x = np.frombuffer(data, "<i4").astype(np.float64) / float(1 << 31)
+            else:
+                return None
+        elif audio_fmt == 3:  # IEEE float
+            if bits == 32:
+                x = np.frombuffer(data, "<f4").astype(np.float64)
+            elif bits == 64:
+                x = np.frombuffer(data, "<f8").astype(np.float64)
+            else:
+                return None
+        else:
+            return None
+        n = (len(x) // n_ch) * n_ch
+        if n == 0:
+            return None
+        mono = x[:n].reshape(-1, n_ch).mean(axis=1)
+        return mono, int(rate)
+    except (struct.error, ValueError):
+        return None
+
+
+def encode_wav(samples: np.ndarray, rate: int, bits: int = 16,
+               channels: int = 1) -> bytes:
+    """float samples in [-1, 1] (1-D mono or (n, channels)) -> RIFF/WAVE
+    PCM bytes (for corpus synthesis and tests)."""
+    import struct
+
+    arr = np.asarray(samples, dtype=np.float64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+        if channels > 1:
+            arr = np.repeat(arr, channels, axis=1)
+    n_ch = arr.shape[1]
+    clipped = np.clip(arr, -1.0, 1.0).reshape(-1)
+    if bits == 16:
+        data = (np.round(clipped * 32767.0).astype("<i2")).tobytes()
+    elif bits == 8:
+        data = (np.round(clipped * 127.0) + 128).astype(np.uint8).tobytes()
+    elif bits == 32:
+        data = (np.round(clipped * ((1 << 31) - 1)).astype("<i4")).tobytes()
+    else:
+        raise ValueError("encoder supports 8/16/32-bit PCM")
+    block = n_ch * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * block, block, bits)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def audio_features_from_samples(mono: np.ndarray, rate: int,
+                                n_bands: int = 16) -> list[float]:
+    """Deterministic numpy audio descriptor: [duration_s, rms,
+    zero_crossing_rate, spectral_centroid_hz_normalized] + `n_bands`
+    log-spaced band energies (L2-normalized) — the audio analog of the
+    image intensity histogram, feeding the same LSH near-dup operators."""
+    n = len(mono)
+    duration = n / rate
+    rms = float(np.sqrt(np.mean(mono ** 2))) if n else 0.0
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(mono))))) if n > 1 else 0.0
+    spec = np.abs(np.fft.rfft(mono))
+    freqs = np.fft.rfftfreq(n, 1.0 / rate)
+    power = spec ** 2
+    total = float(power.sum())
+    centroid = float((freqs * power).sum() / total) / (rate / 2) if total else 0.0
+    # log-spaced band energies over (~20 Hz, Nyquist)
+    lo = 20.0
+    hi = max(rate / 2.0, lo * 2)
+    edges = np.geomspace(lo, hi, n_bands + 1)
+    bands = np.zeros(n_bands)
+    for i in range(n_bands):
+        m = (freqs >= edges[i]) & (freqs < edges[i + 1])
+        bands[i] = power[m].sum()
+    norm = float(np.linalg.norm(bands)) or 1.0
+    bands = bands / norm
+    return [float(duration), rms, zcr, centroid] + [float(b) for b in bands]
+
+
+def audio_assets_from_bytes(raw: DataFrame, ref_col: str = "media_ref",
+                            payload_col: str = "payload") -> DataFrame:
+    """REAL audio ingestion: (media_ref, payload) rows with actual WAV
+    bytes -> the standard asset table (media_type='audio', duration_ms
+    from the decoded sample count). Undecodable payloads are dropped.
+    Same Arrow-streamed, hash-repartitioned shape as the image path."""
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                dec = decode_audio(bytes(r[payload_col]))
+                if dec is None:
+                    continue
+                mono, rate = dec
+                rows.append({
+                    "media_ref": r[ref_col], "media_type": "audio",
+                    "payload": bytes(r[payload_col]),
+                    "width": None, "height": None,
+                    "duration_ms": int(len(mono) * 1000 / rate),
+                    "n_bytes": len(r[payload_col]),
+                })
+            yield pd.DataFrame(rows, columns=[
+                "media_ref", "media_type", "payload", "width", "height",
+                "duration_ms", "n_bytes",
+            ])
+
+    schema = (
+        "media_ref string, media_type string, payload binary, width int, "
+        "height int, duration_ms int, n_bytes long"
+    )
+    return raw.repartition(F.pmod(F.xxhash64(ref_col), F.lit(32))).mapInPandas(
+        meta, schema
+    )
+
+
+AUDIO_FEATURE_SCHEMA = "media_ref string, feature array<float>"
+
+
+def extract_audio_features(assets: DataFrame, n_bands: int = 16) -> DataFrame:
+    """payload -> audio descriptor vector (audio_features_from_samples)
+    over REAL decoded WAV samples; non-WAV payloads raise at the declared
+    ffmpeg seam. mapInPandas, Arrow-batched, same scale shape as images."""
+
+    def feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, feats = [], []
+            for _, r in pdf.iterrows():
+                if r["media_type"] != "audio":
+                    continue
+                dec = decode_audio(bytes(r["payload"]))
+                if dec is None:
+                    raise NotImplementedError(
+                        "payload is not RIFF/WAV; plug ffmpeg here for "
+                        "MP3/OGG/AAC")
+                refs.append(r["media_ref"])
+                feats.append(audio_features_from_samples(*dec, n_bands=n_bands))
+            yield pd.DataFrame({"media_ref": refs, "feature": feats})
+
+    return assets.mapInPandas(feat, AUDIO_FEATURE_SCHEMA)
+
+
+CLIP_SCHEMA = "media_ref string, clip_idx int, clip binary, start_ms int"
+
+
+def sample_clips(assets: DataFrame, every_ms: int = 1000,
+                 clip_ms: int = 250) -> DataFrame:
+    """Audio clip sampling: one `clip_ms` 16-bit PCM snippet every
+    `every_ms` of REAL decoded audio — the audio analog of video frame
+    sampling, end-to-end on WAV payloads."""
+
+    def clips(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                if r["media_type"] != "audio":
+                    continue
+                dec = decode_audio(bytes(r["payload"]))
+                if dec is None:
+                    raise NotImplementedError("plug ffmpeg here")
+                mono, rate = dec
+                step = max(1, int(rate * every_ms / 1000))
+                width = max(1, int(rate * clip_ms / 1000))
+                for i, s0 in enumerate(range(0, len(mono), step)):
+                    seg = mono[s0:s0 + width]
+                    pcm = np.round(np.clip(seg, -1, 1) * 32767).astype("<i2")
+                    rows.append({
+                        "media_ref": r["media_ref"], "clip_idx": i,
+                        "clip": pcm.tobytes(),
+                        "start_ms": int(s0 * 1000 / rate),
+                    })
+            yield pd.DataFrame(rows, columns=["media_ref", "clip_idx",
+                                              "clip", "start_ms"])
+
+    return assets.mapInPandas(clips, CLIP_SCHEMA)
 
 
 # -- GIF (GIF87a/89a): LZW decompression + palette, first frame ------------

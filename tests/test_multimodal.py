@@ -539,3 +539,105 @@ def test_gif_corrupt_returns_none():
     idx = rng.integers(0, 4, (6, 6), dtype=np.uint8)
     ok = _ref_gif(idx, palette)
     assert MM.decode_image(ok[:20]) is None
+
+
+# ---------------------------------------------------------------------------
+# audio modality: WAV decode + features + clip sampling (real end-to-end)
+# ---------------------------------------------------------------------------
+
+
+def _sine(rate=8000, secs=0.5, hz=440.0, amp=0.5):
+    t = np.arange(int(rate * secs)) / rate
+    return amp * np.sin(2 * np.pi * hz * t)
+
+
+def test_wav_roundtrip_bit_depths():
+    x = _sine()
+    for bits, tol in ((16, 1e-4), (8, 1e-2), (32, 1e-7)):
+        dec = MM.decode_audio(MM.encode_wav(x, 8000, bits=bits))
+        assert dec is not None
+        mono, rate = dec
+        assert rate == 8000 and len(mono) == len(x)
+        assert float(np.abs(mono - x).max()) < tol, bits
+
+
+def test_wav_stereo_downmix_and_24bit():
+    import struct as _s
+
+    x = _sine()
+    # stereo with distinct channels -> decoded mono must be the mean
+    stereo = np.stack([x, -x * 0.5], axis=1)
+    mono, rate = MM.decode_audio(MM.encode_wav(stereo, 8000))
+    want = stereo.mean(axis=1)
+    assert float(np.abs(mono - want).max()) < 1e-4
+    # hand-built 24-bit PCM: known sample values
+    vals = np.array([0, 1 << 22, -(1 << 22), (1 << 23) - 1, -(1 << 23)])
+    raw = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals)
+    fmt = _s.pack("<HHIIHH", 1, 1, 8000, 8000 * 3, 3, 24)
+    body = (b"fmt " + _s.pack("<I", len(fmt)) + fmt
+            + b"data" + _s.pack("<I", len(raw)) + raw)
+    wav = b"RIFF" + _s.pack("<I", 4 + len(body)) + b"WAVE" + body
+    mono, rate = MM.decode_audio(wav)
+    assert np.allclose(mono, vals / float(1 << 23))
+
+
+def test_wav_ieee_float_and_corrupt():
+    import struct as _s
+
+    x = _sine().astype(np.float32)
+    fmt = _s.pack("<HHIIHH", 3, 1, 8000, 8000 * 4, 4, 32)
+    body = (b"fmt " + _s.pack("<I", len(fmt)) + fmt
+            + b"data" + _s.pack("<I", x.nbytes) + x.tobytes())
+    wav = b"RIFF" + _s.pack("<I", 4 + len(body)) + b"WAVE" + body
+    mono, rate = MM.decode_audio(wav)
+    assert np.allclose(mono, x, atol=1e-7)
+    assert MM.decode_audio(b"RIFF\x00\x00\x00\x00WAVEjunk") is None
+    assert MM.decode_audio(b"ID3\x03mp3 data here") is None  # seam
+    assert MM.decode_audio(wav[:30]) is None
+
+
+def test_audio_features_match_independent_numpy():
+    x = _sine(hz=1000.0, secs=0.25)
+    feats = MM.audio_features_from_samples(x, 8000, n_bands=8)
+    assert len(feats) == 4 + 8
+    duration, rms, zcr, centroid = feats[:4]
+    assert abs(duration - 0.25) < 1e-9
+    # sine RMS = amp/sqrt(2)
+    assert abs(rms - 0.5 / np.sqrt(2)) < 1e-3
+    # 1 kHz sine at 8 kHz: 2*hz/rate = 0.25 sign flips per step
+    assert abs(zcr - 0.25) < 0.01
+    # spectral centroid of a pure tone = its frequency (normalized /4kHz)
+    assert abs(centroid - 1000.0 / 4000.0) < 0.01
+    # band energies: concentrated in the single band containing 1 kHz
+    bands = np.array(feats[4:])
+    assert abs(float(np.linalg.norm(bands)) - 1.0) < 1e-6
+    assert bands.max() > 0.99
+
+
+def test_audio_pipeline_end_to_end(spark):
+    """WAV payloads flow through the real audio tier: ingestion extracts
+    duration, features/clips come from decoded samples."""
+    rows = [
+        ("a.wav", bytearray(MM.encode_wav(_sine(secs=1.0), 8000))),
+        ("b.wav", bytearray(MM.encode_wav(_sine(secs=0.5, hz=220), 8000))),
+        ("junk.mp3", bytearray(b"ID3\x03 not a wav")),
+    ]
+    raw = spark.createDataFrame(rows, "media_ref string, payload binary")
+    assets = MM.audio_assets_from_bytes(raw)
+    got = {r["media_ref"]: r for r in assets.collect()}
+    assert set(got) == {"a.wav", "b.wav"}  # junk dropped
+    assert got["a.wav"]["duration_ms"] == 1000
+    assert got["b.wav"]["duration_ms"] == 500
+    feats = {r["media_ref"]: r["feature"]
+             for r in MM.extract_audio_features(assets).collect()}
+    want_a = MM.audio_features_from_samples(
+        MM.decode_audio(bytes(got["a.wav"]["payload"]))[0], 8000)
+    assert np.allclose(feats["a.wav"], want_a, atol=1e-6)
+    clips = MM.sample_clips(assets, every_ms=250, clip_ms=100).collect()
+    per_ref = {}
+    for r in clips:
+        per_ref.setdefault(r["media_ref"], []).append(r)
+    assert len(per_ref["a.wav"]) == 4 and len(per_ref["b.wav"]) == 2
+    c0 = sorted(per_ref["a.wav"], key=lambda r: r["clip_idx"])[0]
+    assert c0["start_ms"] == 0
+    assert len(bytes(c0["clip"])) == 2 * 800  # 100 ms @ 8 kHz, 16-bit
