@@ -404,9 +404,31 @@ def simhash_pairs_portable(df: DataFrame, text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 
+def _union_find_labels(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Driver-side union-find with path compression; label = component min."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN root so the representative is the component min
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {n: find(n) for n in parent}
+
+
 def connected_components(edges: DataFrame, a_col: str = "a", b_col: str = "b",
                          max_iter: int = 25,
-                         on_nonconverged: str = "escalate") -> DataFrame:
+                         on_nonconverged: str = "escalate",
+                         driver_threshold: int = 200_000) -> DataFrame:
     """(node, component) labels over an undirected edge list; component =
     MIN node id reachable (deterministic canonical representative).
 
@@ -426,9 +448,32 @@ def connected_components(edges: DataFrame, a_col: str = "a", b_col: str = "b",
     would otherwise be split into several clusters and duplicate documents
     would survive dedup undetected at scale. `on_nonconverged` picks the
     policy: 'escalate' (default) re-solves with the O(log n)
-    large-star/small-star variant below; 'raise' fails loudly."""
+    large-star/small-star variant below; 'raise' fails loudly.
+
+    ADAPTIVE small-graph path (same spirit as the frontier's adaptive
+    bloom and Spark's own broadcast-join adaptivity): an edge list at or
+    below `driver_threshold` rows is collected and solved by union-find on
+    the driver — identical labels, none of the per-iteration job latency
+    that dominates tiny graphs (each distributed round costs a
+    localCheckpoint + count round-trip regardless of data volume). Above
+    the threshold the iterative join loop runs as before; pass
+    driver_threshold=0 to force it."""
     if on_nonconverged not in ("escalate", "raise"):
         raise ValueError(f"on_nonconverged: {on_nonconverged!r}")
+    spark = edges.sparkSession
+    pairs_df = edges.select(
+        F.col(a_col).cast("long").alias("a"),
+        F.col(b_col).cast("long").alias("b"),
+    ).filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+    if driver_threshold:
+        # limit(threshold+1) bounds the driver transfer even when the edge
+        # list is huge: we only learn "above threshold", never fetch it
+        head = pairs_df.limit(driver_threshold + 1).collect()
+        if len(head) <= driver_threshold:
+            labels = _union_find_labels([(r["a"], r["b"]) for r in head])
+            return spark.createDataFrame(
+                sorted(labels.items()), "node long, comp long"
+            )
     sym = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).unionByName(
         edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     )

@@ -118,17 +118,24 @@ def test_connected_components_matches_union_find(spark):
         uf.union(a, b)
     want = {n: uf.find(n) for ab in edges for n in ab}
     df = spark.createDataFrame(edges, "a long, b long")
-    got = {r["node"]: r["comp"] for r in DD.connected_components(df).collect()}
-    assert got == want
-    # chain 1-2-3-9-8 collapses to min id 1
-    assert got[8] == 1 and got[3] == 1
+    # driver path (default, graph below threshold) and the distributed
+    # iterative path (forced) must both produce the exact labels
+    for thresh in (200_000, 0):
+        got = {r["node"]: r["comp"]
+               for r in DD.connected_components(
+                   df, driver_threshold=thresh).collect()}
+        assert got == want, thresh
+        # chain 1-2-3-9-8 collapses to min id 1
+        assert got[8] == 1 and got[3] == 1
 
 
 def test_connected_components_long_chain(spark):
-    # path graph 0-1-2-...-9: worst case for propagation (diameter rounds)
+    # path graph 0-1-2-...-9: worst case for propagation (diameter rounds);
+    # force the distributed loop (default would take the driver path)
     edges = [(i, i + 1) for i in range(9)]
     df = spark.createDataFrame(edges, "a long, b long")
-    got = {r["node"]: r["comp"] for r in DD.connected_components(df).collect()}
+    got = {r["node"]: r["comp"]
+           for r in DD.connected_components(df, driver_threshold=0).collect()}
     assert got == {i: 0 for i in range(10)}
 
 
@@ -152,7 +159,8 @@ def test_connected_components_escalates_past_max_iter(spark):
     edges = [(i, i + 1) for i in range(40)]
     df = spark.createDataFrame(edges, "a long, b long")
     got = {r["node"]: r["comp"]
-           for r in DD.connected_components(df, max_iter=5).collect()}
+           for r in DD.connected_components(
+               df, max_iter=5, driver_threshold=0).collect()}
     assert got == {i: 0 for i in range(41)}
 
 
@@ -160,7 +168,8 @@ def test_connected_components_raises_when_asked(spark):
     edges = [(i, i + 1) for i in range(40)]
     df = spark.createDataFrame(edges, "a long, b long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        DD.connected_components(df, max_iter=5, on_nonconverged="raise")
+        DD.connected_components(df, max_iter=5, on_nonconverged="raise",
+                                driver_threshold=0)
 
 
 def test_connected_components_star_long_chain_few_rounds(spark):
