@@ -109,9 +109,7 @@ def _scheduled_plan(spark, raw, seen, robots, budgets, cap):
     UDF + dedup shuffle) is recomputed up to 4x per round."""
     from smartcrawler_spark.operators import frontier as FR
 
-    cands = FR.with_url_columns(raw, "url", {"news": 2.0, "item1": 0.5}).dropDuplicates(
-        ["url_canon"]
-    )
+    cands = FR.with_url_columns_deduped(raw, "url", {"news": 2.0, "item1": 0.5})
     gated = FR.robots_gate(cands, robots)
     # three selectable prefilter paths (on-path equality pytest-verified;
     # off-path output equality asserted by --bloom-compare):

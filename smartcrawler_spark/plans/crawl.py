@@ -176,9 +176,10 @@ class CrawlJob:
 
         Mirrors oracle.admit: canon+distinct, robots gate, seen dedup
         (bloom fast path + exact authority), per-host cap."""
-        cands = FR.with_url_columns(raw_urls, "url", self.cfg.keywords).dropDuplicates(
-            ["url_canon"]
-        )
+        # dedup-first: the batch-dedup shuffle carries ONLY url_canon;
+        # hash/host/is_root/score derive from the distinct survivors
+        # (identical output, ~40% less exchange volume — frontier.py)
+        cands = FR.with_url_columns_deduped(raw_urls, "url", self.cfg.keywords)
         cands = FR.robots_gate(cands, self.robots)
         # adaptive prefilter: probe only once the frontier is big enough
         # for the blob probe to beat the plain exact join (see
