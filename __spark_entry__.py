@@ -207,6 +207,48 @@ def q_robots_rfc_gate(spark, sf_dir):
     )
 
 
+def q_sitemap_entries(spark, sf_dir):
+    """Rich sitemap urlset extraction (S7+): per-<url> blocks carrying
+    <lastmod>/<priority> parsed back into (host, url, lastmod, priority)
+    with the spec's 0.5 priority default — all JVM regex
+    (sources/robots_txt.py::sitemap_url_entries). XML synthesized
+    deterministically from document rows; every third doc omits priority,
+    every fourth omits lastmod."""
+    from smartcrawler_spark.sources.robots_txt import sitemap_url_entries
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    d = F.col("doc_id")
+    pr = F.when(
+        d % 3 != 0,
+        F.concat(F.lit("<priority>0."), (d % 9 + 1).cast("string"),
+                 F.lit("</priority>")),
+    ).otherwise(F.lit(""))
+    lm = F.when(
+        d % 4 != 0,
+        F.concat(F.lit("<lastmod>2024-01-"),
+                 F.lpad((d % 28 + 1).cast("string"), 2, "0"),
+                 F.lit("</lastmod>")),
+    ).otherwise(F.lit(""))
+    block = F.concat(
+        F.lit("<url><loc>https://"), F.col("source"), F.lit(".example.com/doc"),
+        d.cast("string"), F.lit("</loc>"), lm, pr, F.lit("</url>"),
+    )
+    xml = docs.groupBy("source").agg(
+        F.concat(
+            F.lit("<urlset>"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", block.alias("e")))),
+                    lambda s: s["e"],
+                ),
+            ),
+            F.lit("</urlset>"),
+        ).alias("sitemap_xml")
+    )
+    return sitemap_url_entries(xml, host_col="source", xml_col="sitemap_xml")
+
+
 def q_crawl_order_emission(spark, sf_dir):
     """W2 — deterministic total-order emission (crawl_log shape)."""
     ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "click")
@@ -731,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "find_by_path": q_find_by_path,
         "mark_duplicates": q_mark_duplicates,
         "sitemap_roundtrip": q_sitemap_roundtrip,
+        "sitemap_entries": q_sitemap_entries,
         "explode_distinct": q_explode_distinct,
         "text_clean": q_text_clean,
         "dedup_exact": q_dedup_exact,
@@ -882,6 +925,18 @@ def oracle_sql() -> dict[str, str]:
         "robots_prefix_gate": """
             SELECT doc_id, source FROM documents
             WHERE NOT (starts_with(source, 'src1') OR starts_with(source, 'src0'))
+        """,
+        "sitemap_entries": """
+            SELECT source AS host,
+                   'https://' || source || '.example.com/doc'
+                     || CAST(doc_id AS VARCHAR) AS url,
+                   CASE WHEN doc_id % 4 != 0
+                        THEN '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                   END AS lastmod,
+                   CASE WHEN doc_id % 3 != 0
+                        THEN CAST('0.' || CAST(doc_id % 9 + 1 AS VARCHAR) AS DOUBLE)
+                        ELSE 0.5 END AS priority
+            FROM documents WHERE doc_id < 500
         """,
         "robots_rfc_gate": """
             WITH c AS (

@@ -288,6 +288,102 @@ def robots_rules_rfc_from_text(df: DataFrame, host_col: str = "host",
     )
 
 
+def parse_robots_crawl_delay(text: str, user_agent: str = "*") -> float | None:
+    """Crawl-delay (de-facto extension, honored by most engines): seconds
+    between requests for `user_agent`'s group. Group/agent resolution is
+    identical to parse_robots_text; when tying groups both carry a delay
+    the LARGEST wins (conservative). None = no delay declared."""
+    if not text:
+        return None
+    groups: list[tuple[list[str], list[float]]] = []
+    agents: list[str] = []
+    delays: list[float] = []
+    in_group_body = False
+    for raw_line in text.splitlines():
+        line = raw_line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            if in_group_body:
+                groups.append((agents, delays))
+                agents, delays = [], []
+                in_group_body = False
+            agents.append(value.lower())
+        elif key == "crawl-delay":
+            in_group_body = True
+            try:
+                d = float(value)
+                if d >= 0:
+                    delays.append(d)
+            except ValueError:
+                pass
+        elif key in ("disallow", "allow"):
+            in_group_body = True
+    if agents or delays:
+        groups.append((agents, delays))
+
+    ua = user_agent.lower()
+
+    def group_score(agent_tokens: list[str]) -> int | None:
+        best = None
+        for a in agent_tokens:
+            if a == "*":
+                score = 0
+            elif a and a in ua:
+                score = len(a)
+            else:
+                continue
+            if best is None or score > best:
+                best = score
+        return best
+
+    scored = [(group_score(agents), delays) for agents, delays in groups]
+    winning = max((s for s, _ in scored if s is not None), default=None)
+    if winning is None:
+        return None
+    merged = [d for s, delays in scored if s == winning for d in delays]
+    return max(merged) if merged else None
+
+
+def robots_crawl_delays_from_text(df: DataFrame, host_col: str = "host",
+                                  text_col: str = "robots_txt",
+                                  user_agent: str = "*") -> DataFrame:
+    """(host, robots_txt) -> (host, crawl_delay_s) for hosts that declare
+    one — feeds budgets_from_crawl_delay below."""
+
+    @pandas_udf("double")
+    def _delay(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: parse_robots_crawl_delay(t, user_agent) if t else None)
+
+    return (
+        df.select(F.col(host_col).alias("host"),
+                  _delay(F.col(text_col)).alias("crawl_delay_s"))
+        .filter(F.col("crawl_delay_s").isNotNull())
+    )
+
+
+def budgets_from_crawl_delay(delays: DataFrame, round_seconds: float,
+                             default_budget: int,
+                             min_budget: int = 1) -> DataFrame:
+    """(host, crawl_delay_s) -> politeness budgets(host, budget): a host
+    asking for `d` seconds between requests gets floor(round_seconds / d)
+    fetches per round (at least min_budget, capped at default_budget so a
+    tiny declared delay can't RAISE a host above policy). Pure column
+    math — composes directly with operators.frontier.politeness_topk."""
+    budget = F.greatest(
+        F.least(
+            F.floor(F.lit(float(round_seconds)) / F.col("crawl_delay_s")),
+            F.lit(default_budget).cast("bigint"),
+        ),
+        F.lit(min_budget).cast("bigint"),
+    )
+    return delays.select("host", budget.cast("int").alias("budget"))
+
+
 # ---------------------------------------------------------------------------
 # sitemap.xml
 # ---------------------------------------------------------------------------
@@ -319,4 +415,64 @@ def sitemap_urls_from_xml(df: DataFrame, host_col: str = "host",
         F.col(host_col).alias("host"),
         sitemap_kind(F.col(xml_col)).alias("kind"),
         F.explode(sitemap_locs(F.col(xml_col))).alias("url"),
+    )
+
+
+_URL_BLOCK_RE = r"(?s)<url>(.*?)</url>"
+_LASTMOD_RE = r"<lastmod>\s*([^<\s][^<]*?)\s*</lastmod>"
+_PRIORITY_RE = r"<priority>\s*([0-9.]+)\s*</priority>"
+
+
+def sitemap_url_entries(df: DataFrame, host_col: str = "host",
+                        xml_col: str = "sitemap_xml") -> DataFrame:
+    """Rich urlset extraction: (host, url, lastmod, priority) per <url>
+    block — the sitemap metadata real crawlers schedule with (<lastmod>
+    feeds recrawl freshness, <priority> the admission score; the sitemaps
+    spec defaults priority to 0.5 when absent). All JVM regex: blocks via
+    dotall regexp_extract_all, fields via per-element regexp_extract in a
+    transform — no Python, no XML library."""
+    blocks = F.regexp_extract_all(
+        F.col(xml_col), F.lit(_URL_BLOCK_RE), F.lit(1)
+    )
+
+    def entry(b):
+        lastmod = F.regexp_extract(b, _LASTMOD_RE, 1)
+        prio = F.regexp_extract(b, _PRIORITY_RE, 1)
+        return F.struct(
+            F.regexp_extract(b, _LOC_RE, 1).alias("url"),
+            F.when(lastmod == "", None).otherwise(lastmod).alias("lastmod"),
+            F.coalesce(
+                F.when(prio == "", None).otherwise(prio).cast("double"),
+                F.lit(0.5),  # spec default
+            ).alias("priority"),
+        )
+
+    return (
+        df.select(
+            F.col(host_col).alias("host"),
+            F.explode(F.transform(blocks, entry)).alias("e"),
+        )
+        .filter(F.col("e.url") != "")
+        .select("host", "e.url", "e.lastmod", "e.priority")
+    )
+
+
+def boost_score_with_priority(cands: DataFrame, entries: DataFrame,
+                              weight: float = 1.0,
+                              url_col: str = "url_canon") -> DataFrame:
+    """Fold sitemap <priority> into the admission score: score +=
+    weight * priority for URLs the host's sitemap lists (unlisted URLs
+    unchanged). Small dim side -> broadcast join; deterministic since
+    entries are (host, url)-unique after the max-aggregation here."""
+    prio = (
+        entries.groupBy("url").agg(F.max("priority").alias("_prio"))
+    )
+    return (
+        cands.join(F.broadcast(prio),
+                   cands[url_col] == prio["url"], "left")
+        .withColumn(
+            "score",
+            F.col("score") + F.lit(float(weight)) * F.coalesce("_prio", F.lit(0.0)),
+        )
+        .drop("url", "_prio")
     )

@@ -231,3 +231,99 @@ def test_rfc_gate_matches_python_kernel(spark):
     for p in paths:
         assert got[f"https://h.com{p}"] == (not robots_path_allowed(p, rules)), p
     assert got["https://unruled.com/q"] is False
+
+
+# ---------------------------------------------------------------------------
+# Crawl-delay + rich sitemap entries (lastmod/priority)
+# ---------------------------------------------------------------------------
+
+from smartcrawler_spark.sources.robots_txt import (  # noqa: E402
+    boost_score_with_priority,
+    budgets_from_crawl_delay,
+    parse_robots_crawl_delay,
+    robots_crawl_delays_from_text,
+    sitemap_url_entries,
+)
+
+DELAY_TXT = """
+User-agent: *
+Crawl-delay: 2
+Disallow: /x
+
+User-agent: smartcrawler
+Crawl-delay: 0.5
+
+User-agent: *
+Crawl-delay: 10
+"""
+
+
+def test_crawl_delay_group_resolution():
+    # tying star groups merge; conservative max wins
+    assert parse_robots_crawl_delay(DELAY_TXT, "anybot") == 10.0
+    # specific agent outranks star
+    assert parse_robots_crawl_delay(DELAY_TXT, "smartcrawler/1.0") == 0.5
+    assert parse_robots_crawl_delay("", "x") is None
+    assert parse_robots_crawl_delay("User-agent: *\nDisallow: /a\n", "x") is None
+    # invalid / negative values ignored
+    assert parse_robots_crawl_delay(
+        "User-agent: *\nCrawl-delay: nope\n", "x") is None
+    assert parse_robots_crawl_delay(
+        "User-agent: *\nCrawl-delay: -5\n", "x") is None
+
+
+def test_crawl_delay_df_and_budgets(spark):
+    rows = [("a.com", DELAY_TXT), ("b.com", "User-agent: *\nDisallow: /\n"),
+            ("c.com", "User-agent: *\nCrawl-delay: 1\n")]
+    df = spark.createDataFrame(rows, "host string, robots_txt string")
+    delays = {r["host"]: r["crawl_delay_s"]
+              for r in robots_crawl_delays_from_text(df).collect()}
+    assert delays == {"a.com": 10.0, "c.com": 1.0}  # b.com declares none
+    budgets = {r["host"]: r["budget"] for r in budgets_from_crawl_delay(
+        robots_crawl_delays_from_text(df), round_seconds=30,
+        default_budget=20).collect()}
+    # a.com: floor(30/10)=3; c.com: floor(30/1)=30 capped at 20
+    assert budgets == {"a.com": 3, "c.com": 20}
+    # a huge delay still yields the min budget of 1
+    one = spark.createDataFrame([("d.com", 1e6)], "host string, crawl_delay_s double")
+    assert budgets_from_crawl_delay(one, 30, 20).collect()[0]["budget"] == 1
+
+
+SITEMAP_RICH = """<?xml version="1.0"?>
+<urlset>
+  <url>
+    <loc> https://a.com/p1 </loc>
+    <lastmod>2024-03-01</lastmod>
+    <priority>0.9</priority>
+  </url>
+  <url><loc>https://a.com/p2</loc></url>
+  <url><priority>0.3</priority><loc>https://a.com/p3</loc></url>
+  <url><lastmod></lastmod><loc>https://a.com/p4</loc></url>
+</urlset>"""
+
+
+def test_sitemap_url_entries(spark):
+    df = spark.createDataFrame([("a.com", SITEMAP_RICH)],
+                               "host string, sitemap_xml string")
+    got = {r["url"]: (r["lastmod"], r["priority"])
+           for r in sitemap_url_entries(df).collect()}
+    assert got == {
+        "https://a.com/p1": ("2024-03-01", 0.9),
+        "https://a.com/p2": (None, 0.5),   # spec default priority
+        "https://a.com/p3": (None, 0.3),   # field order irrelevant
+        "https://a.com/p4": (None, 0.5),   # empty lastmod -> null
+    }
+
+
+def test_boost_score_with_priority(spark):
+    entries = sitemap_url_entries(spark.createDataFrame(
+        [("a.com", SITEMAP_RICH)], "host string, sitemap_xml string"))
+    cands = spark.createDataFrame(
+        [("https://a.com/p1", 1.0), ("https://a.com/p2", 2.0),
+         ("https://a.com/unlisted", 3.0)],
+        "url_canon string, score double")
+    got = {r["url_canon"]: r["score"]
+           for r in boost_score_with_priority(cands, entries, weight=2.0).collect()}
+    assert got == {"https://a.com/p1": 1.0 + 2.0 * 0.9,
+                   "https://a.com/p2": 2.0 + 2.0 * 0.5,
+                   "https://a.com/unlisted": 3.0}
