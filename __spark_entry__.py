@@ -249,6 +249,80 @@ def q_sitemap_entries(spark, sf_dir):
     return sitemap_url_entries(xml, host_col="source", xml_col="sitemap_xml")
 
 
+def _synthetic_frontier(spark, sf_dir):
+    """Frontier-shaped rows derived from orders (deterministic): status
+    from o_orderstatus, round_fetched from the key for non-PENDING rows."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 4000)
+    k = F.col("o_orderkey")
+    host = F.concat(F.lit("h"), (F.col("o_custkey") % 50).cast("string"),
+                    F.lit(".example.com"))
+    status = (
+        F.when(F.col("o_orderstatus") == "O", "PENDING")
+        .when(F.col("o_orderstatus") == "F", "SUCCESS")
+        .otherwise("FAILED")
+    )
+    return o.select(
+        F.concat(F.lit("https://"), host, F.lit("/p"), k.cast("string")).alias("url_canon"),
+        F.xxhash64(k.cast("string")).alias("url_hash"),
+        host.alias("host"),
+        (k % 17 == 0).alias("is_root"),
+        F.round((k % 100) / 10.0, 1).alias("score"),
+        status.alias("status"),
+        F.when(status != "PENDING", (k % 30).cast("int"))
+        .otherwise(F.lit(None).cast("int")).alias("round_fetched"),
+    )
+
+
+_SYNTH_FRONTIER_SQL = """
+            SELECT 'https://h' || CAST(o_custkey % 50 AS VARCHAR)
+                     || '.example.com/p' || CAST(o_orderkey AS VARCHAR) AS url_canon,
+                   'h' || CAST(o_custkey % 50 AS VARCHAR) || '.example.com' AS host,
+                   o_orderkey % 17 = 0 AS is_root,
+                   round((o_orderkey % 100) / 10.0, 1) AS score,
+                   CASE o_orderstatus WHEN 'O' THEN 'PENDING'
+                        WHEN 'F' THEN 'SUCCESS' ELSE 'FAILED' END AS status,
+                   CASE WHEN o_orderstatus <> 'O'
+                        THEN CAST(o_orderkey % 30 AS INT) END AS round_fetched
+            FROM orders WHERE o_orderkey < 4000
+"""
+
+
+def q_refresh_due(spark, sf_dir):
+    """Freshness/recrawl scheduling (operators.frontier.refresh_due):
+    SUCCESS rows fetched >= `interval` rounds ago become refresh
+    candidates, stalest first; predicate pushdown reaches the scan."""
+    fr = _synthetic_frontier(spark, sf_dir)
+    return FR.refresh_due(fr, round_no=40, interval=15).select(
+        "url_canon", "host", "rounds_stale"
+    )
+
+
+def q_host_stats(spark, sf_dir):
+    """Per-host crawl health rollup (plans.analysis.host_report): lifecycle
+    counts + success rate over attempted fetches; one hash aggregation."""
+    from smartcrawler_spark.plans.analysis import host_report
+
+    return host_report(_synthetic_frontier(spark, sf_dir))
+
+
+def q_gopher_rules(spark, sf_dir):
+    """Gopher document-quality rule bundle (Rae et al. 2021 §A1.1) as pure
+    Column exprs: word-count/mean-word-length windows, symbol ratio,
+    bullet/ellipsis line fractions, alpha-word fraction, the 8-stopword
+    floor, and the composite gopher_pass gate."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    g = T.gopher_rules(F.col("text"))
+    return docs.select(
+        "doc_id",
+        g["n_words"].alias("n_words"),
+        g["mean_word_len"].alias("mean_word_len"),
+        g["symbol_ratio"].alias("symbol_ratio"),
+        g["alpha_word_frac"].alias("alpha_word_frac"),
+        g["n_gopher_stopwords"].alias("n_gopher_stopwords"),
+        g["gopher_pass"].alias("gopher_pass"),
+    )
+
+
 def q_crawl_order_emission(spark, sf_dir):
     """W2 — deterministic total-order emission (crawl_log shape)."""
     ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "click")
@@ -774,6 +848,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mark_duplicates": q_mark_duplicates,
         "sitemap_roundtrip": q_sitemap_roundtrip,
         "sitemap_entries": q_sitemap_entries,
+        "refresh_due": q_refresh_due,
+        "host_stats": q_host_stats,
+        "gopher_rules": q_gopher_rules,
         "explode_distinct": q_explode_distinct,
         "text_clean": q_text_clean,
         "dedup_exact": q_dedup_exact,
@@ -937,6 +1014,67 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST('0.' || CAST(doc_id % 9 + 1 AS VARCHAR) AS DOUBLE)
                         ELSE 0.5 END AS priority
             FROM documents WHERE doc_id < 500
+        """,
+        "refresh_due": f"""
+            WITH f AS ({_SYNTH_FRONTIER_SQL})
+            SELECT url_canon, host, CAST(40 - round_fetched AS INT) AS rounds_stale
+            FROM f
+            WHERE status = 'SUCCESS' AND round_fetched IS NOT NULL
+              AND 40 - round_fetched >= 15
+        """,
+        "host_stats": f"""
+            WITH f AS ({_SYNTH_FRONTIER_SQL})
+            SELECT host,
+                   count(*) AS n_urls,
+                   sum(CASE WHEN status = 'SUCCESS' THEN 1 ELSE 0 END) AS n_success,
+                   sum(CASE WHEN status = 'FAILED' THEN 1 ELSE 0 END) AS n_failed,
+                   sum(CASE WHEN status = 'PENDING' THEN 1 ELSE 0 END) AS n_pending,
+                   round(CASE WHEN sum(CASE WHEN status IN ('SUCCESS','FAILED')
+                                            THEN 1 ELSE 0 END) > 0
+                         THEN sum(CASE WHEN status = 'SUCCESS' THEN 1 ELSE 0 END)::DOUBLE
+                              / sum(CASE WHEN status IN ('SUCCESS','FAILED')
+                                         THEN 1 ELSE 0 END)
+                         ELSE 0.0 END, 4) AS success_rate
+            FROM f GROUP BY host
+        """,
+        "gopher_rules": rf"""
+            WITH d AS (
+              SELECT doc_id, text, {words} AS w
+              FROM documents WHERE doc_id < 400
+            ), s AS (
+              SELECT doc_id,
+                     len(w) AS n_words,
+                     greatest(len(w), 1) AS sw,
+                     len(array_to_string(w, '')) AS n_chars,
+                     len(regexp_extract_all(text, '#')) AS n_hash,
+                     len(regexp_extract_all(text, '\.\.\.|…')) AS n_ellip,
+                     len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+                     len(list_intersect(w, ['the','be','to','of','and','that',
+                                            'have','with'])) AS n_stop,
+                     list_filter(string_split(text, chr(10)),
+                                 x -> trim(x) <> '') AS lines
+              FROM d
+            ), t AS (
+              SELECT *, greatest(len(lines), 1) AS nl,
+                     len(list_filter(lines,
+                         x -> regexp_matches(trim(x), '^([•‣▪*-])'))) AS n_bullet,
+                     len(list_filter(lines,
+                         x -> regexp_matches(trim(x), '(\.\.\.|…)$'))) AS n_eline
+              FROM s
+            )
+            SELECT doc_id, n_words,
+                   round(n_chars::DOUBLE / sw, 4) AS mean_word_len,
+                   round((n_hash + n_ellip)::DOUBLE / sw, 4) AS symbol_ratio,
+                   round(n_alpha::DOUBLE / sw, 4) AS alpha_word_frac,
+                   n_stop AS n_gopher_stopwords,
+                   (n_words BETWEEN 50 AND 100000
+                    AND n_chars::DOUBLE / sw BETWEEN 3 AND 10
+                    AND (n_hash + n_ellip)::DOUBLE / sw <= 0.1
+                    AND n_bullet::DOUBLE / nl < 0.9
+                    AND n_eline::DOUBLE / nl < 0.3
+                    AND n_alpha::DOUBLE / sw >= 0.8
+                    AND n_stop >= 2) AS gopher_pass
+            FROM t
         """,
         "robots_rfc_gate": """
             WITH c AS (

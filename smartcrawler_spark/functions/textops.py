@@ -107,6 +107,67 @@ def quality_score(text: Column) -> Column:
     return F.round((len_score + stop_score + punct_penalty) / 3.0, 4)
 
 
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(text: Column) -> dict[str, Column]:
+    """The Gopher document-quality rule bundle (Rae et al. 2021, §A1.1) as
+    pure Column expressions — the standard pre-training text gate:
+
+    * 50 <= word count <= 100,000
+    * 3 <= mean word length <= 10
+    * symbol-to-word ratio (# and ...) <= 0.1
+    * < 90% of lines start with a bullet, < 30% end with an ellipsis
+    * >= 80% of words contain at least one alphabetic character
+    * >= 2 of the 8 Gopher stopwords appear
+
+    Returns each raw signal plus the composite `gopher_pass` boolean.
+    Whole-stage codegen throughout (line stats via split on newline over
+    the RAW text — clean_text would destroy line structure)."""
+    toks = word_tokens(text)
+    n_words = F.size(toks)
+    safe_words = F.greatest(n_words, F.lit(1))
+    n_chars = F.length(F.concat_ws("", toks))  # letters only, no separators
+    mean_wl = n_chars / safe_words
+    n_hash = F.size(F.regexp_extract_all(text, F.lit("#"), F.lit(0)))
+    n_ellip = F.size(
+        F.regexp_extract_all(text, F.lit(r"\.\.\.|…"), F.lit(0))
+    )
+    symbol_ratio = (n_hash + n_ellip) / safe_words
+    lines = F.filter(F.split(text, "\n"), lambda s: F.trim(s) != "")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = F.size(
+        F.filter(lines, lambda s: F.trim(s).rlike(r"^([•‣▪*-])"))
+    ) / n_lines
+    ellipsis_frac = F.size(
+        F.filter(lines, lambda s: F.trim(s).rlike(r"(\.\.\.|…)$"))
+    ) / n_lines
+    alpha_frac = F.size(
+        F.filter(toks, lambda w: w.rlike("[a-z]"))
+    ) / safe_words
+    n_gopher_stop = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]))
+    )
+    passes = (
+        (n_words >= 50) & (n_words <= 100_000)
+        & (mean_wl >= 3) & (mean_wl <= 10)
+        & (symbol_ratio <= 0.1)
+        & (bullet_frac < 0.9) & (ellipsis_frac < 0.3)
+        & (alpha_frac >= 0.8)
+        & (n_gopher_stop >= 2)
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": F.round(mean_wl, 4),
+        "symbol_ratio": F.round(symbol_ratio, 4),
+        "bullet_frac": F.round(bullet_frac, 4),
+        "ellipsis_frac": F.round(ellipsis_frac, 4),
+        "alpha_word_frac": F.round(alpha_frac, 4),
+        "n_gopher_stopwords": n_gopher_stop,
+        "gopher_pass": passes,
+    }
+
+
 # ---------------------------------------------------------------------------
 # repetition signals (Gopher-style quality filters)
 # ---------------------------------------------------------------------------

@@ -578,6 +578,43 @@ def politeness_topk(
     )
 
 
+def refresh_due(frontier: DataFrame, round_no: int, interval: int,
+                statuses: tuple[str, ...] = ("SUCCESS",),
+                max_per_round: int | None = None) -> DataFrame:
+    """Freshness/recrawl scheduling: frontier rows whose last fetch is at
+    least `interval` rounds old become refresh candidates again, stalest
+    first (the standard revisit policy; pair with sitemap <lastmod> by
+    shrinking `interval` for hosts that publish recent lastmods).
+
+    Emits (url_canon, url_hash, host, is_root, score, rounds_stale) ordered
+    by the engine's pinned total order within equal staleness. With
+    `max_per_round` the emission is capped via the skew-safe two-phase
+    top-k (one global group), bounding refresh load per round.
+
+    Scale shape: a filter + projection over the bucketed frontier —
+    predicate pushdown reaches the parquet scan (status + round_fetched
+    are plain columns), no shuffle unless the cap ranks."""
+    stale = F.lit(round_no) - F.col("round_fetched")
+    due = (
+        frontier.filter(
+            F.col("status").isin(list(statuses))
+            & F.col("round_fetched").isNotNull()
+            & (stale >= interval)
+        )
+        .select("url_canon", "url_hash", "host", "is_root", "score",
+                stale.cast("int").alias("rounds_stale"))
+    )
+    if max_per_round is None:
+        return due
+    return top_k_per_group(
+        due.withColumn("_g", F.lit(1)),
+        ["_g"],
+        [F.col("rounds_stale").desc(), *_order()],
+        max_per_round,
+        salt_on="url_canon",
+    ).drop("_g")
+
+
 def global_crawl_order(scheduled: DataFrame, round_no: int,
                        n_partitions: int | None = None) -> DataFrame:
     """crawl_log rows (round, seq, url_canon): the deterministic total order

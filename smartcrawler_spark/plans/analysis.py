@@ -35,6 +35,28 @@ def duplicate_report(spark: SparkSession, job, out_dir: str) -> DataFrame:
     return dups
 
 
+def host_report(frontier: DataFrame) -> DataFrame:
+    """Per-host crawl health rollup: URL counts by lifecycle status plus
+    the success rate over attempted fetches — the operational dashboard a
+    crawl fleet watches. One hash aggregation on `host` (map-side partial
+    agg; at 10^10 rows this is the canonical groupBy shape)."""
+    n = F.count("*")
+    succ = F.sum(F.when(F.col("status") == "SUCCESS", 1).otherwise(0))
+    fail = F.sum(F.when(F.col("status") == "FAILED", 1).otherwise(0))
+    pend = F.sum(F.when(F.col("status") == "PENDING", 1).otherwise(0))
+    attempted = succ + fail
+    return frontier.groupBy("host").agg(
+        n.alias("n_urls"),
+        succ.alias("n_success"),
+        fail.alias("n_failed"),
+        pend.alias("n_pending"),
+        F.round(
+            F.when(attempted > 0, succ.cast("double") / attempted)
+            .otherwise(F.lit(0.0)), 4
+        ).alias("success_rate"),
+    )
+
+
 def template_paths_json(spark: SparkSession, job, out_dir: str) -> DataFrame:
     """S6: template paths as pretty-ish JSON lines (df.write.json), the
     engine form of TemplatePathStore.to_serialized_string()."""

@@ -136,3 +136,43 @@ def test_cuckoo_no_overflow_keeps_real_blob(spark):
     ck = CuckooFilter.from_bytes(blob)
     keys = [i * 7919 + 13 for i in range(100)]
     assert ck.contains_many(keys).all()
+
+
+def test_refresh_due_staleness_and_cap(spark):
+    rows = [
+        # (url, hash, host, root, score, status, round_fetched)
+        ("https://a.com/old1", 1, "a.com", False, 1.0, "SUCCESS", 2),
+        ("https://a.com/old2", 2, "a.com", False, 5.0, "SUCCESS", 5),
+        ("https://a.com/fresh", 3, "a.com", False, 9.0, "SUCCESS", 18),
+        ("https://a.com/failed", 4, "a.com", False, 9.0, "FAILED", 1),
+        ("https://a.com/pending", 5, "a.com", False, 9.0, "PENDING", None),
+    ]
+    fr = spark.createDataFrame(
+        rows, "url_canon string, url_hash long, host string, is_root boolean,"
+              " score double, status string, round_fetched int")
+    due = {r["url_canon"]: r["rounds_stale"]
+           for r in FR.refresh_due(fr, round_no=20, interval=10).collect()}
+    # only SUCCESS rows >= 10 rounds stale; FAILED/PENDING excluded
+    assert due == {"https://a.com/old1": 18, "https://a.com/old2": 15}
+    # statuses opt-in: include FAILED for retry policies
+    due2 = {r["url_canon"]
+            for r in FR.refresh_due(fr, 20, 10,
+                                    statuses=("SUCCESS", "FAILED")).collect()}
+    assert due2 == {"https://a.com/old1", "https://a.com/old2",
+                    "https://a.com/failed"}
+    # cap keeps the stalest first
+    capped = FR.refresh_due(fr, 20, 10, max_per_round=1).collect()
+    assert [r["url_canon"] for r in capped] == ["https://a.com/old1"]
+
+
+def test_host_report_rollup(spark):
+    from smartcrawler_spark.plans.analysis import host_report
+
+    rows = [("a.com", "SUCCESS"), ("a.com", "SUCCESS"), ("a.com", "FAILED"),
+            ("a.com", "PENDING"), ("b.com", "PENDING")]
+    fr = spark.createDataFrame(rows, "host string, status string")
+    got = {r["host"]: (r["n_urls"], r["n_success"], r["n_failed"],
+                       r["n_pending"], r["success_rate"])
+           for r in host_report(fr).collect()}
+    assert got == {"a.com": (4, 2, 1, 1, round(2 / 3, 4)),
+                   "b.com": (1, 0, 0, 1, 0.0)}

@@ -56,3 +56,35 @@ def test_quality_and_fingerprint_deterministic(spark):
     assert 0.0 <= rows[0]["q"] <= 1.0
     # fingerprint is whitespace/case-insensitive → both rows identical
     assert rows[0]["fp"] == rows[1]["fp"]
+
+
+def test_gopher_rules_bundle(spark):
+    from smartcrawler_spark.functions.textops import gopher_rules
+
+    good = ("the quick brown fox jumps over the lazy dog and then continues "
+            "to run with great speed because that is what foxes have always "
+            "done in stories of this kind where animals behave like people "
+            "and the narrative keeps going until we have enough words to "
+            "clear the fifty word floor set by the gopher rules paper")
+    short = "too few words here"
+    bullets = "\n".join(f"• item {i}" for i in range(10))
+    ellipsed = "\n".join(f"line {i} trails off..." for i in range(10))
+    symbolic = " ".join(["###"] * 60)
+    df = spark.createDataFrame(
+        [(0, good), (1, short), (2, bullets), (3, ellipsed), (4, symbolic)],
+        "doc_id long, text string")
+    g = gopher_rules(F.col("text"))
+    out = {r["doc_id"]: r.asDict() for r in df.select(
+        "doc_id", *[v.alias(k) for k, v in g.items()]).collect()}
+    assert out[0]["gopher_pass"] is True
+    assert out[0]["n_gopher_stopwords"] >= 2
+    assert out[1]["gopher_pass"] is False          # word floor
+    assert out[2]["bullet_frac"] == 1.0 and out[2]["gopher_pass"] is False
+    assert out[3]["ellipsis_frac"] == 1.0 and out[3]["gopher_pass"] is False
+    assert out[4]["symbol_ratio"] > 0.1 and out[4]["gopher_pass"] is False
+    # python cross-check of the scalar signals on the good doc
+    toks = good.lower().split()
+    assert out[0]["n_words"] == len(toks)
+    assert out[0]["mean_word_len"] == round(
+        sum(len(t) for t in toks) / len(toks), 4)
+    assert out[0]["alpha_word_frac"] == 1.0
