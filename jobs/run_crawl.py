@@ -33,6 +33,19 @@ def main() -> int:
     ap.add_argument("--max-rounds", type=int, default=50)
     ap.add_argument("--max-urls-per-host", type=int, default=10)
     ap.add_argument("--default-budget", type=int, default=4)
+    ap.add_argument("--refresh-interval", type=int, default=None,
+                    help="recrawl SUCCESS URLs fetched >= N rounds ago "
+                         "(default: crawl to exhaustion, no recrawl)")
+    ap.add_argument("--refresh-max-per-round", type=int, default=None,
+                    help="cap refresh candidates per round")
+    ap.add_argument("--bloom-min-frontier-rows", type=int, default=None,
+                    help="adaptive seen-prefilter floor (default 50M; "
+                         "0 forces the bloom path on)")
+    ap.add_argument("--table-backend", choices=["parquet", "iceberg"],
+                    default="parquet",
+                    help="snapshot substrate (iceberg needs the runtime jar "
+                         "+ a catalog named by --iceberg-namespace)")
+    ap.add_argument("--iceberg-namespace", default="graft.db")
     ap.add_argument("--prep", action="store_true", help="emit template paths JSON instead of duplicate analysis")
     ap.add_argument("--out", default=None, help="optional output dir for analysis results")
     args = ap.parse_args()
@@ -53,11 +66,19 @@ def main() -> int:
 
         spark = get_spark(app_name="smartcrawler-crawl")
 
+    extra = {}
+    if args.bloom_min_frontier_rows is not None:
+        extra["bloom_min_frontier_rows"] = args.bloom_min_frontier_rows
     cfg = EngineConfig(
         keywords=json.loads(args.keywords),
         max_urls_per_host=args.max_urls_per_host,
         max_rounds=args.max_rounds,
         default_budget=args.default_budget,
+        refresh_interval=args.refresh_interval,
+        refresh_max_per_round=args.refresh_max_per_round,
+        table_backend=args.table_backend,
+        iceberg_namespace=args.iceberg_namespace,
+        **extra,
     )
     job = CrawlJob(spark, args.corpus, args.checkpoint, cfg, seeds)
     summary = job.run()

@@ -80,6 +80,13 @@ class EngineConfig:
                                     # log read path opening 10^5 tiny files
     raw_artifacts: bool = False   # parse robots_raw/sitemaps_raw instead of
                                   # reading the pre-built rule tables
+    refresh_interval: int | None = None
+    # ^ freshness/recrawl: SUCCESS rows fetched >= this many rounds ago
+    # re-enter the schedule pool (stalest first, competing with new URLs
+    # inside the same politeness budget). None (default) = crawl-to-
+    # exhaustion, the reference-parity mode; enabled crawls run until
+    # max_rounds (the pool never drains).
+    refresh_max_per_round: int | None = None  # cap refresh load per round
     table_backend: str = "parquet"  # snapshot substrate: "parquet" (the
                                     # manifest analog, always available) or
                                     # "iceberg" (real catalog; requires the
@@ -367,11 +374,21 @@ class CrawlJob:
     def run_round(self, round_no: int) -> dict:
         """One crawl round. Returns counters (scheduled==0 => converged)."""
         frontier = self.t_frontier.read(self.spark)
-        pending = frontier.filter(F.col("status") == "PENDING")
+        sched_cols = ["url_canon", "url_hash", "host", "is_root", "score"]
+        pool = frontier.filter(F.col("status") == "PENDING").select(*sched_cols)
+        if self.cfg.refresh_interval:
+            # recrawl: stale SUCCESS rows rejoin the pool and compete with
+            # new URLs inside the same per-host politeness budget; the
+            # fetch MERGE then stamps them with this round's round_fetched
+            due = FR.refresh_due(
+                frontier, round_no, self.cfg.refresh_interval,
+                max_per_round=self.cfg.refresh_max_per_round,
+            )
+            pool = pool.unionByName(due.select(*sched_cols))
 
         scheduled = FR.politeness_topk(
-            pending, self.budgets, self.cfg.default_budget, self.cfg.salt_buckets
-        ).select("url_canon", "url_hash", "host", "is_root", "score")
+            pool, self.budgets, self.cfg.default_budget, self.cfg.salt_buckets
+        ).select(*sched_cols)
         scheduled.cache()
         n_sched = scheduled.count()
         if n_sched == 0:

@@ -41,9 +41,11 @@ def _engine_cfg(**kw):
     # keeps exercising probe + delta-update + rebuild; use_bloom=False
     # cases cover the adaptive skip's exact-join-only shape
     kw.setdefault("bloom_min_frontier_rows", 0)
-    return EngineConfig(
-        keywords=KEYWORDS, max_urls_per_host=10, max_rounds=30, default_budget=4, **kw
-    )
+    kw.setdefault("keywords", KEYWORDS)
+    kw.setdefault("max_urls_per_host", 10)
+    kw.setdefault("max_rounds", 30)
+    kw.setdefault("default_budget", 4)
+    return EngineConfig(**kw)
 
 
 def _run_engine(spark, corpus_dir, seeds, ckpt, cfg=None):
@@ -264,3 +266,31 @@ def test_crash_during_bootstrap_recovers(spark, corpus, tmp_path):
     pm = {tuple(sorted(r.asDict().items())) for r in ref.metrics().collect()}
     rm = {tuple(sorted(r.asDict().items())) for r in resumed.metrics().collect()}
     assert rm == pm
+
+
+def test_refresh_interval_recrawls_stale_urls(spark, corpus, tmp_path):
+    """With refresh_interval set, SUCCESS URLs re-enter the schedule after
+    the interval: the crawl log shows the same URL fetched in two distinct
+    rounds and the frontier's round_fetched advances to the later one."""
+    d, manifest = corpus
+    cfg = _engine_cfg(refresh_interval=3, max_rounds=8)
+    job = _run_engine(spark, d, manifest["seeds"], tmp_path / "ckpt_refresh", cfg)
+    log = job.crawl_log().collect()
+    rounds_per_url = {}
+    for r in log:
+        rounds_per_url.setdefault(r["url_canon"], []).append(r["round"])
+    refetched = {u: rs for u, rs in rounds_per_url.items() if len(rs) > 1}
+    assert refetched, "no URL was ever recrawled"
+    # refetch gaps respect the interval
+    for u, rs in refetched.items():
+        rs = sorted(rs)
+        assert all(b - a >= 3 for a, b in zip(rs, rs[1:])), (u, rs)
+    # frontier carries the LATEST fetch round
+    from pyspark.sql import functions as F
+
+    u, rs = next(iter(refetched.items()))
+    row = job.frontier().filter(F.col("url_canon") == u).collect()[0]
+    assert row["round_fetched"] == max(rs)
+    # determinism: the same config reruns to the identical log
+    job2 = _run_engine(spark, d, manifest["seeds"], tmp_path / "ckpt_refresh2", cfg)
+    assert _log_tuples(job) == _log_tuples(job2)
