@@ -80,6 +80,12 @@ class EngineConfig:
                                     # log read path opening 10^5 tiny files
     raw_artifacts: bool = False   # parse robots_raw/sitemaps_raw instead of
                                   # reading the pre-built rule tables
+    rfc_robots: bool = False
+    # ^ with raw_artifacts: gate on FULL RFC 9309 allow/disallow
+    # longest-match rules (wildcards, tie->allow, Allow carve-outs inside
+    # disallowed subtrees) via robots_gate_rfc, instead of the
+    # conservative prefix anti-join. Default off = reference-parity
+    # over-blocking semantics (the oracle models the prefix subset).
     refresh_interval: int | None = None
     # ^ freshness/recrawl: SUCCESS rows fetched >= this many rounds ago
     # re-enter the schedule pool (stalest first, competing with new URLs
@@ -148,17 +154,23 @@ class CrawlJob:
             .withColumn("doc_canon", U.canonicalize_url(F.col("doc_id")))
             .select("doc_canon", "host", "spans")
         )
+        self._robots_gate = FR.robots_gate  # conservative prefix anti-join
         if cfg.raw_artifacts:
             # ingest the RAW fetched artifacts through the parsers — same
             # table shapes, must yield the identical crawl (tested e2e)
             from ..sources.robots_txt import (
                 robots_rules_from_text,
+                robots_rules_rfc_from_text,
                 sitemap_urls_from_xml,
             )
 
-            self.robots = robots_rules_from_text(
-                spark.read.parquet(f"{corpus_dir}/robots_raw.parquet")
-            )
+            raw_robots = spark.read.parquet(f"{corpus_dir}/robots_raw.parquet")
+            if cfg.rfc_robots:
+                # full RFC 9309 longest-match rules (Allow carve-outs etc.)
+                self.robots = robots_rules_rfc_from_text(raw_robots)
+                self._robots_gate = FR.robots_gate_rfc
+            else:
+                self.robots = robots_rules_from_text(raw_robots)
             self.sitemaps = (
                 sitemap_urls_from_xml(
                     spark.read.parquet(f"{corpus_dir}/sitemaps_raw.parquet")
@@ -187,7 +199,7 @@ class CrawlJob:
         # hash/host/is_root/score derive from the distinct survivors
         # (identical output, ~40% less exchange volume — frontier.py)
         cands = FR.with_url_columns_deduped(raw_urls, "url", self.cfg.keywords)
-        cands = FR.robots_gate(cands, self.robots)
+        cands = self._robots_gate(cands, self.robots)
         # adaptive prefilter: probe only once the frontier is big enough
         # for the blob probe to beat the plain exact join (see
         # bloom_min_frontier_rows) — the row count comes from parquet

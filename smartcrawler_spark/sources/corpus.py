@@ -201,6 +201,12 @@ class CorpusConfig:
     media_per_page: int = 2
     default_budget: int = 4           # politeness: fetches/host/round
     sitemap_coverage: float = 0.5     # fraction of pages listed in sitemap
+    robots_allow_carveout: bool = False
+    # ^ add "Allow: /private/p1000" to the RAW robots text: an RFC 9309
+    # longest-match exception inside the disallowed subtree. Only the
+    # raw-artifact + rfc_robots engine mode honors it (the conservative
+    # prefix path and the pre-parsed robots.parquet still block all of
+    # /private) — the knob exists to e2e-test exactly that difference.
 
 
 def host_name(i: int) -> str:
@@ -325,10 +331,11 @@ def generate_corpus(out_dir: str, cfg: CorpusConfig | None = None) -> dict:
     # equals the rule tables above — the engine's raw-ingest path
     # (plans.crawl EngineConfig.raw_artifacts=True) parses these instead of
     # reading the tables, and must produce the identical crawl.
+    carveout = "Allow: /private/p1000\n" if cfg.robots_allow_carveout else ""
     raw_robots = [
         {"host": h,
          "robots_txt": ("# synthetic corpus robots\n"
-                        "User-agent: *\nDisallow: /private\n")}
+                        "User-agent: *\nDisallow: /private\n" + carveout)}
         for h in hosts
     ]
     pq.write_table(

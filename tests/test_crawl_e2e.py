@@ -294,3 +294,33 @@ def test_refresh_interval_recrawls_stale_urls(spark, corpus, tmp_path):
     # determinism: the same config reruns to the identical log
     job2 = _run_engine(spark, d, manifest["seeds"], tmp_path / "ckpt_refresh2", cfg)
     assert _log_tuples(job) == _log_tuples(job2)
+
+
+def test_rfc_robots_mode_honors_allow_carveout(spark, tmp_path):
+    """raw_artifacts + rfc_robots gates on full RFC 9309 longest-match:
+    an Allow exception inside the Disallow'd subtree admits exactly that
+    URL, while the conservative prefix mode (and the oracle) still block
+    the whole subtree."""
+    from smartcrawler_spark.sources.corpus import CorpusConfig, generate_corpus
+
+    d = str(tmp_path / "c")
+    m = generate_corpus(d, CorpusConfig(
+        n_hosts=2, pages_per_host=6, hot_host_pages=6,
+        robots_allow_carveout=True))
+
+    def private_urls(job):
+        return {r["url_canon"] for r in job.frontier().collect()
+                if "/private/" in r["url_canon"]}
+
+    strict = _run_engine(spark, d, m["seeds"], tmp_path / "strict",
+                         _engine_cfg(raw_artifacts=True))
+    rfc = _run_engine(spark, d, m["seeds"], tmp_path / "rfc",
+                      _engine_cfg(raw_artifacts=True, rfc_robots=True))
+    assert private_urls(strict) == set()  # conservative: subtree blocked
+    carved = private_urls(rfc)
+    assert carved and all(u.endswith("/private/p1000") for u in carved)
+    # nothing else from the disallowed subtree leaks in either mode, and
+    # the RFC run is itself deterministic
+    rfc2 = _run_engine(spark, d, m["seeds"], tmp_path / "rfc2",
+                       _engine_cfg(raw_artifacts=True, rfc_robots=True))
+    assert _log_tuples(rfc) == _log_tuples(rfc2)
