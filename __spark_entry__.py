@@ -323,6 +323,24 @@ def q_gopher_rules(spark, sf_dir):
     )
 
 
+def q_c4_filters(spark, sf_dir):
+    """C4 line-cleaning rules (Raffel et al. 2020 §2.2): terminal
+    punctuation, per-line word floor, lorem-ipsum/javascript drops, and
+    the >=3-kept-lines + no-curly page gate. Document text is re-lined at
+    sentence boundaries first so the line rules have real lines to act
+    on."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    relined = F.regexp_replace(F.col("text"), r"\. ", ".\n")
+    c4 = T.c4_line_filters(relined)
+    return docs.select(
+        "doc_id",
+        c4["n_lines"].alias("n_lines"),
+        c4["n_lines_kept"].alias("n_lines_kept"),
+        F.md5(c4["cleaned"]).alias("cleaned_md5"),
+        c4["page_keep"].alias("page_keep"),
+    )
+
+
 def q_crawl_order_emission(spark, sf_dir):
     """W2 — deterministic total-order emission (crawl_log shape)."""
     ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "click")
@@ -849,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_roundtrip": q_sitemap_roundtrip,
         "sitemap_entries": q_sitemap_entries,
         "refresh_due": q_refresh_due,
+        "c4_filters": q_c4_filters,
         "host_stats": q_host_stats,
         "gopher_rules": q_gopher_rules,
         "explode_distinct": q_explode_distinct,
@@ -1014,6 +1033,36 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST('0.' || CAST(doc_id % 9 + 1 AS VARCHAR) AS DOUBLE)
                         ELSE 0.5 END AS priority
             FROM documents WHERE doc_id < 500
+        """,
+        "c4_filters": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_replace(text, '\. ', '.' || chr(10), 'g') AS t
+              FROM documents WHERE doc_id < 400
+            ), s AS (
+              SELECT doc_id,
+                     list_filter(string_split(t, chr(10)),
+                                 x -> trim(x) <> '') AS lines,
+                     t
+              FROM d
+            ), k AS (
+              SELECT doc_id, lines,
+                     list_filter(lines, x ->
+                        regexp_matches(trim(x), '[.!?"]$')
+                        AND len(list_filter(regexp_split_to_array(trim(x), '\s+'),
+                                            w -> w <> '')) >= 5
+                        AND NOT contains(lower(trim(x)), 'lorem ipsum')
+                        AND NOT regexp_matches(lower(trim(x)), '\bjavascript\b')
+                     ) AS kept,
+                     contains(t, '{') AS curly
+              FROM s
+            )
+            SELECT doc_id,
+                   len(lines) AS n_lines,
+                   len(kept) AS n_lines_kept,
+                   md5(coalesce(array_to_string(kept, chr(10)), '')) AS cleaned_md5,
+                   (len(kept) >= 3 AND NOT curly) AS page_keep
+            FROM k
         """,
         "refresh_due": f"""
             WITH f AS ({_SYNTH_FRONTIER_SQL})

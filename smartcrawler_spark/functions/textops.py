@@ -168,6 +168,45 @@ def gopher_rules(text: Column) -> dict[str, Column]:
     }
 
 
+def c4_line_filters(text: Column, min_words_per_line: int = 5,
+                    min_kept_lines: int = 3) -> dict[str, Column]:
+    """The C4 line-level cleaning rules (Raffel et al. 2020, §2.2) as pure
+    Column expressions:
+
+    * keep only lines ending in terminal punctuation (. ! ? ");
+    * keep only lines with >= `min_words_per_line` words;
+    * drop lines containing "lorem ipsum" or the word "javascript"
+      (cookie/JS boilerplate);
+    * `page_keep` = >= `min_kept_lines` surviving lines AND no curly brace
+      anywhere on the page (the code/JSON page drop).
+
+    Returns cleaned text (kept lines re-joined with newlines) plus the
+    counters. Whole-stage codegen; operates on RAW text so line structure
+    survives."""
+    lines = F.filter(F.split(text, "\n"), lambda s: F.trim(s) != "")
+
+    def line_ok(s):
+        t = F.trim(s)
+        words = F.size(F.filter(F.split(t, r"\s+"), lambda w: w != ""))
+        low = F.lower(t)
+        return (
+            t.rlike(r'[.!?"]$')
+            & (words >= min_words_per_line)
+            & ~low.contains("lorem ipsum")
+            & ~low.rlike(r"\bjavascript\b")
+        )
+
+    kept = F.filter(lines, line_ok)
+    n_total = F.size(lines)
+    n_kept = F.size(kept)
+    return {
+        "cleaned": F.array_join(kept, "\n"),
+        "n_lines": n_total,
+        "n_lines_kept": n_kept,
+        "page_keep": (n_kept >= min_kept_lines) & ~text.contains("{"),
+    }
+
+
 # ---------------------------------------------------------------------------
 # repetition signals (Gopher-style quality filters)
 # ---------------------------------------------------------------------------

@@ -88,3 +88,32 @@ def test_gopher_rules_bundle(spark):
     assert out[0]["mean_word_len"] == round(
         sum(len(t) for t in toks) / len(toks), 4)
     assert out[0]["alpha_word_frac"] == 1.0
+
+
+def test_c4_line_filters(spark):
+    from smartcrawler_spark.functions.textops import c4_line_filters
+
+    text = "\n".join([
+        "This line has plenty of words and ends properly.",
+        "Another good line that survives the filters just fine!",
+        'A third keeper line with a quoted ending here too."',
+        "no terminal punctuation so this one is dropped",
+        "Too short.",
+        "This page uses javascript for everything, sadly.",
+        "Some lorem ipsum filler text sits in this line.",
+        "",
+    ])
+    df = spark.createDataFrame([(0, text), (1, "Short. {code}")],
+                               "doc_id long, text string")
+    c4 = c4_line_filters(F.col("text"))
+    out = {r["doc_id"]: r.asDict() for r in df.select(
+        "doc_id", *[v.alias(k) for k, v in c4.items()]).collect()}
+    assert out[0]["n_lines"] == 7  # blank line excluded
+    assert out[0]["n_lines_kept"] == 3
+    assert out[0]["page_keep"] is True
+    kept = out[0]["cleaned"].split("\n")
+    assert len(kept) == 3 and all(k[-1] in '.!?"' for k in kept)
+    assert "javascript" not in out[0]["cleaned"]
+    assert "lorem" not in out[0]["cleaned"]
+    # curly brace pages are dropped regardless of kept lines
+    assert out[1]["page_keep"] is False
