@@ -268,9 +268,11 @@ def _decode_jpeg(payload: bytes) -> np.ndarray | None:
             scan = []  # (comp_idx, dc_table, ac_table)
             for c in range(ns):
                 cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
-                idx = next(i for i, comp in enumerate(frame[2])
-                           if comp[0] == cid)
-                scan.append((idx, tabs >> 4, tabs & 0xF))
+                matches = [i for i, comp in enumerate(frame[2])
+                           if comp[0] == cid]
+                if not matches:  # SOS names a component SOF never declared
+                    return None
+                scan.append((matches[0], tabs >> 4, tabs & 0xF))
             return _decode_scan(payload, pos + seg_len, frame, scan, qt,
                                 huff_dc, huff_ac, restart_interval)
         pos = nxt

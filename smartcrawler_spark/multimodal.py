@@ -107,7 +107,11 @@ def _decode_ppm(payload: bytes) -> np.ndarray | None:
             tokens.append(payload[start:pos])
     if len(tokens) < 4 or tokens[0] != b"P6" or tokens[3] != b"255":
         return None
+    if not (tokens[1].isdigit() and tokens[2].isdigit()):
+        return None  # corrupt dimension tokens
     w, h = int(tokens[1]), int(tokens[2])
+    if w == 0 or h == 0:
+        return None
     pos += 1  # the single whitespace after maxval
     need = w * h * 3
     if len(payload) - pos < need:

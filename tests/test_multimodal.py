@@ -641,3 +641,43 @@ def test_audio_pipeline_end_to_end(spark):
     c0 = sorted(per_ref["a.wav"], key=lambda r: r["clip_idx"])[0]
     assert c0["start_ms"] == 0
     assert len(bytes(c0["clip"])) == 2 * 800  # 100 ms @ 8 kHz, 16-bit
+
+
+# ---------------------------------------------------------------------------
+# codec fuzz: decoders NEVER raise — corrupt input yields None, not a crash
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_decoders_never_raise_on_random_bytes(payload):
+    MM.decode_image(payload)
+    MM.decode_audio(payload)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.data())
+def test_decoders_never_raise_on_mutated_valid_files(data):
+    rng = np.random.default_rng(0)
+    px = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    from smartcrawler_spark.jpeg import encode_jpeg_baseline
+
+    bases = [
+        MM.encode_png(px),
+        MM.encode_ppm(px),
+        encode_jpeg_baseline(px, quality=90),
+        MM.encode_wav(np.linspace(-1, 1, 64), 8000),
+        _ref_gif(rng.integers(0, 4, (5, 5), dtype=np.uint8),
+                 rng.integers(0, 256, (4, 3), dtype=np.uint8)),
+        _encode_bmp(px),
+    ]
+    base = bytearray(data.draw(st.sampled_from(bases)))
+    # corrupt 1-8 random byte positions
+    for _ in range(data.draw(st.integers(1, 8))):
+        pos = data.draw(st.integers(0, len(base) - 1))
+        base[pos] = data.draw(st.integers(0, 255))
+    MM.decode_image(bytes(base))
+    MM.decode_audio(bytes(base))
