@@ -784,6 +784,20 @@ def q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def q_embedding_near_dup_lsh(spark, sf_dir):
+    """PRODUCTION embedding near-dup path (operators.similarity.
+    embedding_near_dup_pairs): LSH bucket self-join candidates + exact
+    cosine verify — gates the bucketed plan itself (the brute-force
+    `embedding_near_dup` above is the oracle-shape stand-in on a subset).
+    Gated against golden parquet from tools/gen_golden.py (independent
+    numpy oracle replicating the engine's float32 coercions, bit-exact;
+    tests/test_golden.py enforces)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.embedding_near_dup_pairs(
+        emb, threshold=0.3, dim=64, bits=4, tables=8
+    )
+
+
 def q_lang_id(spark, sf_dir):
     """Language ID (marker heuristic) distribution per source."""
     docs = _t(spark, sf_dir, "documents")
@@ -889,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_ivf_portable": q_ann_ivf_portable,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "lang_id": q_lang_id,
         "quality_features": q_quality_features,
         "token_count": q_token_count,
@@ -1078,12 +1093,13 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN status = 'SUCCESS' THEN 1 ELSE 0 END) AS n_success,
                    sum(CASE WHEN status = 'FAILED' THEN 1 ELSE 0 END) AS n_failed,
                    sum(CASE WHEN status = 'PENDING' THEN 1 ELSE 0 END) AS n_pending,
-                   round(CASE WHEN sum(CASE WHEN status IN ('SUCCESS','FAILED')
+                   CAST(CASE WHEN sum(CASE WHEN status IN ('SUCCESS','FAILED')
                                             THEN 1 ELSE 0 END) > 0
-                         THEN sum(CASE WHEN status = 'SUCCESS' THEN 1 ELSE 0 END)::DOUBLE
-                              / sum(CASE WHEN status IN ('SUCCESS','FAILED')
-                                         THEN 1 ELSE 0 END)
-                         ELSE 0.0 END, 4) AS success_rate
+                         THEN floor(sum(CASE WHEN status = 'SUCCESS' THEN 1 ELSE 0 END)
+                                    * 10000.0
+                                    / sum(CASE WHEN status IN ('SUCCESS','FAILED')
+                                               THEN 1 ELSE 0 END))
+                         ELSE 0 END AS INT) AS success_bp
             FROM f GROUP BY host
         """,
         "gopher_rules": rf"""
@@ -1360,6 +1376,11 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": """
             SELECT vec_id, sim
             FROM read_parquet('/root/repo/fixtures/golden/ann_ivf.parquet')
+        """,
+        "embedding_near_dup_lsh": """
+            SELECT a, b, sim
+            FROM read_parquet(
+                '/root/repo/fixtures/golden/embedding_near_dup_lsh.parquet')
         """,
         "minhash_lsh_portable": r"""
             WITH toks AS (

@@ -191,8 +191,8 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray | None:
-    """Baseline JPEG bytes -> HxWx3 uint8 RGB, or None for non-baseline
-    profiles / corrupt streams."""
+    """Baseline (SOF0) or progressive (SOF2) JPEG bytes -> HxWx3 uint8 RGB,
+    or None for unsupported profiles / corrupt streams."""
     try:
         return _decode_jpeg(payload)
     except (IndexError, EOFError, ValueError, KeyError, ZeroDivisionError,
@@ -207,6 +207,8 @@ def _decode_jpeg(payload: bytes) -> np.ndarray | None:
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None  # (h, w, comps) with comps = [(cid, hs, vs, tq)]
+    progressive = False
+    prog = None  # _ProgressiveState once the first SOF2 scan begins
     restart_interval = 0
     pos = 2
     while pos < len(payload):
@@ -234,7 +236,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray | None:
                     vals = np.frombuffer(seg, np.uint8, 64, i).astype(np.int64)
                     i += 64
                 qt[tq] = vals  # zigzag order
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             precision = seg[0]
             if precision != 8:
                 return None
@@ -245,9 +247,10 @@ def _decode_jpeg(payload: bytes) -> np.ndarray | None:
                 cid, hv, tq_id = seg[6 + 3 * c:9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0xF, tq_id))
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            progressive = marker == 0xC2
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # progressive / arithmetic / hierarchical
+            return None  # extended-seq / arithmetic / hierarchical / lossless
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(seg):
@@ -263,8 +266,6 @@ def _decode_jpeg(payload: bytes) -> np.ndarray | None:
             if frame is None:
                 return None
             ns = seg[0]
-            if ns != len(frame[2]):
-                return None  # non-interleaved multi-scan: outside baseline profile here
             scan = []  # (comp_idx, dc_table, ac_table)
             for c in range(ns):
                 cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
@@ -273,9 +274,24 @@ def _decode_jpeg(payload: bytes) -> np.ndarray | None:
                 if not matches:  # SOS names a component SOF never declared
                     return None
                 scan.append((matches[0], tabs >> 4, tabs & 0xF))
+            if progressive:
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ah_al = seg[3 + 2 * ns]
+                ah, al = ah_al >> 4, ah_al & 0xF
+                if prog is None:
+                    prog = _ProgressiveState(frame)
+                pos = prog.decode_scan(
+                    payload, pos + seg_len, scan, ss, se, ah, al,
+                    huff_dc, huff_ac, restart_interval,
+                )
+                continue
+            if ns != len(frame[2]):
+                return None  # non-interleaved multi-scan: outside baseline profile here
             return _decode_scan(payload, pos + seg_len, frame, scan, qt,
                                 huff_dc, huff_ac, restart_interval)
         pos = nxt
+    if prog is not None:
+        return prog.reconstruct(qt)
     return None
 
 
@@ -352,7 +368,12 @@ def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac,
                         x0 = (mx * hs + bx) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = spatial
             n_mcu += 1
-    # upsample each plane to full (mcu-padded) resolution, then crop
+    return _planes_to_rgb(comps, planes, h, w, hmax, vmax)
+
+
+def _planes_to_rgb(comps, planes, h, w, hmax, vmax) -> np.ndarray | None:
+    """Shared decode tail: upsample each component plane to full
+    (mcu-padded) resolution, crop, and color-convert."""
     full = []
     for (cid, hs, vs, _), plane in zip(comps, planes):
         up = np.repeat(np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1)
@@ -370,6 +391,212 @@ def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac,
     else:
         return None
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+class _ProgressiveState:
+    """Per-frame coefficient accumulator for SOF2 progressive decoding
+    (ITU T.81 §G.2): each SOS updates a band/bit-plane of the per-component
+    zigzag coefficient arrays; reconstruct() dequantizes + IDCTs once all
+    scans are in.
+
+    Coefficients are stored in ZIGZAG order (index = scan position k),
+    matching how spectral-selection bands address them; de-zigzag happens
+    at reconstruction. Block grids are MCU-padded (mcuy*vs x mcux*hs) so
+    interleaved DC scans can address their padding blocks; non-interleaved
+    scans cover only the component's ceil(size/8) grid per §A.2.2."""
+
+    def __init__(self, frame):
+        self.h, self.w, self.comps = frame
+        if self.h == 0 or self.w == 0:
+            raise ValueError("empty frame")
+        self.hmax = max(c[1] for c in self.comps)
+        self.vmax = max(c[2] for c in self.comps)
+        self.mcux = -(-self.w // (8 * self.hmax))
+        self.mcuy = -(-self.h // (8 * self.vmax))
+        self.coef = [
+            np.zeros((self.mcuy * vs, self.mcux * hs, 64), dtype=np.int64)
+            for _, hs, vs, _ in self.comps
+        ]
+        # non-interleaved block grid per component (§A.2.2: ceil of the
+        # scaled component dimensions, NOT the MCU-padded grid)
+        self.nblocks = []
+        for _, hs, vs, _ in self.comps:
+            cw = -(-self.w * hs // self.hmax)
+            ch = -(-self.h * vs // self.vmax)
+            self.nblocks.append((-(-ch // 8), -(-cw // 8)))
+        self.eobrun = 0
+
+    # -- scan dispatch -------------------------------------------------------
+
+    def decode_scan(self, payload, pos, scan, ss, se, ah, al,
+                    huff_dc, huff_ac, restart_interval) -> int:
+        """Decode one scan's entropy data; returns the stream position
+        after it (the caller resumes marker parsing there)."""
+        if ss == 0:
+            if se != 0:
+                raise ValueError("progressive scan mixes DC and AC")
+            is_dc = True
+        else:
+            if len(scan) != 1 or se > 63 or se < ss:
+                raise ValueError("bad AC scan header")
+            is_dc = False
+        reader = _BitReader(payload, pos)
+        self.eobrun = 0
+        preds = [0] * len(self.comps)
+        expected_rst = 0
+
+        def restart():
+            nonlocal expected_rst, preds
+            reader.align()
+            p = reader.pos
+            while payload[p] == 0xFF and payload[p + 1] == 0xFF:
+                p += 1
+            if payload[p] == 0xFF and 0xD0 <= payload[p + 1] <= 0xD7:
+                if payload[p + 1] - 0xD0 != expected_rst & 7:
+                    raise ValueError("restart marker out of sequence")
+                reader.pos = p + 2
+                expected_rst += 1
+                preds[:] = [0] * len(self.comps)
+                self.eobrun = 0
+            else:
+                raise ValueError("expected restart marker")
+
+        n_units = 0
+        if is_dc and len(scan) > 1:
+            # interleaved DC scan over the MCU grid
+            for my in range(self.mcuy):
+                for mx in range(self.mcux):
+                    if (restart_interval and n_units
+                            and n_units % restart_interval == 0):
+                        restart()
+                    for ci, dc_t, _ in scan:
+                        _, hs, vs, _ = self.comps[ci]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                blk = self.coef[ci][my * vs + by, mx * hs + bx]
+                                self._dc_unit(reader, blk, huff_dc.get(dc_t),
+                                              ah, al, preds, ci)
+                    n_units += 1
+        else:
+            # non-interleaved: raster over the single component's blocks
+            ci, dc_t, ac_t = scan[0]
+            bh, bw = self.nblocks[ci]
+            for by in range(bh):
+                for bx in range(bw):
+                    if (restart_interval and n_units
+                            and n_units % restart_interval == 0):
+                        restart()
+                    blk = self.coef[ci][by, bx]
+                    if is_dc:
+                        self._dc_unit(reader, blk, huff_dc.get(dc_t),
+                                      ah, al, preds, ci)
+                    elif ah == 0:
+                        self._ac_first(reader, blk, huff_ac[ac_t], ss, se, al)
+                    else:
+                        self._ac_refine(reader, blk, huff_ac[ac_t], ss, se, al)
+                    n_units += 1
+        return reader.pos
+
+    # -- data units ----------------------------------------------------------
+
+    def _dc_unit(self, reader, blk, dc_table, ah, al, preds, ci):
+        if ah == 0:  # first pass: Huffman diff, point-transformed
+            if dc_table is None:
+                raise ValueError("DC scan without DC table")
+            s = reader.huff(dc_table)
+            diff = _extend(reader.receive(s), s) if s else 0
+            preds[ci] += diff
+            blk[0] = preds[ci] << al
+        else:  # refinement: one raw bit per block
+            if reader.receive(1):
+                blk[0] |= 1 << al
+
+    def _ac_first(self, reader, blk, ac_table, ss, se, al):
+        if self.eobrun > 0:
+            self.eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = reader.huff(ac_table)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                self.eobrun = (1 << r) - 1  # EOBn: this block + 2^r-1 more
+                if r:
+                    self.eobrun += reader.receive(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC run past band end")
+            blk[k] = _extend(reader.receive(s), s) << al
+            k += 1
+
+    def _ac_refine(self, reader, blk, ac_table, ss, se, al):
+        """§G.2.2 successive-approximation AC refinement: correction bits
+        for already-nonzero coefficients are interleaved positionally as
+        the decoder advances; newly-significant coefficients arrive as
+        run/1 symbols with a sign bit."""
+        p1 = 1 << al
+
+        def correct(k):
+            # append one correction bit to coef k (history-nonzero)
+            if reader.receive(1) and not (blk[k] & p1):
+                blk[k] += p1 if blk[k] > 0 else -p1
+
+        k = ss
+        if self.eobrun == 0:
+            while k <= se:
+                rs = reader.huff(ac_table)
+                r, s = rs >> 4, rs & 0xF
+                newval = 0
+                if s == 0:
+                    if r != 15:
+                        self.eobrun = (1 << r)  # current block's tail + more
+                        if r:
+                            self.eobrun += reader.receive(r)
+                        break
+                    # ZRL: advance past 16 zero-history positions
+                elif s == 1:
+                    newval = p1 if reader.receive(1) else -p1
+                else:
+                    raise ValueError("refinement size must be 1")
+                while k <= se:
+                    if blk[k] != 0:
+                        correct(k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if s:
+                    if k > se:
+                        raise ValueError("refinement placement past band")
+                    blk[k] = newval
+                k += 1
+        if self.eobrun > 0:
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                k += 1
+            self.eobrun -= 1
+
+    # -- output --------------------------------------------------------------
+
+    def reconstruct(self, qt) -> np.ndarray | None:
+        planes = []
+        for (cid, hs, vs, tq_id), coef in zip(self.comps, self.coef):
+            q_zz = qt[tq_id]  # zigzag order, like the coefficients
+            bh, bw = coef.shape[:2]
+            natural = np.zeros_like(coef, dtype=np.float64)
+            natural[:, :, _ZIGZAG] = coef * q_zz
+            blocks = natural.reshape(bh, bw, 8, 8)
+            spatial = np.einsum("xu,ijuv,yv->ijxy", _M, blocks, _M) + 128.0
+            plane = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+            planes.append(plane)
+        return _planes_to_rgb(self.comps, planes, self.h, self.w,
+                              self.hmax, self.vmax)
 
 
 # ---------------------------------------------------------------------------
@@ -402,12 +629,21 @@ class _BitWriter:
 
 def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
     """IJG quality scaling of the Annex-K tables (quality 100 would not be
-    all-ones under IJG; pass quant_override for the lossless-ish tests)."""
+    all-ones under IJG; pass quant_override for the lossless-ish tests).
+
+    Returns tables ZIGZAG-SCANNED (`t[_ZIGZAG]`): _QT_LUMA/_QT_CHROMA are
+    the Annex-K raster-order presentation, while both consumers index by
+    scan position — the DQT payload is zigzag-ordered per B.2.4.1, and
+    _encode_block divides zigzag-scanned coefficients elementwise. Writing
+    the raster literals directly was self-consistent (decoders invert
+    whatever table the stream carries) but scrambled the frequency
+    weighting through the zigzag permutation, deviating from IJG/Annex-K
+    quality semantics."""
     quality = min(max(quality, 1), 100)
     scale = 5000 // quality if quality < 50 else 200 - 2 * quality
     def sc(t):
         out = np.clip((t * scale + 50) // 100, 1, 255).astype(np.int64)
-        return out
+        return out[_ZIGZAG]
     return sc(_QT_LUMA), sc(_QT_CHROMA)
 
 
@@ -447,14 +683,11 @@ def _encode_block(bw, block, q_zz, pred, dc_tab, ac_tab) -> int:
     return int(zz[0])
 
 
-def encode_jpeg_baseline(arr: np.ndarray, quality: int = 85,
-                         subsample: bool = False,
-                         restart_interval: int = 0,
-                         quant_override: np.ndarray | None = None) -> bytes:
-    """HxWx3 (RGB) or HxW (gray) uint8 -> baseline JPEG bytes.
-    subsample=True emits 4:2:0 chroma; quant_override (64 zigzag values)
-    replaces both quality tables — all-ones gives the near-lossless mode
-    the roundtrip tests bound."""
+def _prepare_encode(arr: np.ndarray, quality: int, subsample: bool,
+                    quant_override: np.ndarray | None):
+    """Shared encoder front half: color transform, sampling layout, MCU-
+    padded per-component planes, quant tables. Returns
+    (h, w, ncomp, samp, planes, q_l, q_c, hmax, vmax, mcux, mcuy)."""
     arr = np.asarray(arr, dtype=np.float64)
     gray = arr.ndim == 2
     if gray:
@@ -490,6 +723,20 @@ def encode_jpeg_baseline(arr: np.ndarray, quality: int = 85,
             src = padded.reshape(ey // fy, fy, ex // fx, fx).mean(axis=(1, 3))
         sh, sw = src.shape
         planes.append(np.pad(src, ((0, ph - sh), (0, pw - sw)), mode="edge"))
+    return h, w, ncomp, samp, planes, q_l, q_c, hmax, vmax, mcux, mcuy
+
+
+def encode_jpeg_baseline(arr: np.ndarray, quality: int = 85,
+                         subsample: bool = False,
+                         restart_interval: int = 0,
+                         quant_override: np.ndarray | None = None) -> bytes:
+    """HxWx3 (RGB) or HxW (gray) uint8 -> baseline JPEG bytes.
+    subsample=True emits 4:2:0 chroma; quant_override (64 zigzag values)
+    replaces both quality tables — all-ones gives the near-lossless mode
+    the roundtrip tests bound."""
+    (h, w, ncomp, samp, planes, q_l, q_c,
+     hmax, vmax, mcux, mcuy) = _prepare_encode(arr, quality, subsample,
+                                               quant_override)
 
     dc_tabs = [_build_huff_encode(*_STD_DC_LUMA),
                _build_huff_encode(*_STD_DC_CHROMA)]

@@ -195,6 +195,11 @@ def minhash_lsh_pairs_portable(df: DataFrame, text_col: str = "text",
     numpy kernel above is the throughput path; this one is the
     cross-engine-checkable specification of the same algorithm).
 
+    GATE/ORACLE USE ONLY — do NOT run at corpus scale: the broadcast range
+    cross join multiplies the exploded shingle rows by `num_perm` (a
+    num_perm-fold shuffle blowup); the production kernel for real corpora
+    is `minhash_dedup` (Arrow pandas_udf, one row per doc).
+
     Scale shape — 100% JVM/codegen, no Python:
       shingle explode (x ~n_words rows) -> x num_perm via broadcast range
       cross join -> groupBy (doc, perm) min (map-side partial agg) ->
@@ -329,6 +334,11 @@ def simhash_pairs_portable(df: DataFrame, text_col: str = "text",
     ORACLE-CHECKED specification of the SimHash path (the blake2b Arrow
     kernel above is the throughput twin; same pattern as
     minhash_lsh_pairs_portable).
+
+    GATE/ORACLE USE ONLY — do NOT run at corpus scale: the broadcast range
+    cross join multiplies the exploded token rows by `bits` (a bits-fold
+    shuffle blowup); the production kernel for real corpora is
+    `simhash_dedup` (Arrow pandas_udf, one row per doc).
 
     Portable bit definition (md5-on-strings exists identically in every SQL
     engine): bit_i(token) = ascii(first hex char of md5(i || '|' || token))
@@ -474,8 +484,12 @@ def connected_components(edges: DataFrame, a_col: str = "a", b_col: str = "b",
             return spark.createDataFrame(
                 sorted(labels.items()), "node long, comp long"
             )
-    sym = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).unionByName(
-        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    # build from pairs_df (NOT raw edges) so the distributed path applies
+    # the identical long-cast + null-endpoint filter as the driver path —
+    # output rows/schema must not depend on which side of driver_threshold
+    # the edge count lands
+    sym = pairs_df.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        pairs_df.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
     nodes = sym.select(F.col("src").alias("node")).distinct()
     # localCheckpoint (not persist): iterative joins otherwise grow the
@@ -514,7 +528,7 @@ def connected_components(edges: DataFrame, a_col: str = "a", b_col: str = "b",
                 f"> max_iter — raise max_iter or use the large-star/small-star "
                 f"variant (connected_components_star)"
             )
-        return connected_components_star(edges, a_col, b_col)
+        return connected_components_star(pairs_df, "a", "b")
     return labels
 
 

@@ -298,6 +298,9 @@ def topk_lsh_portable(
     """ANN top-k via sign-LSH over quantized embeddings — the ORACLE-CHECKED
     specification of the hyperplane-LSH path (cosine_topk_lsh above is the
     throughput twin; same portable-twin pattern as minhash_lsh_pairs_portable).
+    GATE/ORACLE USE ONLY — the per-plane literal sign arrays and the
+    driver-collected query row make this a spec twin; production corpora go
+    through `cosine_topk_lsh` (Arrow kernel, float signatures).
 
     Kernel: quantize to integers (see quantized_vec), hash with md5-derived
     ±1 hyperplanes (sign of exact integer dot), bucket = `planes`-bit id;
@@ -340,6 +343,9 @@ def topk_ivf_portable(
     `nprobe` nearest cells, candidates re-rank by integer L2² to the query
     (ties by id). Oracle-checkable end-to-end; trained-centroid IVF
     (kmeans_centroids) is the quality path, this is the spec path.
+    GATE/ORACLE USE ONLY — first-K "centroids" and integer math exist to be
+    byte-reproducible in any SQL engine, not to partition well; production
+    corpora go through `cosine_topk_ivf` + `kmeans_centroids`.
 
     Scale shape: centroids are a collected O(K*dim) literal; assignment +
     rerank are ONE map-only codegen projection (argmin over a struct array),

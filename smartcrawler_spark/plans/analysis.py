@@ -39,7 +39,12 @@ def host_report(frontier: DataFrame) -> DataFrame:
     """Per-host crawl health rollup: URL counts by lifecycle status plus
     the success rate over attempted fetches — the operational dashboard a
     crawl fleet watches. One hash aggregation on `host` (map-side partial
-    agg; at 10^10 rows this is the canonical groupBy shape)."""
+    agg; at 10^10 rows this is the canonical groupBy shape).
+
+    The rate is emitted as integer basis points (``success_bp``,
+    ``floor(10000 * n_success / attempted)``): every output column is
+    integral, so downstream equality checks / hashes can never diverge on
+    float formatting. Consumers wanting a float divide by 10^4."""
     n = F.count("*")
     succ = F.sum(F.when(F.col("status") == "SUCCESS", 1).otherwise(0))
     fail = F.sum(F.when(F.col("status") == "FAILED", 1).otherwise(0))
@@ -50,10 +55,10 @@ def host_report(frontier: DataFrame) -> DataFrame:
         succ.alias("n_success"),
         fail.alias("n_failed"),
         pend.alias("n_pending"),
-        F.round(
-            F.when(attempted > 0, succ.cast("double") / attempted)
-            .otherwise(F.lit(0.0)), 4
-        ).alias("success_rate"),
+        F.when(attempted > 0, F.floor(succ * F.lit(10000) / attempted))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("success_bp"),
     )
 
 

@@ -147,12 +147,17 @@ class CrawlJob:
             )
         self._pending_filter_update: DataFrame | None = None
 
-        # documents: canonical fetch key precomputed once. At scale this table
-        # is bucketed by url_hash so the per-round fetch join is co-located.
+        # documents: canonical fetch key precomputed once. The join key is
+        # the 8-byte doc_hash (same xxhash64 discipline as the seen
+        # anti-join, frontier.py) so the fetch shuffle moves/compares longs,
+        # not URL strings; doc_canon rides along only as the collision
+        # guard. At scale this table is bucketed by doc_hash so the
+        # per-round fetch join is co-located.
         self.documents = (
             spark.read.parquet(f"{corpus_dir}/documents.parquet")
             .withColumn("doc_canon", U.canonicalize_url(F.col("doc_id")))
-            .select("doc_canon", "host", "spans")
+            .withColumn("doc_hash", U.url_hash(F.col("doc_canon")))
+            .select("doc_hash", "doc_canon", "host", "spans")
         )
         self._robots_gate = FR.robots_gate  # conservative prefix anti-join
         if cfg.raw_artifacts:
@@ -220,11 +225,20 @@ class CrawlJob:
             # bucket's blob row.
             f_meta = self.t_filters.latest_meta()
             rounds_since = f_meta.get("rounds_since_rebuild")
+            # stale-on-reactivation guard: if the filter table's last commit
+            # is not the immediately preceding round, bloom-off rounds (or a
+            # config change mid-checkpoint) admitted URLs the blobs never
+            # saw — probing them would return maybe_seen=False for seen
+            # URLs and re-admit duplicates. Any such gap forces a rebuild,
+            # regardless of rounds_since_rebuild.
+            last_round = f_meta.get("round")
+            stale_gap = last_round is None or int(last_round) != round_no - 1
             # filters_degraded: a cuckoo bucket overflowed in a prior round
             # (every candidate in it pays the exact join) — rebuild early to
             # absorb the delta and restore the fast path
             if (rounds_since is None
                     or rounds_since >= self.cfg.bloom_rebuild_every
+                    or stale_gap
                     or f_meta.get("filters_degraded")):
                 self.t_filters.commit_upsert(
                     FR.build_bucket_blooms_df(frontier, self.cfg.bloom_buckets),
@@ -409,10 +423,18 @@ class CrawlJob:
 
         log_rows = FR.global_crawl_order(scheduled, round_no)
 
-        # fetch = join vs documents on the canonical URL (url_hash would be
-        # the bucketed key at scale; doc side here is keyed by doc_canon)
+        # fetch = join vs documents on the 8-byte url_hash (shuffle bytes +
+        # comparator cost scale with the key width at 10^10 rows), with a
+        # url_canon equality guard so an xxhash64 collision can never fetch
+        # the wrong document — same key discipline as the seen anti-join
+        # (operators/frontier.py).
         docs = self.documents.withColumnRenamed("host", "_doc_host")
-        fetched = scheduled.join(docs, scheduled.url_canon == docs.doc_canon, "left")
+        fetched = scheduled.join(
+            docs,
+            (scheduled.url_hash == docs.doc_hash)
+            & (scheduled.url_canon == docs.doc_canon),
+            "left",
+        )
         title = F.try_element_at(  # NULL when no title span (no ANSI error)
             F.filter("spans", lambda s: (s["kind"] == "title") & (s["text"] != "")), F.lit(1)
         )["text"]

@@ -29,9 +29,11 @@ continue from `meta['round']`; trailing snapshots for unacknowledged
 rounds roll back by snapshot id.
 
 Versions: the seam exposes small ordinal versions (1..n); Iceberg snapshot
-ids are random longs. The mapping is ordinal-by-commit-time over the
-`<table>.snapshots` metadata table — stable because snapshots are
-append-ordered and rollback/expiration only trims the ends.
+ids are random longs. The mapping is ordinal over the CURRENT ancestor
+lineage (parent_id walk from the head recorded in `<table>.history`), not
+the raw `<table>.snapshots` listing — rollback_to_snapshot leaves orphaned
+snapshots in table metadata until expire_snapshots, and those must never
+count as versions or resume rounds.
 
 Enable on a real cluster with e.g.:
     spark.jars.packages=org.apache.iceberg:iceberg-spark-runtime-3.5_2.12:<v>
@@ -81,22 +83,48 @@ class IcebergSnapshotTable:
         return self.spark.catalog.tableExists(self.ident)
 
     def _snapshots(self) -> list[dict]:
-        """Snapshots oldest-first: [{snapshot_id, meta}]."""
+        """CURRENT-LINEAGE snapshots oldest-first: [{snapshot_id, meta}].
+
+        `<table>.snapshots` keeps snapshots orphaned by
+        rollback_to_snapshot until expire_snapshots runs, so reading it
+        raw would resurface rolled-back (unacknowledged) rounds after a
+        crash-recovery rollback. We therefore walk `parent_id` from the
+        current head (newest `.history` row with is_current_ancestor) and
+        return only that ancestor chain — orphans never appear in
+        versions()/latest_meta()/read(version)."""
         if not self._exists():
             return []
         rows = self.spark.sql(
-            f"SELECT snapshot_id, summary FROM {_q(self.ident)}.snapshots "
-            f"ORDER BY committed_at, snapshot_id"
+            f"SELECT snapshot_id, parent_id, committed_at, summary "
+            f"FROM {_q(self.ident)}.snapshots"
         ).collect()
-        out = []
-        for r in rows:
+        if not rows:
+            return []
+        by_id = {int(r["snapshot_id"]): r for r in rows}
+        head_rows = self.spark.sql(
+            f"SELECT snapshot_id FROM {_q(self.ident)}.history "
+            f"WHERE is_current_ancestor "
+            f"ORDER BY made_current_at DESC, snapshot_id DESC LIMIT 1"
+        ).collect()
+        if head_rows:
+            head = int(head_rows[0]["snapshot_id"])
+        else:  # degenerate: no history rows — fall back to newest commit
+            head = max(by_id, key=lambda i: (by_id[i]["committed_at"], i))
+        lineage: list[dict] = []
+        cur: int | None = head
+        seen: set[int] = set()
+        while cur is not None and cur in by_id and cur not in seen:
+            seen.add(cur)
+            r = by_id[cur]
             summary = dict(r["summary"] or {})
             try:
                 meta = json.loads(summary.get(META_PROP, "{}"))
             except (TypeError, ValueError):
                 meta = {}
-            out.append({"snapshot_id": int(r["snapshot_id"]), "meta": meta})
-        return out
+            lineage.append({"snapshot_id": cur, "meta": meta})
+            cur = int(r["parent_id"]) if r["parent_id"] is not None else None
+        lineage.reverse()
+        return lineage
 
     def versions(self) -> list[int]:
         return list(range(1, len(self._snapshots()) + 1))

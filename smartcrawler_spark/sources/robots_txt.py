@@ -163,14 +163,63 @@ def robots_rules_from_text(df: DataFrame, host_col: str = "host",
 # follow the RFC directly.
 
 
-def robots_pattern_regex(pattern: str) -> str:
-    """RFC 9309 path pattern -> anchored regex. '*' matches any char
-    sequence; a trailing '$' anchors the end; everything else is literal."""
+# Bounds on UNTRUSTED robots.txt patterns (a fetched robots.txt is hostile
+# input): beyond these, Disallow rules widen to their conservative literal
+# prefix (over-blocks, never under-blocks) and Allow rules are dropped
+# (ditto). Enforced in parse_robots_rules via sanitize_robots_pattern.
+MAX_ROBOTS_PATTERN_LEN = 256
+MAX_ROBOTS_WILDCARDS = 5
+
+
+def sanitize_robots_pattern(pattern: str, is_allow: bool) -> str | None:
+    """Bound the per-row matching cost of an untrusted pattern before it
+    reaches the JVM regexp gate: collapse '*' runs (semantic no-op), drop a
+    trailing '*'/'*$' ('p*' and 'p*$' both just mean prefix p), then cap
+    length and wildcard count — a hostile '/*a*a*a*...$' otherwise drives
+    superlinear regex backtracking per candidate row (crawl-stalling DoS
+    from fetched content). Over-cap Disallow patterns fall back to the
+    literal prefix before the first '*' (conservative: blocks a superset);
+    over-cap Allow patterns return None = rule dropped (conservative:
+    allows a subset)."""
     import re as _re
 
     anchored = pattern.endswith("$")
     core = pattern[:-1] if anchored else pattern
-    body = "".join(".*" if ch == "*" else _re.escape(ch) for ch in core)
+    core = _re.sub(r"\*{2,}", "*", core)
+    if core.endswith("*"):
+        core, anchored = core[:-1], False
+    if len(core) > MAX_ROBOTS_PATTERN_LEN or core.count("*") > MAX_ROBOTS_WILDCARDS:
+        if is_allow:
+            return None
+        core, anchored = core.split("*", 1)[0], False
+    return core + ("$" if anchored else "")
+
+
+def robots_pattern_regex(pattern: str) -> str:
+    """RFC 9309 path pattern -> anchored regex. '*' matches any char
+    sequence; a trailing '$' anchors the end; everything else is literal.
+
+    Each non-final '*'-gap compiles to an ATOMIC lazy group
+    `(?>.*?lit)` — first-occurrence commit, the classic linear wildcard
+    match (earliest placement of each middle literal is always optimal),
+    so matching is O(path x segments) instead of the combinatorial
+    backtracking plain `.*` chains allow. Atomic groups are supported by
+    both consumers of this string: java.util.regex (the JVM
+    `regexp_like` gate) and Python >= 3.11 `re` (the pytest oracle)."""
+    import re as _re
+
+    anchored = pattern.endswith("$")
+    core = pattern[:-1] if anchored else pattern
+    segs = core.split("*")
+    body = _re.escape(segs[0])
+    for i, seg in enumerate(segs[1:], start=1):
+        last = i == len(segs) - 1
+        if last and anchored:
+            body += ".*" + _re.escape(seg)  # suffix check: linear scan
+        elif last and not seg:
+            pass  # trailing '*', unanchored: prefix match already implied
+        else:
+            body += "(?>.*?" + _re.escape(seg) + ")"
     return "^" + body + ("$" if anchored else "")
 
 
@@ -237,7 +286,12 @@ def parse_robots_rules(text: str, user_agent: str = "*"
     for s, grules in scored:
         if s == winning:
             merged.extend(r for r in grules if r not in merged)
-    return merged
+    out: list[tuple[str, bool]] = []
+    for p, a in merged:
+        sp = sanitize_robots_pattern(p, a)  # DoS cap on hostile patterns
+        if sp is not None and (sp, a) not in out:
+            out.append((sp, a))
+    return out
 
 
 def robots_path_allowed(path: str, rules: list[tuple[str, bool]]) -> bool:

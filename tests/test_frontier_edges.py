@@ -172,7 +172,7 @@ def test_host_report_rollup(spark):
             ("a.com", "PENDING"), ("b.com", "PENDING")]
     fr = spark.createDataFrame(rows, "host string, status string")
     got = {r["host"]: (r["n_urls"], r["n_success"], r["n_failed"],
-                       r["n_pending"], r["success_rate"])
+                       r["n_pending"], r["success_bp"])
            for r in host_report(fr).collect()}
-    assert got == {"a.com": (4, 2, 1, 1, round(2 / 3, 4)),
-                   "b.com": (1, 0, 0, 1, 0.0)}
+    assert got == {"a.com": (4, 2, 1, 1, 20000 // 3),
+                   "b.com": (1, 0, 0, 1, 0)}

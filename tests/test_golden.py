@@ -44,6 +44,7 @@ def _table_rows(t, cols):
     ("dedup_simhash", ["a", "b", "hamming"]),
     ("ann_lsh", ["vec_id", "sim"]),
     ("ann_ivf", ["vec_id", "sim"]),
+    ("embedding_near_dup_lsh", ["a", "b", "sim"]),
 ])
 def test_generator_matches_kernel_on_other_sf(spark, sf_dir, name, cols):
     import __spark_entry__ as E

@@ -129,6 +129,22 @@ def test_connected_components_matches_union_find(spark):
         assert got[8] == 1 and got[3] == 1
 
 
+def test_connected_components_paths_agree_on_null_edges(spark):
+    # output must not depend on which side of driver_threshold the edge
+    # count lands: both paths apply the same long-cast + null-endpoint
+    # filter (the null edge contributes NO label row on either path)
+    edges = [(1, 2), (None, 3), (4, None), (5, 6)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    outs = []
+    for thresh in (200_000, 0):
+        out = DD.connected_components(df, driver_threshold=thresh)
+        assert [f.name for f in out.schema.fields] == ["node", "comp"]
+        assert [f.dataType.simpleString() for f in out.schema.fields] == \
+            ["bigint", "bigint"]
+        outs.append(sorted((r["node"], r["comp"]) for r in out.collect()))
+    assert outs[0] == outs[1] == [(1, 1), (2, 1), (5, 5), (6, 5)]
+
+
 def test_connected_components_long_chain(spark):
     # path graph 0-1-2-...-9: worst case for propagation (diameter rounds);
     # force the distributed loop (default would take the driver path)

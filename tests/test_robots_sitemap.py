@@ -207,6 +207,65 @@ def test_rfc_no_match_is_allowed():
     assert robots_path_allowed("/other", parse_robots_rules(RFC_TXT))
 
 
+def test_hostile_wildcard_patterns_are_capped():
+    """DoS guard: a fetched robots.txt is hostile input — a pattern like
+    '/*a*a*a*...$' must not reach the per-row regex gate in a form that
+    can backtrack superlinearly. Over-cap Disallow widens to its literal
+    prefix (conservative: over-blocks); over-cap Allow is dropped
+    (conservative: under-allows)."""
+    from smartcrawler_spark.sources.robots_txt import (
+        MAX_ROBOTS_WILDCARDS,
+        sanitize_robots_pattern,
+    )
+
+    hostile = "/x" + "*a" * 40 + "$"
+    txt = f"User-agent: *\nDisallow: {hostile}\nAllow: {hostile}\n"
+    rules = parse_robots_rules(txt)
+    assert rules == [("/x", False)]  # widened disallow kept, allow dropped
+    # the widened rule over-blocks (prefix) and can never under-block
+    assert not robots_path_allowed("/x" + "a" * 500, rules)
+    assert robots_path_allowed("/y", rules)
+    # in-cap patterns survive sanitation verbatim (modulo run-collapse)
+    assert sanitize_robots_pattern("/a*b*c$", False) == "/a*b*c$"
+    assert sanitize_robots_pattern("/a**b", False) == "/a*b"
+    # 'p*' and 'p*$' both mean prefix p
+    assert sanitize_robots_pattern("/p*", False) == "/p"
+    assert sanitize_robots_pattern("/p*$", False) == "/p"
+    assert sanitize_robots_pattern("/" + "*a" * MAX_ROBOTS_WILDCARDS, True) \
+        == "/" + "*a" * MAX_ROBOTS_WILDCARDS
+
+
+def test_rfc_regex_is_first_occurrence_linear():
+    """The compiled pattern regex uses atomic first-occurrence groups —
+    semantics must match plain greedy wildcard matching on tricky
+    overlap cases, and an adversarial in-cap pattern must match in
+    linear-ish time on a long path (would hang for minutes with plain
+    .* chains)."""
+    import re
+    import time
+
+    from smartcrawler_spark.sources.robots_txt import robots_pattern_regex
+
+    cases = [
+        ("/a*b*c", "/a-x-b-y-c", True),
+        ("/a*b*c", "/a-c-b", False),
+        ("/a*bb*c$", "/a-bb-bb-c", True),   # first 'bb' leaves room for c$
+        ("/a*b$", "/a-b-b", True),           # $ anchors the LAST b
+        ("/a*b$", "/a-b-x", False),
+        ("*mid*", "/x/mid/y", True),
+        ("/ab", "/abc", True),               # plain prefix
+        ("/ab$", "/abc", False),
+    ]
+    for pat, path, want in cases:
+        got = re.match(robots_pattern_regex(pat), path) is not None
+        assert got == want, (pat, path)
+    # worst in-cap adversary: 5 stars, repeated-literal path
+    rx = re.compile(robots_pattern_regex("/" + "*a" * 5 + "b$"))
+    t0 = time.monotonic()
+    assert rx.match("/" + "a" * 20000) is None
+    assert time.monotonic() - t0 < 1.0
+
+
 def test_rfc_gate_matches_python_kernel(spark):
     """The Spark robots_gate_rfc (broadcast + JVM regexp fold) must agree
     with the pure-Python RFC kernel on every candidate."""

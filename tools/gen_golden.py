@@ -253,11 +253,70 @@ def golden_ann_ivf(sf_dir: str, k=10, n_centroids=32, nprobe=16,
     })
 
 
+# ---------------------------------------------------------------------------
+# embedding_near_dup_lsh: the PRODUCTION near-dup path (operators/similarity.py
+# embedding_near_dup_pairs) — LSH bucket self-join candidates + exact cosine
+# verify; threshold=0.3, bits=4, tables=8, seed=5 (udf default), all vec_ids.
+# This gates the bucketed plan itself, not a brute-force subset stand-in.
+# ---------------------------------------------------------------------------
+
+
+def _spark_cosine_ff(va: np.ndarray, vb: np.ndarray) -> float:
+    """cosine() on TWO array<float> columns: elementwise products round to
+    FLOAT32 (FloatType x FloatType -> FloatType) then accumulate left-to-
+    right in double (aggregate's 0.0 init promotes acc)."""
+    dot = 0.0
+    for p in (va * vb).tolist():
+        dot += p
+    na = 0.0
+    for p in (va * va).tolist():
+        na += p
+    nb = 0.0
+    for p in (vb * vb).tolist():
+        nb += p
+    return _round6(dot / (math.sqrt(na) * math.sqrt(nb)))
+
+
+def golden_embedding_near_dup_lsh(sf_dir: str, threshold=0.3, bits=4,
+                                  tables=8, seed=5) -> pa.Table:
+    ids, vecs = _embeddings(sf_dir)
+    dim = len(vecs[0])
+    planes = np.random.default_rng(seed).standard_normal(
+        (tables, bits, dim)).astype(np.float32)
+    weights = 1 << np.arange(bits, dtype=np.int64)
+    mat = np.stack(vecs)  # float32, all rows (see batching note up top)
+    sigs = np.zeros((len(ids), tables), dtype=np.int64)
+    for ti, plane in enumerate(planes):
+        sigs[:, ti] = ((mat @ plane.T) > 0) @ weights
+    buckets: dict[tuple, list[int]] = {}
+    for i in range(len(ids)):
+        for t in range(tables):
+            buckets.setdefault((t, int(sigs[i, t])), []).append(i)
+    cand: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        for xi, i in enumerate(members):
+            for j in members[xi + 1:]:
+                a, b = (i, j) if ids[i] < ids[j] else (j, i)
+                cand.add((a, b))
+    rows = []
+    for i, j in cand:
+        sim = _spark_cosine_ff(vecs[i], vecs[j])
+        if sim >= threshold:
+            rows.append((ids[i], ids[j], sim))
+    rows.sort()
+    return pa.table({
+        "a": pa.array([r[0] for r in rows], pa.int64()),
+        "b": pa.array([r[1] for r in rows], pa.int64()),
+        "sim": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
 GOLDENS = {
     "dedup_minhash": golden_dedup_minhash,
     "dedup_simhash": golden_dedup_simhash,
     "ann_lsh": golden_ann_lsh,
     "ann_ivf": golden_ann_ivf,
+    "embedding_near_dup_lsh": golden_embedding_near_dup_lsh,
 }
 
 
