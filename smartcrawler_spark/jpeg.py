@@ -800,3 +800,276 @@ def encode_jpeg_baseline(arr: np.ndarray, quality: int = 85,
     out.extend(bw.out)
     out.extend(b"\xff\xd9")  # EOI
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (SOF2) — exists to roundtrip-test the progressive
+# decoder bit-exactly: both encoders quantize identically, so a progressive
+# stream with a fully-refining scan script must decode to the SAME pixels
+# as the baseline stream of the same image/tables.
+# ---------------------------------------------------------------------------
+
+# one flat AC Huffman table covering ALL 256 RS symbols (128 at 8 bits +
+# 128 at 9 bits; Kraft sum 0.75, DHT BITS entries stay <= 255, all-ones
+# code unused): progressive scans need EOBn symbols (0x10..0xE0) that the
+# Annex-K baseline tables don't carry; a flat table trades stream size
+# (tests don't care) for not needing per-scan frequency-optimized tables.
+_PROG_AC_TABLE = ([0] * 7 + [128, 128] + [0] * 7, list(range(256)))
+
+_EOBRUN_MAX = 32767  # largest run EOBn (r<=14) can express
+
+
+class _ACScanState:
+    """Cross-block AC-scan state: pending EOB run + (refinement) the
+    correction bits buffered for blocks inside that run (§G.1.2.3: they
+    are emitted right after the EOBn symbol, in block/position order)."""
+
+    def __init__(self):
+        self.eobrun = 0
+        self.pending_bits: list[int] = []
+
+
+def _flush_eobrun(bw, ac_tab, st: _ACScanState) -> None:
+    if st.eobrun > 0:
+        r = st.eobrun.bit_length() - 1
+        code, ln = ac_tab[r << 4]
+        bw.write(code, ln)
+        if r:
+            bw.write(st.eobrun - (1 << r), r)
+        st.eobrun = 0
+    for b in st.pending_bits:
+        bw.write(b, 1)
+    st.pending_bits = []
+
+
+def _enc_ac_first(bw, ac_tab, zz, ss, se, al, st: _ACScanState) -> None:
+    """§G.1.2.2 spectral-selection first pass (point transform: abs >> al,
+    truncation toward zero)."""
+    vals = []
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = abs(v) >> al
+        vals.append(t if v >= 0 else -t)
+    last = -1
+    for i, v in enumerate(vals):
+        if v:
+            last = i
+    if last < 0:
+        st.eobrun += 1
+        if st.eobrun == _EOBRUN_MAX:
+            _flush_eobrun(bw, ac_tab, st)
+        return
+    _flush_eobrun(bw, ac_tab, st)
+    run = 0
+    for i in range(last + 1):
+        v = vals[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        s = abs(v).bit_length()
+        code, ln = ac_tab[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < se - ss:
+        st.eobrun += 1
+        if st.eobrun == _EOBRUN_MAX:
+            _flush_eobrun(bw, ac_tab, st)
+
+
+def _enc_ac_refine(bw, ac_tab, zz, ss, se, al, st: _ACScanState) -> None:
+    """§G.1.2.3 successive-approximation AC refinement, mirroring the
+    decoder's consumption order exactly: run/1 symbol + sign bit, then the
+    correction bits of already-significant coefficients interleaved
+    positionally as the (simulated) decoder advances."""
+    t, pos_sign = [], []
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t.append(abs(v) >> al)
+        pos_sign.append(v >= 0)
+    eob = -1  # index of last NEWLY-significant coefficient (t == 1)
+    for i, tv in enumerate(t):
+        if tv == 1:
+            eob = i
+    if eob < 0:
+        st.eobrun += 1
+        st.pending_bits.extend(tv & 1 for tv in t if tv > 1)
+        if st.eobrun == _EOBRUN_MAX:
+            _flush_eobrun(bw, ac_tab, st)
+        return
+    _flush_eobrun(bw, ac_tab, st)
+    p = 0  # decoder-advance pointer within the band
+    i = 0
+    while i <= eob:
+        r = 0
+        j = i
+        while t[j] != 1:  # zero-history run up to the next new coefficient
+            if t[j] == 0:
+                r += 1
+            j += 1
+        while r > 15:
+            code, ln = ac_tab[0xF0]
+            bw.write(code, ln)
+            zh = 0  # ZRL: decoder passes 16 zero-history positions,
+            while zh < 16:  # reading corrections at old positions en route
+                if t[p] == 0:
+                    zh += 1
+                elif t[p] > 1:
+                    bw.write(t[p] & 1, 1)
+                p += 1
+            r -= 16
+        code, ln = ac_tab[(r << 4) | 1]
+        bw.write(code, ln)
+        bw.write(1 if pos_sign[j] else 0, 1)
+        while p < j:
+            if t[p] > 1:
+                bw.write(t[p] & 1, 1)
+            p += 1
+        p = j + 1
+        i = j + 1
+    if eob < se - ss:  # tail joins a fresh EOB run
+        st.eobrun += 1
+        st.pending_bits.extend(
+            t[k] & 1 for k in range(eob + 1, se - ss + 1) if t[k] > 1
+        )
+        if st.eobrun == _EOBRUN_MAX:
+            _flush_eobrun(bw, ac_tab, st)
+
+
+def _quantized_zz_blocks(planes, samp, ncomp, q_l, q_c, mcux, mcuy):
+    """FDCT + quantize every 8x8 block: per-component (bh, bw, 64) int64
+    arrays in ZIGZAG order — same rounding as _encode_block, so baseline
+    and progressive streams carry identical coefficients."""
+    out = []
+    for ci in range(ncomp):
+        hs, vs = samp[ci]
+        q = (q_l if ci == 0 else q_c).astype(np.float64)
+        bh, bw_ = mcuy * vs, mcux * hs
+        blocks = planes[ci].reshape(bh, 8, bw_, 8).transpose(0, 2, 1, 3)
+        f = np.einsum("xu,ijxy,yv->ijuv", _M, blocks - 128.0, _M)
+        zz = np.round(f.reshape(bh, bw_, 64)[:, :, _ZIGZAG] / q).astype(np.int64)
+        out.append(zz)
+    return out
+
+
+# default scan script: exercises every progressive decode path — DC first
+# with a point transform, spectral-selection AC bands with EOB runs, AC
+# successive-approximation refinement (incl. correction bits + ZRL), and
+# DC refinement. Fully refines to Al=0, so decode == baseline decode.
+_DEFAULT_PROG_SCANS = [
+    ("dc", None, 0, 0, 0, 1),
+    ("ac", "each", 1, 5, 0, 2),
+    ("ac", "each", 6, 63, 0, 2),
+    ("ac", "each", 1, 63, 2, 1),
+    ("ac", "each", 1, 63, 1, 0),
+    ("dc", None, 0, 0, 1, 0),
+]
+
+
+def encode_jpeg_progressive(arr: np.ndarray, quality: int = 85,
+                            subsample: bool = False,
+                            quant_override: np.ndarray | None = None,
+                            scans: list | None = None) -> bytes:
+    """HxWx3 (RGB) or HxW (gray) uint8 -> progressive (SOF2) JPEG bytes.
+
+    `scans` entries are (kind, comps, Ss, Se, Ah, Al) with kind in
+    {'dc','ac'}; comps None = all (DC scans interleave), 'each' = one
+    non-interleaved scan per component, or an explicit component index.
+    The default script fully refines, so decoding yields exactly the
+    pixels of the baseline encoding with the same tables."""
+    (h, w, ncomp, samp, planes, q_l, q_c,
+     hmax, vmax, mcux, mcuy) = _prepare_encode(arr, quality, subsample,
+                                               quant_override)
+    coefs = _quantized_zz_blocks(planes, samp, ncomp, q_l, q_c, mcux, mcuy)
+    nblocks = []
+    for ci in range(ncomp):
+        hs, vs = samp[ci]
+        cw, ch = -(-w * hs // hmax), -(-h * vs // vmax)
+        nblocks.append((-(-ch // 8), -(-cw // 8)))
+
+    dc_tabs = [_build_huff_encode(*_STD_DC_LUMA),
+               _build_huff_encode(*_STD_DC_CHROMA)]
+    ac_flat = _build_huff_encode(*_PROG_AC_TABLE)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body)
+
+    seg(0xDB, bytes([0]) + bytes(int(x) for x in q_l))
+    if ncomp == 3:
+        seg(0xDB, bytes([1]) + bytes(int(x) for x in q_c))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        hs, vs = samp[ci]
+        sof += bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
+    seg(0xC2, sof)  # SOF2: progressive DCT, Huffman
+    for th in range(2 if ncomp == 3 else 1):
+        bits, vals = (_STD_DC_LUMA, _STD_DC_CHROMA)[th]
+        seg(0xC4, bytes([th]) + bytes(bits) + bytes(vals))
+    bits, vals = _PROG_AC_TABLE
+    seg(0xC4, bytes([0x10]) + bytes(bits) + bytes(vals))
+
+    def emit_scan(kind, comp_sel, ss, se, ah, al):
+        members = (range(ncomp) if comp_sel is None else [comp_sel])
+        sos = bytes([len(members)])
+        for ci in members:
+            t = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (t << 4) | 0])
+        sos += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, sos)
+        bw = _BitWriter()
+        if kind == "dc":
+            preds = [0] * ncomp
+            if len(members) > 1:  # interleaved over the MCU grid
+                order = []
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        for ci in members:
+                            hs, vs = samp[ci]
+                            for by in range(vs):
+                                for bx in range(hs):
+                                    order.append(
+                                        (ci, my * vs + by, mx * hs + bx))
+            else:
+                ci = members[0]
+                bh, bw_ = nblocks[ci]
+                order = [(ci, by, bx) for by in range(bh) for bx in range(bw_)]
+            for ci, by, bx in order:
+                dc = int(coefs[ci][by, bx, 0])
+                if ah == 0:  # first pass: diffs of dc >> al (arith shift)
+                    v = dc >> al
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    s = int(diff != 0 and abs(diff).bit_length())
+                    code, ln = dc_tabs[0 if ci == 0 else 1][s]
+                    bw.write(code, ln)
+                    if s:
+                        bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+                else:  # refinement: raw bit al of the (floor-shifted) DC
+                    bw.write((dc >> al) & 1, 1)
+        else:
+            ci = comp_sel
+            st = _ACScanState()
+            bh, bw_ = nblocks[ci]
+            enc = _enc_ac_first if ah == 0 else _enc_ac_refine
+            for by in range(bh):
+                for bx in range(bw_):
+                    enc(bw, ac_flat, coefs[ci][by, bx], ss, se, al, st)
+            _flush_eobrun(bw, ac_flat, st)
+        bw.flush()
+        out.extend(bw.out)
+
+    for kind, comp_sel, ss, se, ah, al in (scans or _DEFAULT_PROG_SCANS):
+        if comp_sel == "each":
+            for ci in range(ncomp):
+                emit_scan(kind, ci, ss, se, ah, al)
+        else:
+            emit_scan(kind, comp_sel, ss, se, ah, al)
+
+    out.extend(b"\xff\xd9")
+    return bytes(out)

@@ -8,9 +8,10 @@ Decode kernels, two tiers:
 
 * `decoder="real"` — a REAL pure-stdlib+numpy image codec (`decode_image`
   below) for:
-    - JPEG: baseline sequential DCT profile — Huffman entropy decode,
-      dequant, IDCT, chroma upsampling, YCbCr->RGB (jpeg.py; progressive/
-      arithmetic return None);
+    - JPEG: baseline sequential AND progressive (SOF2, spectral
+      selection + successive approximation) DCT profiles — Huffman entropy
+      decode, dequant, IDCT, chroma upsampling, YCbCr->RGB (jpeg.py;
+      arithmetic/hierarchical return None);
     - PNG: full zlib inflate + per-pass filter reconstruction (None/Sub/
       Up/Average/Paeth per RFC 2083 §6) over the COMPLETE profile — bit
       depths 1/2/4/8/16, color types gray/RGB/palette/gray+alpha/RGBA,
@@ -69,7 +70,7 @@ def _fake_bytes(media_ref: str, n: int) -> bytes:
 
 
 def decode_image(payload: bytes) -> np.ndarray | None:
-    """Decode baseline JPEG, PNG (full profile incl. Adam7/16-bit/sub-byte
+    """Decode JPEG (baseline + progressive), PNG (full profile incl. Adam7/16-bit/sub-byte
     depths), GIF (first frame), PPM (P6, maxval 255) or uncompressed
     24/32-bit BI_RGB BMP bytes to an HxWx3 uint8 RGB array. Returns None for anything else.
     Pure stdlib+numpy."""
@@ -819,7 +820,7 @@ def extract_features(assets: DataFrame, dim: int = 16, decoder: str = "fake") ->
                     img = decode_image(bytes(payload))
                     if img is None:
                         raise NotImplementedError(
-                            "payload is not baseline-JPEG/PNG/PPM/BMP; "
+                            "payload is not JPEG/PNG/GIF/PPM/BMP; "
                             "plug PIL here for exotic profiles"
                         )
                     arr = img.reshape(-1)
@@ -876,7 +877,7 @@ def resize_images(assets: DataFrame, max_side: int = 32, decoder: str = "fake") 
                     arr = decode_image(bytes(r["payload"]))
                     if arr is None:
                         raise NotImplementedError(
-                            "payload is not baseline-JPEG/PNG/PPM/BMP; plug PIL here"
+                            "payload is not JPEG/PNG/GIF/PPM/BMP; plug PIL here"
                         )
                 else:
                     arr = np.frombuffer(r["payload"], dtype=np.uint8).reshape(

@@ -160,11 +160,14 @@ def test_restart_markers_roundtrip():
     assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
 
 
-def test_non_baseline_profiles_return_none():
+def test_unsupported_profiles_return_none():
     img = _test_image(16, 16)
     enc = bytearray(encode_jpeg_baseline(img, quality=90))
-    # flip SOF0 -> SOF2 (progressive)
     i = enc.find(b"\xff\xc0")
+    enc[i + 1] = 0xC9  # arithmetic coding: unsupported
+    assert decode_jpeg(bytes(enc)) is None
+    # SOF0 flipped to SOF2 leaves a baseline SOS (Ss=0, Se=63) which is an
+    # ILLEGAL progressive scan header — must reject, not crash
     enc[i + 1] = 0xC2
     assert decode_jpeg(bytes(enc)) is None
     assert decode_jpeg(b"\xff\xd8\xff\xd9") is None  # empty
@@ -172,6 +175,97 @@ def test_non_baseline_profiles_return_none():
     # truncated entropy data
     full = encode_jpeg_baseline(img, quality=90)
     assert decode_jpeg(full[: len(full) // 2]) is None
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2): spectral selection + successive approximation
+# ---------------------------------------------------------------------------
+
+
+def _noisy_image(h=40, w=56, seed=3):
+    # broadband content: exercises ZRL, long runs, dense refinement bits
+    rng = np.random.default_rng(seed)
+    base = _test_image(h, w).astype(np.int64)
+    noise = rng.integers(-60, 60, base.shape)
+    return np.clip(base + noise, 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("subsample", [False, True])
+@pytest.mark.parametrize("mk_img", [_test_image, _noisy_image])
+def test_progressive_decodes_identically_to_baseline(subsample, mk_img):
+    """Baseline and progressive encoders quantize identically and the
+    default scan script fully refines to Al=0, so both streams carry the
+    SAME coefficients inside the visible area — decoded pixels must be
+    bit-identical. This single check covers DC point transform + DC
+    refinement, spectral-selection bands, EOB runs, ZRL, and AC
+    successive-approximation correction bits."""
+    from smartcrawler_spark.jpeg import encode_jpeg_progressive
+
+    img = mk_img()
+    for kwargs in ({"quality": 85}, {"quality": 50},
+                   {"quant_override": np.ones(64, dtype=np.int64)}):
+        base = decode_jpeg(encode_jpeg_baseline(img, subsample=subsample,
+                                                **kwargs))
+        prog_bytes = encode_jpeg_progressive(img, subsample=subsample,
+                                             **kwargs)
+        assert prog_bytes[3] != 0xC0 and b"\xff\xc2" in prog_bytes
+        prog = decode_jpeg(prog_bytes)
+        assert prog is not None and base is not None
+        assert prog.shape == base.shape
+        assert (prog == base).all(), (kwargs, subsample,
+                                      np.abs(prog.astype(int)
+                                             - base.astype(int)).max())
+
+
+def test_progressive_gray_and_spectral_only_script():
+    from smartcrawler_spark.jpeg import encode_jpeg_progressive
+
+    gray = np.clip(_test_image(24, 32).mean(axis=2), 0, 255).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg_baseline(gray, quality=80))
+    prog = decode_jpeg(encode_jpeg_progressive(gray, quality=80))
+    assert prog is not None and (prog == base).all()
+    # spectral selection only (no successive approximation): DC then three
+    # AC bands per component — a common camera-firmware script shape
+    img = _test_image(32, 40)
+    scans = [("dc", None, 0, 0, 0, 0),
+             ("ac", "each", 1, 5, 0, 0),
+             ("ac", "each", 6, 20, 0, 0),
+             ("ac", "each", 21, 63, 0, 0)]
+    base = decode_jpeg(encode_jpeg_baseline(img, quality=85))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=85, scans=scans))
+    assert prog is not None and (prog == base).all()
+
+
+def test_progressive_partial_refinement_is_coarse_but_valid():
+    """Dropping the final refinement scans (a truncated-but-valid script)
+    must still decode — coarser pixels, not a crash or None. This is the
+    real-world 'progressive preview' property."""
+    from smartcrawler_spark.jpeg import encode_jpeg_progressive
+
+    img = _test_image()
+    scans = [("dc", None, 0, 0, 0, 1),
+             ("ac", "each", 1, 63, 0, 2)]  # never refined to Al=0
+    out = decode_jpeg(encode_jpeg_progressive(img, quality=85, scans=scans))
+    assert out is not None and out.shape == img.shape
+    # coarse approximation: still recognizably the image
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 30
+
+
+def test_progressive_corrupt_streams_return_none():
+    from smartcrawler_spark.jpeg import encode_jpeg_progressive
+
+    img = _noisy_image(24, 24)
+    full = encode_jpeg_progressive(img, quality=85)
+    assert decode_jpeg(full) is not None
+    for cut in (len(full) // 4, len(full) // 2, len(full) - 3):
+        assert decode_jpeg(full[:cut]) is None
+    # bit flips in entropy data must never crash (None or a decoded image)
+    rng = np.random.default_rng(7)
+    for _ in range(25):
+        b = bytearray(full)
+        for _ in range(3):
+            b[rng.integers(20, len(b) - 2)] ^= 1 << rng.integers(0, 8)
+        decode_jpeg(bytes(b))  # no exception is the assertion
 
 
 def test_jpeg_flows_through_real_pipeline(spark):
