@@ -40,6 +40,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import struct
 import zlib
 
 import numpy as np
@@ -893,17 +894,186 @@ def resize_images(assets: DataFrame, max_side: int = 32, decoder: str = "fake") 
     return assets.mapInPandas(thumb, THUMB_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# video: MJPEG-in-AVI (RIFF) — the REAL video tier, pure stdlib + the
+# in-repo JPEG codec. Real codecs (H.264/VP9/...) remain at the declared
+# ffmpeg seam; MJPEG needs no new dependency because every frame IS a JPEG.
+# ---------------------------------------------------------------------------
+
+
+def _riff_chunks(data: bytes, pos: int, end: int):
+    """(fourcc, body_start, body_end) triples of one RIFF chunk level;
+    chunks are word-aligned (odd sizes carry a pad byte)."""
+    while pos + 8 <= end:
+        fourcc = data[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body_start = pos + 8
+        body_end = min(body_start + size, end)
+        yield fourcc, body_start, body_end
+        pos = body_start + size + (size & 1)
+
+
+def parse_avi(payload: bytes) -> dict | None:
+    """Parse a RIFF AVI container: returns {width, height, us_per_frame,
+    handler, frames: [bytes]} (frames = stream-0 video chunks '00dc'/'00db',
+    the MJPEG convention) or None when the payload is not an AVI. The
+    caller decides whether `handler` is a codec it can decode."""
+    try:
+        if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+            return None
+        info = {"width": None, "height": None, "us_per_frame": None,
+                "handler": None, "frames": []}
+
+        def walk(pos: int, end: int, depth: int = 0) -> None:
+            if depth > 8:  # hostile nesting guard
+                raise ValueError("RIFF nesting too deep")
+            for fcc, s, e in _riff_chunks(payload, pos, end):
+                if fcc == b"LIST":
+                    walk(s + 4, e, depth + 1)  # skip the subtype fourcc
+                elif fcc == b"avih" and e - s >= 40:
+                    (info["us_per_frame"],) = struct.unpack_from(
+                        "<I", payload, s)
+                    info["width"], info["height"] = struct.unpack_from(
+                        "<II", payload, s + 32)
+                elif fcc == b"strh" and e - s >= 8:
+                    if payload[s:s + 4] == b"vids" and info["handler"] is None:
+                        info["handler"] = payload[s + 4:s + 8]
+                elif fcc[:2] == b"00" and fcc[2:4] in (b"dc", b"db"):
+                    info["frames"].append(payload[s:e])
+
+        walk(12, len(payload))
+        if info["handler"] is None and not info["frames"]:
+            return None
+        return info
+    except (struct.error, IndexError, ValueError):
+        return None
+
+
+def decode_video_frames(payload: bytes) -> tuple[dict, list] | None:
+    """MJPEG-AVI payload -> (info, [HxWx3 uint8 RGB frames]). None for
+    non-AVI payloads; raises NotImplementedError for AVIs whose video
+    codec is not MJPEG (the ffmpeg seam). Frames that fail JPEG decode
+    are skipped (consistent with decode_jpeg's corrupt-input contract)."""
+    from .jpeg import decode_jpeg
+
+    info = parse_avi(payload)
+    if info is None:
+        return None
+    if (info["handler"] or b"").upper() not in (b"MJPG", b"JPEG"):
+        raise NotImplementedError(
+            f"AVI codec {info['handler']!r} is not MJPEG; plug ffmpeg here")
+    frames = [f for f in (decode_jpeg(b) for b in info["frames"])
+              if f is not None]
+    return info, frames
+
+
+def encode_avi_mjpeg(frames: list, fps: int = 10, quality: int = 85,
+                     quant_override=None) -> bytes:
+    """HxWx3 uint8 frame list -> minimal valid MJPEG AVI (RIFF hdrl with
+    avih/strh/strf, word-aligned movi '00dc' chunks, idx1 keyframe index).
+    Exists to synthesize deterministic video fixtures for the decode tier."""
+    from .jpeg import encode_jpeg_baseline
+
+    h, w = frames[0].shape[:2]
+    encoded = [encode_jpeg_baseline(f, quality=quality,
+                                    quant_override=quant_override)
+               for f in frames]
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def lst(subtype: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", subtype + data)
+
+    usec = int(round(1_000_000 / fps))
+    avih = struct.pack("<14I", usec, 0, 0, 0x10, len(encoded), 0, 1,
+                       max(len(e) for e in encoded), w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG"
+            + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0,
+                          len(encoded), max(len(e) for e in encoded),
+                          0xFFFFFFFF, 0)
+            + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b""
+    idx = b""
+    for e in encoded:
+        # idx1 offsets are relative to the 'movi' fourcc position
+        idx += b"00dc" + struct.pack("<III", 0x10, 4 + len(movi_body), len(e))
+        movi_body += chunk(b"00dc", e)
+    movi = lst(b"movi", movi_body)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def video_assets_from_bytes(raw: DataFrame, ref_col: str = "media_ref",
+                            payload_col: str = "payload") -> DataFrame:
+    """REAL video ingestion: (media_ref, payload) rows with actual AVI
+    bytes -> the standard asset table (media_type='video', geometry from
+    avih, duration from frame count x frame period). Non-AVI payloads are
+    dropped; non-MJPEG AVIs are kept (sampling hits the ffmpeg seam)."""
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                info = parse_avi(bytes(r[payload_col]))
+                if info is None:
+                    continue
+                usec = info["us_per_frame"] or 0
+                rows.append({
+                    "media_ref": r[ref_col], "media_type": "video",
+                    "payload": bytes(r[payload_col]),
+                    "width": info["width"], "height": info["height"],
+                    "duration_ms": int(len(info["frames"]) * usec / 1000),
+                    "n_bytes": len(r[payload_col]),
+                })
+            yield pd.DataFrame(rows, columns=[
+                "media_ref", "media_type", "payload", "width", "height",
+                "duration_ms", "n_bytes",
+            ])
+
+    schema = (
+        "media_ref string, media_type string, payload binary, width int, "
+        "height int, duration_ms int, n_bytes long"
+    )
+    return raw.repartition(F.pmod(F.xxhash64(ref_col), F.lit(32))).mapInPandas(
+        meta, schema
+    )
+
+
 def sample_frames(assets: DataFrame, every_ms: int = 1000, decoder: str = "fake") -> DataFrame:
-    """Video frame sampling stage (deterministic payload slices as the fake
-    kernel; ffmpeg keyframe extraction in the real one)."""
+    """Video frame sampling stage.
+
+    real: MJPEG-in-AVI payloads decode end-to-end with the in-repo JPEG
+    codec — one frame every `every_ms` (by the container's frame period),
+    emitted as self-describing PNG bytes so frames flow straight back into
+    the image stages (image_assets_from_bytes / extract_features). Non-AVI
+    payloads and non-MJPEG codecs raise at the declared ffmpeg seam.
+    fake: deterministic payload slices with correct shapes."""
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decoder == "real":
-                raise NotImplementedError("plug ffmpeg here")
             rows = []
             for _, r in pdf.iterrows():
                 if r["media_type"] != "video":
+                    continue
+                if decoder == "real":
+                    dec = decode_video_frames(bytes(r["payload"]))
+                    if dec is None:
+                        raise NotImplementedError(
+                            "payload is not RIFF-AVI; plug ffmpeg here")
+                    info, decoded = dec
+                    frame_ms = (info["us_per_frame"] or 100_000) / 1000.0
+                    step = max(1, round(every_ms / frame_ms))
+                    for out_i, fi in enumerate(range(0, len(decoded), step)):
+                        rows.append({
+                            "media_ref": r["media_ref"], "frame_idx": out_i,
+                            "frame": encode_png(decoded[fi]),
+                        })
                     continue
                 n_frames = max(1, int(r["duration_ms"]) // every_ms)
                 arr = np.frombuffer(r["payload"], dtype=np.uint8)

@@ -681,3 +681,103 @@ def test_decoders_never_raise_on_mutated_valid_files(data):
         base[pos] = data.draw(st.integers(0, 255))
     MM.decode_image(bytes(base))
     MM.decode_audio(bytes(base))
+
+
+# ---------------------------------------------------------------------------
+# video: MJPEG-in-AVI real tier
+# ---------------------------------------------------------------------------
+
+
+def _video_frames(n=6, h=24, w=32, seed=5):
+    out = []
+    yy, xx = np.mgrid[0:h, 0:w]
+    for i in range(n):
+        g = np.clip(128 + 60 * np.sin((xx + i * 3) / 5.0)
+                    + 40 * np.cos((yy - i * 2) / 4.0), 0, 255).astype(np.uint8)
+        out.append(np.stack([g, np.roll(g, i, axis=1), g[::-1]], axis=2))
+    return out
+
+
+def test_avi_mjpeg_roundtrip_matches_per_frame_jpeg_oracle():
+    from smartcrawler_spark.jpeg import decode_jpeg, encode_jpeg_baseline
+
+    frames = _video_frames()
+    ones = np.ones(64, dtype=np.int64)
+    avi = MM.encode_avi_mjpeg(frames, fps=10, quant_override=ones)
+    info = MM.parse_avi(avi)
+    assert (info["width"], info["height"]) == (32, 24)
+    assert info["us_per_frame"] == 100_000 and info["handler"] == b"MJPG"
+    assert len(info["frames"]) == len(frames)
+    _, dec = MM.decode_video_frames(avi)
+    assert len(dec) == len(frames)
+    for i, f in enumerate(frames):
+        # the container adds nothing: each frame decodes bit-identically
+        # to the standalone JPEG of the same pixels
+        want = decode_jpeg(encode_jpeg_baseline(f, quant_override=ones))
+        assert (dec[i] == want).all(), i
+        assert np.abs(dec[i].astype(int) - f.astype(int)).max() <= 2
+
+
+def test_avi_non_mjpeg_hits_ffmpeg_seam_and_corrupt_is_none():
+    frames = _video_frames(2)
+    avi = bytearray(MM.encode_avi_mjpeg(frames))
+    assert MM.parse_avi(b"not an avi") is None
+    assert MM.decode_video_frames(b"RIFF\x04\x00\x00\x00WAVE") is None
+    j = avi.find(b"MJPG")  # strh handler comes first
+    avi[j:j + 4] = b"H264"
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        MM.decode_video_frames(bytes(avi))
+    # truncated container parses to however many whole chunks survive,
+    # never raises
+    full = bytes(MM.encode_avi_mjpeg(frames))
+    for cut in (16, len(full) // 2):
+        MM.parse_avi(full[:cut])
+
+
+def test_avi_fuzz_never_raises():
+    rng = np.random.default_rng(11)
+    full = bytearray(MM.encode_avi_mjpeg(_video_frames(2)))
+    for _ in range(60):
+        b = bytearray(full)
+        for _ in range(rng.integers(1, 6)):
+            b[rng.integers(0, len(b))] = rng.integers(0, 256)
+        info = MM.parse_avi(bytes(b))
+        if info is not None and (info["handler"] or b"").upper() in (
+                b"MJPG", b"JPEG"):
+            MM.decode_video_frames(bytes(b))
+
+
+def test_video_pipeline_end_to_end(spark):
+    """AVI bytes -> asset table -> real frame sampling -> the sampled PNG
+    frames flow back through the IMAGE ingestion stage — the full video
+    composition, numpy oracle at every step."""
+    frames = _video_frames(8)
+    ones = np.ones(64, dtype=np.int64)
+    avi = MM.encode_avi_mjpeg(frames, fps=10, quant_override=ones)  # 800 ms
+    raw = spark.createDataFrame(
+        [("clip.avi", bytearray(avi)), ("bad.bin", bytearray(b"\x00" * 64))],
+        "media_ref string, payload binary",
+    )
+    assets = MM.video_assets_from_bytes(raw)
+    arows = assets.collect()
+    assert [r["media_ref"] for r in arows] == ["clip.avi"]
+    assert (arows[0]["width"], arows[0]["height"]) == (32, 24)
+    assert arows[0]["duration_ms"] == 800
+
+    # every_ms=300 at 100 ms/frame -> frame indices 0, 3, 6
+    sampled = MM.sample_frames(assets, every_ms=300, decoder="real").collect()
+    assert [r["frame_idx"] for r in sorted(sampled,
+                                           key=lambda r: r["frame_idx"])] == [0, 1, 2]
+    _, dec = MM.decode_video_frames(avi)
+    got = {r["frame_idx"]: MM.decode_image(bytes(r["frame"])) for r in sampled}
+    for out_i, src_i in enumerate([0, 3, 6]):
+        assert (got[out_i] == dec[src_i]).all()  # PNG is lossless
+
+    # composition: sampled frames are valid image payloads for the image path
+    fr_df = spark.createDataFrame(
+        [(f"clip.avi#{r['frame_idx']}", bytearray(r["frame"])) for r in sampled],
+        "media_ref string, payload binary",
+    )
+    irows = MM.image_assets_from_bytes(fr_df).collect()
+    assert len(irows) == 3
+    assert all((r["width"], r["height"]) == (32, 24) for r in irows)
