@@ -211,15 +211,20 @@ def headline_queries():
         "dedup_exact", "dedup_minhash", "ngram_jaccard",
         "dedup_clusters", "decontamination", "repetition_profile",
         "pii_redaction", "top_terms",
-        "ann_cosine_topk", "embedding_near_dup", "lang_id",
-        "token_count", "fingerprint_groups",
+        "ann_cosine_topk", "embedding_near_dup", "embedding_near_dup_lsh",
+        "lang_id", "token_count", "fingerprint_groups",
     ]
     return {k: qs[k] for k in names}
 
 
-def run_suite(sf_dir: str, cpus: str) -> dict:
+def run_suite(sf_dir: str, cpus: str, probes: bool = True) -> dict:
     from smartcrawler_spark.session import get_spark
 
+    # probe-BRACKET the whole suite the way --scaling-qualified brackets
+    # the criterion pair (VERDICT r03 item 4): a no-Spark DRAM control
+    # before and after, so a co-tenant burst mid-suite is visible in the
+    # artifact instead of masquerading as a per-query regression.
+    p_pre = _quick_probe() if probes else None
     spark = get_spark(app_name="bench", master=f"local[{cpus}]",
                       shuffle_partitions=max(int(cpus) * 2, 8))
     spark.sparkContext.setLogLevel("ERROR")
@@ -260,7 +265,41 @@ def run_suite(sf_dir: str, cpus: str) -> dict:
         "cpus": cpus,
     }
     spark.stop()
+    if probes:
+        p_post = _quick_probe()
+        out["probe_pre"] = p_pre
+        out["probe_post"] = p_post
+        # clean window = bandwidth-bound 4-process efficiency healthy on
+        # BOTH sides (same bar as --scaling-qualified's min_eff4)
+        out["probe_qualified"] = bool(
+            p_pre["eff_4"] >= 0.6 and p_post["eff_4"] >= 0.6
+        )
     return out
+
+
+def run_suite_qualified(sf_dir: str, cpus: str, min_eff4: float = 0.6,
+                        attempts: int = 4, cooldown_s: float = 90.0) -> dict:
+    """Retry run_suite across windows until one is bracketed by clean
+    probes on both sides; every attempt's probes stay in the output."""
+    history: list[dict] = []
+    last = None
+    for attempt in range(1, attempts + 1):
+        pre = _quick_probe()
+        history.append({**pre, "when": f"attempt{attempt}-pre"})
+        if pre["eff_4"] < min_eff4:
+            time.sleep(cooldown_s)
+            continue
+        last = run_suite(sf_dir, cpus, probes=False)
+        post = _quick_probe()
+        history.append({**post, "when": f"attempt{attempt}-post"})
+        last["probe_pre"], last["probe_post"] = pre, post
+        last["probe_qualified"] = post["eff_4"] >= min_eff4
+        last["probe_history"] = history
+        if last["probe_qualified"]:
+            return last
+        time.sleep(cooldown_s)
+    return last or {"metric": "suite-qualified: no clean window",
+                    "probe_qualified": False, "probe_history": history}
 
 
 def run_scaling(sf_dir: str, n_low: int = 1, n_high: int = 4,
@@ -705,6 +744,11 @@ def main():
         os.environ.setdefault("SPARK_GRAFT_SCORE_IMPL", "jvm")
         os.environ.setdefault("SPARK_GRAFT_FRONTIER_MULT", "16")
         print(json.dumps(run_scaling(SF_DIR, n_low=1, n_high=4, cores_per_exec=2)))
+        return
+    if "--suite-qualified" in sys.argv:
+        # probe-bracketed per-operator suite with window retries — the
+        # instrument for adjudicating per-query round-over-round deltas
+        print(json.dumps(run_suite_qualified(SF_DIR, CPUS)))
         return
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling(SF_DIR)))
