@@ -598,7 +598,8 @@ def _decode_gif(payload: bytes) -> np.ndarray | None:
         return None
 
 
-def _decode_gif_inner(payload: bytes) -> np.ndarray | None:
+def _gif_header(payload: bytes):
+    """(w, h, gct, bg_idx, pos-after-header) or None if not a GIF."""
     import struct
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -612,6 +613,54 @@ def _decode_gif_inner(payload: bytes) -> np.ndarray | None:
         n = 2 << (flags & 7)
         gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
         pos += n * 3
+    return w, h, gct, bg_idx, pos
+
+
+def _gif_read_image(payload: bytes, pos: int, gct):
+    """At an image descriptor (payload[pos] == 0x2C): decode the frame's
+    index array. Returns (idx HxW int32, lct, x0, y0, new_pos); raises
+    ValueError on corruption."""
+    import struct
+
+    x0, y0, iw, ih, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+    pos += 10
+    lct = gct
+    if iflags & 0x80:
+        n = 2 << (iflags & 7)
+        lct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    if lct is None or iw == 0 or ih == 0:
+        raise ValueError("gif frame without palette or size")
+    min_code_size = payload[pos]
+    pos += 1
+    data = bytearray()
+    while pos < len(payload):
+        size = payload[pos]
+        pos += 1
+        if size == 0:
+            break
+        data += payload[pos:pos + size]
+        pos += size
+    indices = _gif_lzw_decode(bytes(data), min_code_size, iw * ih)
+    if indices is None:
+        raise ValueError("gif lzw decode failed")
+    idx = np.asarray(indices, dtype=np.int32).reshape(ih, iw)
+    if iflags & 0x40:  # interlaced: rows arrive in 4-pass order
+        order = (list(range(0, ih, 8)) + list(range(4, ih, 8))
+                 + list(range(2, ih, 4)) + list(range(1, ih, 2)))
+        de = np.zeros_like(idx)
+        de[order] = idx
+        idx = de
+    if idx.max(initial=0) >= len(lct):
+        raise ValueError("gif palette index out of range")
+    return idx, lct, x0, y0, pos
+
+
+def _decode_gif_inner(payload: bytes) -> np.ndarray | None:
+    hdr = _gif_header(payload)
+    if hdr is None:
+        return None
+    w, h, gct, bg_idx, pos = hdr
     while pos < len(payload):
         b = payload[pos]
         if b == 0x21:  # extension: skip its sub-blocks
@@ -622,38 +671,11 @@ def _decode_gif_inner(payload: bytes) -> np.ndarray | None:
                 if size == 0:
                     break
         elif b == 0x2C:  # image descriptor: decode the first frame
-            x0, y0, iw, ih, iflags = struct.unpack_from("<HHHHB", payload,
-                                                        pos + 1)
-            pos += 10
-            lct = gct
-            if iflags & 0x80:
-                n = 2 << (iflags & 7)
-                lct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
-                pos += n * 3
-            if lct is None or iw == 0 or ih == 0:
+            try:
+                idx, lct, x0, y0, pos = _gif_read_image(payload, pos, gct)
+            except ValueError:
                 return None
-            min_code_size = payload[pos]
-            pos += 1
-            data = bytearray()
-            while pos < len(payload):
-                size = payload[pos]
-                pos += 1
-                if size == 0:
-                    break
-                data += payload[pos:pos + size]
-                pos += size
-            indices = _gif_lzw_decode(bytes(data), min_code_size, iw * ih)
-            if indices is None:
-                return None
-            idx = np.asarray(indices, dtype=np.int32).reshape(ih, iw)
-            if iflags & 0x40:  # interlaced: rows arrive in 4-pass order
-                order = (list(range(0, ih, 8)) + list(range(4, ih, 8))
-                         + list(range(2, ih, 4)) + list(range(1, ih, 2)))
-                de = np.zeros_like(idx)
-                de[order] = idx
-                idx = de
-            if idx.max(initial=0) >= len(lct):
-                return None
+            ih, iw = idx.shape
             frame = lct[idx]
             if (iw, ih) == (w, h) and (x0, y0) == (0, 0):
                 return frame
@@ -668,6 +690,74 @@ def _decode_gif_inner(payload: bytes) -> np.ndarray | None:
         else:
             return None
     return None
+
+
+def decode_gif_frames(payload: bytes, max_frames: int = 256
+                      ) -> tuple[list[np.ndarray], list[int]] | None:
+    """ALL frames of a (possibly animated) GIF89a, composited per the
+    animation model -> ([HxWx3 uint8 screen-sized frames], [delay_ms]).
+    Honors the Graphic Control Extension: per-frame delay, transparency
+    index (transparent pixels leave the canvas untouched), and disposal
+    methods 0/1 (leave), 2 (restore region to background), 3 (restore to
+    previous canvas). Returns None for non-GIF/corrupt payloads. The
+    engine has no alpha channel, so the canvas starts as the background
+    color, matching the single-frame decoder's convention."""
+    import struct
+
+    try:
+        hdr = _gif_header(payload)
+        if hdr is None:
+            return None
+        w, h, gct, bg_idx, pos = hdr
+        bg = (gct[bg_idx] if gct is not None and bg_idx < len(gct)
+              else np.zeros(3, np.uint8))
+        canvas = np.broadcast_to(bg, (h, w, 3)).copy()
+        frames: list[np.ndarray] = []
+        delays: list[int] = []
+        disposal, transparent, delay_ms = 0, None, 100
+        while pos < len(payload) and len(frames) < max_frames:
+            b = payload[pos]
+            if b == 0x21:
+                label = payload[pos + 1]
+                pos += 2
+                if label == 0xF9 and pos < len(payload) and payload[pos] >= 4:
+                    packed = payload[pos + 1]
+                    (d,) = struct.unpack_from("<H", payload, pos + 2)
+                    delay_ms = d * 10
+                    disposal = (packed >> 2) & 7
+                    transparent = payload[pos + 4] if packed & 1 else None
+                while pos < len(payload):  # skip sub-blocks
+                    size = payload[pos]
+                    pos += 1 + size
+                    if size == 0:
+                        break
+            elif b == 0x2C:
+                idx, lct, x0, y0, pos = _gif_read_image(payload, pos, gct)
+                ih, iw = idx.shape
+                eh, ew = min(ih, h - y0), min(iw, w - x0)
+                if eh > 0 and ew > 0:
+                    prev = canvas.copy() if disposal == 3 else None
+                    rgb = lct[idx[:eh, :ew]]
+                    region = canvas[y0:y0 + eh, x0:x0 + ew]
+                    if transparent is not None:
+                        mask = (idx[:eh, :ew] != transparent)[..., None]
+                        region[...] = np.where(mask, rgb, region)
+                    else:
+                        region[...] = rgb
+                    frames.append(canvas.copy())
+                    delays.append(delay_ms if delay_ms > 0 else 100)
+                    if disposal == 2:
+                        canvas[y0:y0 + eh, x0:x0 + ew] = bg
+                    elif disposal == 3 and prev is not None:
+                        canvas = prev
+                disposal, transparent, delay_ms = 0, None, 100
+            elif b == 0x3B:
+                break
+            else:
+                break
+        return (frames, delays) if frames else None
+    except (IndexError, ValueError, struct.error):
+        return None
 
 
 def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
@@ -1020,16 +1110,31 @@ def video_assets_from_bytes(raw: DataFrame, ref_col: str = "media_ref",
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                info = parse_avi(bytes(r[payload_col]))
+                payload = bytes(r[payload_col])
+                if payload[:6] in (b"GIF87a", b"GIF89a"):
+                    # animated GIF = the web's other video container
+                    dec = decode_gif_frames(payload)
+                    if dec is None or len(dec[0]) < 2:
+                        continue  # static/corrupt GIFs belong to the image path
+                    frames, delays = dec
+                    h, w = frames[0].shape[:2]
+                    rows.append({
+                        "media_ref": r[ref_col], "media_type": "video",
+                        "payload": payload, "width": w, "height": h,
+                        "duration_ms": int(sum(delays)),
+                        "n_bytes": len(payload),
+                    })
+                    continue
+                info = parse_avi(payload)
                 if info is None:
                     continue
                 usec = info["us_per_frame"] or 0
                 rows.append({
                     "media_ref": r[ref_col], "media_type": "video",
-                    "payload": bytes(r[payload_col]),
+                    "payload": payload,
                     "width": info["width"], "height": info["height"],
                     "duration_ms": int(len(info["frames"]) * usec / 1000),
-                    "n_bytes": len(r[payload_col]),
+                    "n_bytes": len(payload),
                 })
             yield pd.DataFrame(rows, columns=[
                 "media_ref", "media_type", "payload", "width", "height",
@@ -1062,10 +1167,29 @@ def sample_frames(assets: DataFrame, every_ms: int = 1000, decoder: str = "fake"
                 if r["media_type"] != "video":
                     continue
                 if decoder == "real":
-                    dec = decode_video_frames(bytes(r["payload"]))
+                    payload = bytes(r["payload"])
+                    if payload[:6] in (b"GIF87a", b"GIF89a"):
+                        gdec = decode_gif_frames(payload)
+                        if gdec is None:
+                            raise NotImplementedError(
+                                "corrupt GIF; plug ffmpeg here")
+                        gframes, gdelays = gdec
+                        t, next_emit, out_i = 0, 0, 0
+                        for fr, d in zip(gframes, gdelays):
+                            if t >= next_emit:  # per-frame delays vary
+                                rows.append({
+                                    "media_ref": r["media_ref"],
+                                    "frame_idx": out_i,
+                                    "frame": encode_png(fr),
+                                })
+                                out_i += 1
+                                next_emit += every_ms
+                            t += d
+                        continue
+                    dec = decode_video_frames(payload)
                     if dec is None:
                         raise NotImplementedError(
-                            "payload is not RIFF-AVI; plug ffmpeg here")
+                            "payload is not RIFF-AVI/GIF; plug ffmpeg here")
                     info, decoded = dec
                     frame_ms = (info["us_per_frame"] or 100_000) / 1000.0
                     step = max(1, round(every_ms / frame_ms))

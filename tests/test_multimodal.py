@@ -781,3 +781,130 @@ def test_video_pipeline_end_to_end(spark):
     irows = MM.image_assets_from_bytes(fr_df).collect()
     assert len(irows) == 3
     assert all((r["width"], r["height"]) == (32, 24) for r in irows)
+
+
+# ---------------------------------------------------------------------------
+# animated GIF: multi-frame decode + disposal/transparency composition
+# ---------------------------------------------------------------------------
+
+
+def _ref_animated_gif(frame_specs, palette, screen, bg_idx=0):
+    """Independent animated-GIF builder: frame_specs =
+    [(idx_array, (x0, y0), delay_cs, disposal, transparent_idx|None)].
+    Mirrors _ref_gif's header/LZW conventions with GCE blocks added."""
+    w, h = screen
+    n = len(palette)
+    depth = max(1, (n - 1).bit_length())
+    pal_n = 1 << depth
+    mcs = max(2, depth)
+    out = bytearray(b"GIF89a")
+    out += _struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), bg_idx, 0)
+    out += bytes(palette.reshape(-1)) + b"\x00" * ((pal_n - n) * 3)
+    for idx, (x0, y0), delay_cs, disposal, trans in frame_specs:
+        ih, iw = idx.shape
+        packed = (disposal & 7) << 2 | (1 if trans is not None else 0)
+        out += b"\x21\xf9\x04" + bytes([packed])
+        out += _struct.pack("<H", delay_cs) + bytes([trans or 0, 0])
+        out += b"\x2c" + _struct.pack("<HHHHB", x0, y0, iw, ih, 0)
+        out += bytes([mcs])
+        data = _ref_gif_lzw_encode(idx.reshape(-1).tolist(), mcs)
+        for i in range(0, len(data), 255):
+            chunk = data[i:i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _anim_palette():
+    return np.array([[10, 10, 10], [200, 0, 0], [0, 200, 0], [0, 0, 200]],
+                    dtype=np.uint8)
+
+
+def test_gif_animated_frames_and_disposal_oracle():
+    """Composition oracle computed by hand: disposal 2 restores the frame
+    region to background, transparency leaves the canvas untouched."""
+    pal = _anim_palette()
+    f0 = np.full((4, 6), 1, np.uint8)            # full red screen
+    f1 = np.full((2, 2), 2, np.uint8)            # green patch at (2,1), disposal 2
+    f2 = np.array([[3, 0], [0, 3]], np.uint8)    # blue diag at (0,0), trans idx 0
+    gif = _ref_animated_gif(
+        [(f0, (0, 0), 5, 1, None),
+         (f1, (2, 1), 10, 2, None),
+         (f2, (0, 0), 0, 1, 0)],
+        pal, screen=(6, 4))
+    dec = MM.decode_gif_frames(gif)
+    assert dec is not None
+    frames, delays = dec
+    assert len(frames) == 3 and delays == [50, 100, 100]  # 0 delay -> 100
+    red, green, blue, bg = pal[1], pal[2], pal[3], pal[0]
+    # frame 0: all red
+    assert (frames[0] == red).all()
+    # frame 1: red with green patch
+    want1 = np.broadcast_to(red, (4, 6, 3)).copy()
+    want1[1:3, 2:4] = green
+    assert np.array_equal(frames[1], want1)
+    # frame 2: disposal 2 restored patch to BACKGROUND; blue diagonal drawn
+    # with transparent holes showing the prior canvas (red)
+    want2 = np.broadcast_to(red, (4, 6, 3)).copy()
+    want2[1:3, 2:4] = bg
+    want2[0, 0] = blue
+    want2[1, 1] = blue
+    assert np.array_equal(frames[2], want2)
+    # first-frame decoder agrees with frame 0
+    assert np.array_equal(MM.decode_image(gif), frames[0])
+
+
+def test_gif_animated_disposal_previous():
+    pal = _anim_palette()
+    f0 = np.full((3, 3), 1, np.uint8)
+    f1 = np.full((3, 3), 2, np.uint8)   # disposal 3: restore to previous
+    f2 = np.array([[3]], np.uint8)
+    gif = _ref_animated_gif(
+        [(f0, (0, 0), 1, 1, None),
+         (f1, (0, 0), 1, 3, None),
+         (f2, (1, 1), 1, 1, None)],
+        pal, screen=(3, 3))
+    frames, _ = MM.decode_gif_frames(gif)
+    assert (frames[1] == pal[2]).all()
+    # frame 2 canvas = frame 0 (restored) + single blue pixel
+    want = np.broadcast_to(pal[1], (3, 3, 3)).copy()
+    want[1, 1] = pal[3]
+    assert np.array_equal(frames[2], want)
+
+
+def test_gif_animated_corrupt_and_static():
+    pal = _anim_palette()
+    static = _ref_gif(np.full((3, 3), 1, np.uint8), pal)
+    dec = MM.decode_gif_frames(static)
+    assert dec is not None and len(dec[0]) == 1  # static GIF: one frame
+    assert MM.decode_gif_frames(b"GIF89a\x00") is None
+    assert MM.decode_gif_frames(b"not a gif") is None
+    anim = _ref_animated_gif([(np.full((3, 3), 1, np.uint8), (0, 0), 1, 1, None)] * 3,
+                             pal, screen=(3, 3))
+    for cut in (10, len(anim) // 2):
+        MM.decode_gif_frames(anim[:cut])  # never raises
+
+
+def test_gif_animated_rides_video_pipeline(spark):
+    """Animated GIFs ingest as VIDEO assets and sample real frames by
+    cumulative per-frame delay."""
+    pal = _anim_palette()
+    specs = [(np.full((4, 5), 1 + (i % 3), np.uint8), (0, 0), 10, 1, None)
+             for i in range(6)]  # 6 frames x 100 ms
+    gif = _ref_animated_gif(specs, pal, screen=(5, 4))
+    static = _ref_gif(np.full((3, 3), 1, np.uint8), pal)
+    raw = spark.createDataFrame(
+        [("anim.gif", bytearray(gif)), ("static.gif", bytearray(static))],
+        "media_ref string, payload binary")
+    assets = MM.video_assets_from_bytes(raw)
+    arows = {r["media_ref"]: r for r in assets.collect()}
+    assert set(arows) == {"anim.gif"}  # static GIF is not a video
+    assert arows["anim.gif"]["duration_ms"] == 600
+    assert (arows["anim.gif"]["width"], arows["anim.gif"]["height"]) == (5, 4)
+    sampled = MM.sample_frames(assets, every_ms=200, decoder="real").collect()
+    frames, _ = MM.decode_gif_frames(gif)
+    assert len(sampled) == 3  # t=0, 200, 400
+    for r in sampled:
+        src = frames[r["frame_idx"] * 2]
+        assert np.array_equal(MM.decode_image(bytes(r["frame"])), src)
