@@ -305,6 +305,34 @@ def q_host_stats(spark, sf_dir):
     return host_report(_synthetic_frontier(spark, sf_dir))
 
 
+def q_adaptive_budget(spark, sf_dir):
+    """Failure-aware politeness budgets (operators.frontier.
+    adaptive_budgets): hosts whose FAILED share of attempted fetches
+    reaches 1/2 get their budget halved (floor 1); integer arithmetic
+    end-to-end. One hash agg + a broadcast full-outer join with the
+    budgets dim."""
+    fr = _synthetic_frontier(spark, sf_dir)
+    budgets = spark.range(25).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"),
+                 F.lit(".example.com")).alias("host"),
+        ((F.col("id") % 5) + 2).cast("int").alias("budget"),
+    )
+    return FR.adaptive_budgets(fr, budgets, default_budget=4)
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted Bernoulli sampling (operators.sampling.
+    weighted_sample): keep probability = min(n_chars * 8192, 2^24) parts
+    per 2^24 — integer thresholds against a portable md5-derived 24-bit
+    uniform, so longer docs survive more often and membership is a pure
+    function of (doc_id, salt)."""
+    from smartcrawler_spark.operators import sampling as SA
+
+    docs = _t(spark, sf_dir, "documents")
+    w = F.least(F.col("n_chars").cast("long") * 8192, F.lit(1 << 24))
+    return SA.weighted_sample(docs, w).select("doc_id", "u24")
+
+
 def q_gopher_rules(spark, sf_dir):
     """Gopher document-quality rule bundle (Rae et al. 2021 §A1.1) as pure
     Column exprs: word-count/mean-word-length windows, symbol ratio,
@@ -910,6 +938,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_groups": q_fingerprint_groups,
         "hash_split": q_hash_split,
         "token_budget_pack": q_token_budget_pack,
+        "adaptive_budget": q_adaptive_budget,
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -1701,6 +1731,60 @@ def oracle_sql() -> dict[str, str]:
                        AS cum_tokens
               FROM t
             ) WHERE cum_tokens <= 5000
+        """,
+        "adaptive_budget": f"""
+            WITH f AS ({_SYNTH_FRONTIER_SQL}),
+            s AS (
+              SELECT host,
+                     sum(CASE WHEN status = 'FAILED' THEN 1 ELSE 0 END) AS nf,
+                     count(*) AS att
+              FROM f WHERE status IN ('SUCCESS', 'FAILED') GROUP BY host
+            ), b AS (
+              SELECT 'h' || CAST(i AS VARCHAR) || '.example.com' AS host,
+                     CAST(i % 5 + 2 AS INT) AS budget
+              FROM range(25) t(i)
+            ), j AS (
+              SELECT coalesce(s.host, b.host) AS host, s.att, s.nf, b.budget
+              FROM s FULL OUTER JOIN b ON s.host = b.host
+            )
+            SELECT host,
+                   CAST(CASE WHEN att IS NOT NULL AND nf * 2 >= att
+                        THEN greatest(CAST(floor(coalesce(budget, 4) / 2)
+                                           AS INT), 1)
+                        ELSE coalesce(budget, 4) END AS INT) AS budget
+            FROM j
+        """,
+        "weighted_sample": """
+            WITH h AS (
+              SELECT doc_id, n_chars,
+                     md5(doc_id::VARCHAR || '|ws') AS m
+              FROM documents
+            ), u AS (
+              SELECT doc_id, n_chars,
+                     CAST((((((
+                       (CASE WHEN ascii(substr(m,1,1)) <= 57
+                             THEN ascii(substr(m,1,1)) - 48
+                             ELSE ascii(substr(m,1,1)) - 87 END) * 16
+                       + CASE WHEN ascii(substr(m,2,1)) <= 57
+                              THEN ascii(substr(m,2,1)) - 48
+                              ELSE ascii(substr(m,2,1)) - 87 END) * 16
+                       + CASE WHEN ascii(substr(m,3,1)) <= 57
+                              THEN ascii(substr(m,3,1)) - 48
+                              ELSE ascii(substr(m,3,1)) - 87 END) * 16
+                       + CASE WHEN ascii(substr(m,4,1)) <= 57
+                              THEN ascii(substr(m,4,1)) - 48
+                              ELSE ascii(substr(m,4,1)) - 87 END) * 16
+                       + CASE WHEN ascii(substr(m,5,1)) <= 57
+                              THEN ascii(substr(m,5,1)) - 48
+                              ELSE ascii(substr(m,5,1)) - 87 END) * 16
+                       + CASE WHEN ascii(substr(m,6,1)) <= 57
+                              THEN ascii(substr(m,6,1)) - 48
+                              ELSE ascii(substr(m,6,1)) - 87 END) AS BIGINT)
+                       AS u24
+              FROM h
+            )
+            SELECT doc_id, u24 FROM u
+            WHERE u24 < least(n_chars * 8192, 16777216)
         """,
         "fingerprint_groups": rf"""
             SELECT source,

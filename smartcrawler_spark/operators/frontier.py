@@ -578,6 +578,53 @@ def politeness_topk(
     )
 
 
+def adaptive_budgets(frontier: DataFrame, budgets: DataFrame,
+                     default_budget: int, min_budget: int = 1,
+                     threshold_num: int = 1, threshold_den: int = 2
+                     ) -> DataFrame:
+    """Failure-aware politeness: hosts whose FAILED share of attempted
+    fetches reaches `threshold_num/threshold_den` get their configured
+    budget halved (floored at `min_budget`) — the standard crawl backoff
+    that stops a dying/blocking host from burning its full schedule slot
+    every round. The reference approximates politeness with a fixed 2 s
+    sleep (/root/reference/src/browser.rs:55); this is the budgeted analog
+    reacting to observed fetch outcomes.
+
+    All arithmetic is integer (the ratio test is cross-multiplied), so the
+    output can never float-diverge across engines. Returns (host, budget)
+    covering every host present in `frontier` or `budgets`.
+
+    Scale shape: ONE hash aggregation on host over the frontier (map-side
+    partial agg) + a full-outer join with the budgets dim (tiny: one row
+    per configured host — broadcast). Feed the result straight into
+    politeness_topk in place of the static table. NB the output has one
+    row per host WITH FETCH HISTORY — at extreme host cardinality (10^8+)
+    politeness_topk's broadcast of the budget table stops being free;
+    filter to hosts actually throttled (budget != default) first, which
+    restores a small dim (backoff lists are sparse by nature)."""
+    stats = (
+        frontier.filter(F.col("status").isin("SUCCESS", "FAILED"))
+        .groupBy("host")
+        .agg(
+            F.sum(F.when(F.col("status") == "FAILED", 1).otherwise(0))
+            .alias("_n_failed"),
+            F.count("*").alias("_attempted"),
+        )
+    )
+    base = budgets.select("host", F.col("budget").alias("_budget"))
+    joined = stats.join(base, "host", "full_outer")
+    b = F.coalesce(F.col("_budget"), F.lit(default_budget))
+    hot = (
+        F.col("_attempted").isNotNull()
+        & (F.col("_n_failed") * threshold_den
+           >= F.col("_attempted") * threshold_num)
+    )
+    budget = F.when(
+        hot, F.greatest(F.floor(b / 2).cast("int"), F.lit(min_budget))
+    ).otherwise(b.cast("int"))
+    return joined.select("host", budget.alias("budget"))
+
+
 def refresh_due(frontier: DataFrame, round_no: int, interval: int,
                 statuses: tuple[str, ...] = ("SUCCESS",),
                 max_per_round: int | None = None) -> DataFrame:

@@ -91,3 +91,37 @@ def token_budget_pack(
         .filter(F.col("cum_tokens") <= budget)
         .select("grp", "doc_id", "n_tokens", "cum_tokens")
     )
+
+
+def md5_uniform_p24(col: Column, salt: str = "ws") -> Column:
+    """Deterministic uniform integer in [0, 2^24) from the first six md5
+    hex digits of `id|salt` — the same engine-portable discipline as
+    md5_bucket (md5 + substring + ascii arithmetic only), with 24 bits of
+    resolution so sampling rates down to ~6e-8 stay expressible."""
+    h = F.md5(F.concat(col.cast("string"), F.lit("|" + salt)))
+    v = F.lit(0)
+    for i in range(6):
+        v = v * 16 + _hex_val(F.substring(h, i + 1, 1))
+    return v
+
+
+def weighted_sample(df: DataFrame, weight_p24: Column,
+                    id_col: str = "doc_id", salt: str = "ws") -> DataFrame:
+    """Deterministic weighted Bernoulli sampling: keep a row iff its
+    md5-uniform draw u24 < `weight_p24` (the keep probability in parts
+    per 2^24, an INTEGER column — quality-weighted corpus downsampling
+    without float thresholds that could diverge across engines).
+
+    Like hash_split, membership is a pure function of (id, salt): stable
+    across runs/engines/table versions, new rows sample independently
+    without disturbing old ones, and re-running with a larger weight is a
+    SUPERSET of the smaller run (u24 is fixed per id, so raising the
+    threshold only adds rows — the property that makes staged corpus
+    scale-ups reproducible). Pure column expressions, no RNG state, no
+    shuffle — a map-only filter at any scale."""
+    u = md5_uniform_p24(F.col(id_col), salt)
+    return (
+        df.withColumn("u24", u.cast("long"))
+        .filter(F.col("u24") < F.least(weight_p24.cast("long"),
+                                       F.lit(1 << 24)))
+    )

@@ -393,23 +393,39 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding", id_col: str = "vec_id",
 ) -> DataFrame:
     """All pairs (a < b) with cosine >= threshold, found via same-table
-    bucket self-join + exact cosine verification. Only bucket collisions are
-    ever compared."""
+    bucket self-join + exact cosine verification. Only bucket collisions
+    are ever compared.
+
+    Shuffle discipline (r4): the bucket self-join and the pair dedup move
+    ONLY (id, bucket) longs — ids fan out x`tables`, but the `dim`-float
+    embedding arrays never enter that exchange. Vectors join back by id
+    (each shuffled once, not x tables) onto the DEDUPED candidate pairs,
+    so the expensive cosine runs exactly once per distinct candidate
+    pair. At 10^10 x 1024-dim the difference is ~tables x vec_bytes of
+    exchange volume on the fattest stage."""
     sigs = lsh_signatures(df, dim, bits, tables, vec_col, id_col)
+    sigs = sigs.persist()  # branch point: bucket explode + two vec joins
     buckets = sigs.select(
-        F.col(id_col), F.col(vec_col),
+        F.col(id_col).alias("_id"),
         F.explode(
             F.transform(F.col("sig"), lambda s, i: s * tables + i.cast("long"))
         ).alias("bucket"),
     )
-    a = buckets.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"), "bucket")
-    b = buckets.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"), "bucket")
-    sim = F.round(cosine(F.col("_va"), F.col("_vb")), 6)
-    return (
+    a = buckets.select(F.col("_id").alias("a"), "bucket")
+    b = buckets.select(F.col("_id").alias("b"), "bucket")
+    pairs = (
         a.join(b, "bucket")
         .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
         .dropDuplicates(["a", "b"])  # a pair may collide in several buckets
+    )
+    va = sigs.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
+    vb = sigs.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
+    sim = F.round(cosine(F.col("_va"), F.col("_vb")), 6)
+    out = (
+        pairs.join(va, "a").join(vb, "b")
         .withColumn("sim", sim)
         .filter(F.col("sim") >= threshold)
         .select("a", "b", "sim")
     )
+    return out

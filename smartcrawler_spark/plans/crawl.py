@@ -93,6 +93,11 @@ class EngineConfig:
     # exhaustion, the reference-parity mode; enabled crawls run until
     # max_rounds (the pool never drains).
     refresh_max_per_round: int | None = None  # cap refresh load per round
+    adaptive_budget: bool = False
+    # ^ failure-aware politeness: recompute per-host budgets each round
+    # from observed fetch outcomes (operators.frontier.adaptive_budgets)
+    # — hosts failing >= half their attempts get budget halved (floor 1).
+    # Default off = reference-parity static budgets.
     table_backend: str = "parquet"  # snapshot substrate: "parquet" (the
                                     # manifest analog, always available) or
                                     # "iceberg" (real catalog; requires the
@@ -412,8 +417,15 @@ class CrawlJob:
             )
             pool = pool.unionByName(due.select(*sched_cols))
 
+        budgets = self.budgets
+        if self.cfg.adaptive_budget:
+            # backoff: per-host budgets derived from this frontier's
+            # observed fetch outcomes (one agg + broadcast dim join)
+            budgets = FR.adaptive_budgets(
+                frontier, self.budgets, self.cfg.default_budget
+            )
         scheduled = FR.politeness_topk(
-            pool, self.budgets, self.cfg.default_budget, self.cfg.salt_buckets
+            pool, budgets, self.cfg.default_budget, self.cfg.salt_buckets
         ).select(*sched_cols)
         scheduled.cache()
         n_sched = scheduled.count()

@@ -176,3 +176,36 @@ def test_host_report_rollup(spark):
            for r in host_report(fr).collect()}
     assert got == {"a.com": (4, 2, 1, 1, 20000 // 3),
                    "b.com": (1, 0, 0, 1, 0)}
+
+
+def test_adaptive_budgets_matches_hand_oracle(spark):
+    import smartcrawler_spark.operators.frontier as FRmod
+
+    fr_rows = [
+        # dying.com: 3 failed / 4 attempted -> halved
+        ("dying.com", "FAILED"), ("dying.com", "FAILED"),
+        ("dying.com", "FAILED"), ("dying.com", "SUCCESS"),
+        # healthy.com: 1 failed / 4 attempted -> untouched
+        ("healthy.com", "FAILED"), ("healthy.com", "SUCCESS"),
+        ("healthy.com", "SUCCESS"), ("healthy.com", "SUCCESS"),
+        # pending-only host: no attempts -> untouched (configured budget)
+        ("idle.com", "PENDING"),
+        # unconfigured host with failures -> default halved
+        ("unknown.com", "FAILED"),
+    ]
+    fr = spark.createDataFrame(fr_rows, "host string, status string")
+    budgets = spark.createDataFrame(
+        [("dying.com", 6), ("healthy.com", 6), ("idle.com", 6),
+         ("ghost.com", 3)],  # configured but never crawled
+        "host string, budget int")
+    got = {r["host"]: r["budget"]
+           for r in FRmod.adaptive_budgets(fr, budgets, default_budget=4)
+           .collect()}
+    assert got == {"dying.com": 3, "healthy.com": 6, "idle.com": 6,
+                   "unknown.com": 2, "ghost.com": 3}
+    # min_budget floor: budget 1 halves to 0 -> clamped
+    tiny = spark.createDataFrame([("dying.com", 1)], "host string, budget int")
+    got2 = {r["host"]: r["budget"]
+            for r in FRmod.adaptive_budgets(fr, tiny, default_budget=1)
+            .collect()}
+    assert got2["dying.com"] == 1

@@ -81,3 +81,38 @@ def test_token_budget_pack_priority_override(spark):
     got = [r["doc_id"] for r in
            S.token_budget_pack(df, budget=3, priority=pri).collect()]
     assert got == [1]
+
+
+def test_weighted_sample_matches_python_oracle(spark):
+    """Membership = pure function of (id, salt): md5-uniform 24-bit draw
+    vs an integer threshold, independently recomputed in python."""
+    import hashlib
+
+    rows = [(i, (i * 37) % 300) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars int")
+    w = F.least(F.col("n_chars") * 100_000, F.lit(1 << 24))
+    got = {r["doc_id"]: r["u24"]
+           for r in S.weighted_sample(df, w).select("doc_id", "u24").collect()}
+
+    def u24(i):
+        return int(hashlib.md5(f"{i}|ws".encode()).hexdigest()[:6], 16)
+
+    want = {i: u24(i) for i, n in rows
+            if u24(i) < min(n * 100_000, 1 << 24)}
+    assert got == want
+    assert 0 < len(got) < len(rows)  # neither degenerate extreme
+
+
+def test_weighted_sample_monotone_superset(spark):
+    """Raising the keep probability only ADDS rows (u24 is fixed per id),
+    the property that makes staged corpus scale-ups reproducible."""
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    small = {r["doc_id"] for r in
+             S.weighted_sample(df, F.lit(1 << 22)).collect()}
+    big = {r["doc_id"] for r in
+           S.weighted_sample(df, F.lit(1 << 23)).collect()}
+    assert small < big
+    # a weight of 2^24 keeps everything; 0 keeps nothing
+    assert {r["doc_id"] for r in
+            S.weighted_sample(df, F.lit(1 << 24)).collect()} == set(range(300))
+    assert S.weighted_sample(df, F.lit(0)).count() == 0
