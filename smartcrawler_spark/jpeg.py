@@ -210,6 +210,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray | None:
     progressive = False
     prog = None  # _ProgressiveState once the first SOF2 scan begins
     restart_interval = 0
+    adobe_transform = None  # APP14: 0=CMYK/RGB, 1=YCbCr, 2=YCCK
     pos = 2
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -262,6 +263,8 @@ def _decode_jpeg(payload: bytes) -> np.ndarray | None:
                 i += 17 + n
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xEE and seg[:5] == b"Adobe":  # APP14 color transform
+            adobe_transform = seg[11] if len(seg) >= 12 else None
         elif marker == 0xDA:  # SOS -> entropy-coded data follows
             if frame is None:
                 return None
@@ -288,15 +291,16 @@ def _decode_jpeg(payload: bytes) -> np.ndarray | None:
             if ns != len(frame[2]):
                 return None  # non-interleaved multi-scan: outside baseline profile here
             return _decode_scan(payload, pos + seg_len, frame, scan, qt,
-                                huff_dc, huff_ac, restart_interval)
+                                huff_dc, huff_ac, restart_interval,
+                                adobe_transform)
         pos = nxt
     if prog is not None:
-        return prog.reconstruct(qt)
+        return prog.reconstruct(qt, adobe_transform)
     return None
 
 
 def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac,
-                 restart_interval):
+                 restart_interval, adobe_transform=None):
     h, w, comps = frame
     if h == 0 or w == 0:
         return None
@@ -368,12 +372,26 @@ def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac,
                         x0 = (mx * hs + bx) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = spatial
             n_mcu += 1
-    return _planes_to_rgb(comps, planes, h, w, hmax, vmax)
+    return _planes_to_rgb(comps, planes, h, w, hmax, vmax, adobe_transform)
 
 
-def _planes_to_rgb(comps, planes, h, w, hmax, vmax) -> np.ndarray | None:
+def _ycc_to_rgb(out: np.ndarray) -> np.ndarray:
+    y, cb, cr = out[:, :, 0], out[:, :, 1] - 128.0, out[:, :, 2] - 128.0
+    return np.stack([
+        y + 1.402 * cr,
+        y - 0.344136 * cb - 0.714136 * cr,
+        y + 1.772 * cb,
+    ], axis=2)
+
+
+def _planes_to_rgb(comps, planes, h, w, hmax, vmax,
+                   adobe_transform=None) -> np.ndarray | None:
     """Shared decode tail: upsample each component plane to full
-    (mcu-padded) resolution, crop, and color-convert."""
+    (mcu-padded) resolution, crop, and color-convert. 4-component frames
+    follow the Adobe convention (APP14): samples are stored INVERTED
+    (0 = full ink), transform 2 = YCCK (YCC-coded CMY + pass-through K),
+    otherwise plain inverted CMYK; RGB = channel * K / 255 on the
+    inverted values (the libjpeg/PIL-compatible mapping)."""
     full = []
     for (cid, hs, vs, _), plane in zip(comps, planes):
         up = np.repeat(np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1)
@@ -382,12 +400,12 @@ def _planes_to_rgb(comps, planes, h, w, hmax, vmax) -> np.ndarray | None:
     if out.shape[2] == 1:
         rgb = np.repeat(out, 3, axis=2)
     elif out.shape[2] == 3:
-        y, cb, cr = out[:, :, 0], out[:, :, 1] - 128.0, out[:, :, 2] - 128.0
-        rgb = np.stack([
-            y + 1.402 * cr,
-            y - 0.344136 * cb - 0.714136 * cr,
-            y + 1.772 * cb,
-        ], axis=2)
+        rgb = _ycc_to_rgb(out)
+    elif out.shape[2] == 4:
+        cmy = (_ycc_to_rgb(out[:, :, :3]) if adobe_transform == 2
+               else out[:, :, :3])
+        k = np.clip(out[:, :, 3], 0.0, 255.0)
+        rgb = np.clip(cmy, 0.0, 255.0) * k[:, :, None] / 255.0
     else:
         return None
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
@@ -584,7 +602,7 @@ class _ProgressiveState:
 
     # -- output --------------------------------------------------------------
 
-    def reconstruct(self, qt) -> np.ndarray | None:
+    def reconstruct(self, qt, adobe_transform=None) -> np.ndarray | None:
         planes = []
         for (cid, hs, vs, tq_id), coef in zip(self.comps, self.coef):
             q_zz = qt[tq_id]  # zigzag order, like the coefficients
@@ -596,7 +614,7 @@ class _ProgressiveState:
             plane = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
             planes.append(plane)
         return _planes_to_rgb(self.comps, planes, self.h, self.w,
-                              self.hmax, self.vmax)
+                              self.hmax, self.vmax, adobe_transform)
 
 
 # ---------------------------------------------------------------------------
@@ -690,8 +708,11 @@ def _prepare_encode(arr: np.ndarray, quality: int, subsample: bool,
     (h, w, ncomp, samp, planes, q_l, q_c, hmax, vmax, mcux, mcuy)."""
     arr = np.asarray(arr, dtype=np.float64)
     gray = arr.ndim == 2
+    cmyk = arr.ndim == 3 and arr.shape[2] == 4
     if gray:
         ycc = arr[:, :, None]
+    elif cmyk:
+        ycc = arr  # Adobe-inverted CMYK channels pass through untransformed
     else:
         r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
         y = 0.299 * r + 0.587 * g + 0.114 * b
@@ -703,8 +724,8 @@ def _prepare_encode(arr: np.ndarray, quality: int, subsample: bool,
         q_l = q_c = np.asarray(quant_override, dtype=np.int64)
     else:
         q_l, q_c = _quality_tables(quality)
-    ncomp = 1 if gray else 3
-    samp = [(2, 2), (1, 1), (1, 1)] if (subsample and not gray) \
+    ncomp = ycc.shape[2]
+    samp = [(2, 2), (1, 1), (1, 1)] if (subsample and ncomp == 3) \
         else [(1, 1)] * ncomp
     hmax = max(s[0] for s in samp[:ncomp])
     vmax = max(s[1] for s in samp[:ncomp])
@@ -749,8 +770,12 @@ def encode_jpeg_baseline(arr: np.ndarray, quality: int = 85,
         out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body)
 
     seg(0xDB, bytes([0]) + bytes(int(x) for x in q_l))
-    if ncomp == 3:
+    if ncomp >= 3:
         seg(0xDB, bytes([1]) + bytes(int(x) for x in q_c))
+    if ncomp == 4:
+        # APP14 Adobe marker, transform 0 = (inverted) CMYK — what tells
+        # decoders the 4 channels are ink planes, not YCCK
+        seg(0xEE, b"Adobe" + struct.pack(">HHHB", 100, 0, 0, 0))
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
         hs, vs = samp[ci]
@@ -758,7 +783,7 @@ def encode_jpeg_baseline(arr: np.ndarray, quality: int = 85,
     seg(0xC0, sof)
     for tc, tabs in ((0, (_STD_DC_LUMA, _STD_DC_CHROMA)),
                      (1, (_STD_AC_LUMA, _STD_AC_CHROMA))):
-        for th in range(2 if ncomp == 3 else 1):
+        for th in range(2 if ncomp >= 3 else 1):
             bits, vals = tabs[th]
             seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
     if restart_interval:
@@ -1001,14 +1026,16 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 85,
         out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body)
 
     seg(0xDB, bytes([0]) + bytes(int(x) for x in q_l))
-    if ncomp == 3:
+    if ncomp >= 3:
         seg(0xDB, bytes([1]) + bytes(int(x) for x in q_c))
+    if ncomp == 4:
+        seg(0xEE, b"Adobe" + struct.pack(">HHHB", 100, 0, 0, 0))
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
         hs, vs = samp[ci]
         sof += bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
     seg(0xC2, sof)  # SOF2: progressive DCT, Huffman
-    for th in range(2 if ncomp == 3 else 1):
+    for th in range(2 if ncomp >= 3 else 1):
         bits, vals = (_STD_DC_LUMA, _STD_DC_CHROMA)[th]
         seg(0xC4, bytes([th]) + bytes(bits) + bytes(vals))
     bits, vals = _PROG_AC_TABLE

@@ -9,6 +9,7 @@ synthetic corpus (no network in the sandbox)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from smartcrawler_spark.oracle import CrawlConfig, crawl
 from smartcrawler_spark.plans.crawl import CrawlJob, EngineConfig
@@ -324,3 +325,72 @@ def test_rfc_robots_mode_honors_allow_carveout(spark, tmp_path):
     rfc2 = _run_engine(spark, d, m["seeds"], tmp_path / "rfc2",
                        _engine_cfg(raw_artifacts=True, rfc_robots=True))
     assert _log_tuples(rfc) == _log_tuples(rfc2)
+
+
+def test_adaptive_budget_noop_when_healthy_throttles_when_failing(
+        spark, corpus, tmp_path):
+    """EngineConfig.adaptive_budget: with a healthy corpus the failure
+    ratio never reaches 1/2, so the adaptive run must be byte-identical
+    to the static run; with one host's documents removed (every fetch of
+    it FAILS), the adaptive run halves that host's schedule from the
+    first post-failure round while the static run keeps burning the full
+    budget on it."""
+    import shutil
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    d, manifest = corpus
+    static = _run_engine(spark, d, manifest["seeds"], tmp_path / "s")
+    adaptive = _run_engine(spark, d, manifest["seeds"], tmp_path / "a",
+                           _engine_cfg(adaptive_budget=True))
+    # precondition: the standard corpus really is healthy
+    fr = static.frontier()
+    per_host = {r["host"]: (r["nf"], r["att"]) for r in
+                fr.filter(fr.status.isin("SUCCESS", "FAILED"))
+                .groupBy("host")
+                .agg(F.sum(F.when(fr.status == "FAILED", 1).otherwise(0))
+                     .alias("nf"), F.count("*").alias("att")).collect()}
+    assert all(2 * nf < att for nf, att in per_host.values()), per_host
+    assert _log_tuples(adaptive) == _log_tuples(static)
+    assert _frontier_map(adaptive) == _frontier_map(static)
+
+    # break one host: drop all its documents -> every fetch FAILED; seed a
+    # pool of its URLs so the scheduler keeps having victim work to burn
+    # (link discovery is dead once fetches fail, and the organic corpus
+    # only cross-links a handful of victim URLs from other hosts)
+    victim = "site001.example.com"
+    broken = str(tmp_path / "broken_corpus")
+    shutil.copytree(d, broken)
+    t = pq.read_table(f"{broken}/documents.parquet")
+    pq.write_table(t.filter(pc.not_equal(t["host"], victim)),
+                   f"{broken}/documents.parquet")
+    seeds = list(manifest["seeds"]) + [
+        f"https://{victim}/news/extra{i}" for i in range(14)]
+
+    s2 = _run_engine(spark, broken, seeds, tmp_path / "s2")
+    a2 = _run_engine(spark, broken, seeds, tmp_path / "a2",
+                     _engine_cfg(adaptive_budget=True))
+
+    def victim_sched(job):
+        return {r["round"]: r["n"] for r in
+                job.crawl_log()
+                .filter(F.col("url_canon").contains(victim))
+                .groupBy("round").agg(F.count("*").alias("n")).collect()}
+
+    vs, va = victim_sched(s2), victim_sched(a2)
+    assert vs, "victim host never scheduled — fixture broken"
+    # round 1 has no fetch history: both runs schedule the full budget
+    assert va.get(1) == vs.get(1)
+    # once failures are on the books, adaptive halves the victim's budget
+    later_static = [n for r, n in vs.items() if r > 1]
+    later_adaptive = [n for r, n in va.items() if r > 1]
+    assert later_static and max(later_static) > 2
+    assert later_adaptive and max(later_adaptive) <= 2
+    # healthy hosts are untouched: identical schedules outside the victim
+    def other_log(job):
+        return [(r["round"], r["url_canon"]) for r in
+                job.crawl_log().filter(~F.col("url_canon").contains(victim))
+                .orderBy("round", "seq").collect()]
+
+    assert {u for _, u in other_log(a2)} == {u for _, u in other_log(s2)}

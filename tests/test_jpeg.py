@@ -287,3 +287,75 @@ def test_jpeg_flows_through_real_pipeline(spark):
              for r in MM.extract_features(assets, decoder="real").collect()}
     # near-lossless JPEG of the same pixels: histogram features are close
     assert float(np.abs(feats["a.jpg"] - feats["b.png"]).max()) < 0.02
+
+
+# ---------------------------------------------------------------------------
+# Adobe 4-component: inverted CMYK + YCCK
+# ---------------------------------------------------------------------------
+
+
+def _cmyk_image(h=24, w=32):
+    # smooth inverted-CMYK planes (Adobe convention: 0 = full ink)
+    yy, xx = np.mgrid[0:h, 0:w]
+    c = 128 + 90 * np.sin(xx / 7.0)
+    m = 128 + 80 * np.cos(yy / 9.0)
+    y = 128 + 70 * np.sin((xx + yy) / 11.0)
+    k = 200 + 40 * np.cos(xx / 5.0)
+    return np.clip(np.stack([c, m, y, k], axis=2), 0, 255).astype(np.uint8)
+
+
+def _cmyk_to_rgb_oracle(cmyk):
+    # libjpeg/PIL-compatible mapping on Adobe-inverted values
+    f = cmyk.astype(np.float64)
+    return np.clip(np.round(f[:, :, :3] * f[:, :, 3:4] / 255.0),
+                   0, 255).astype(np.uint8)
+
+
+def test_cmyk_jpeg_roundtrip_matches_oracle():
+    img = _cmyk_image()
+    ones = np.ones(64, dtype=np.int64)
+    enc = encode_jpeg_baseline(img, quant_override=ones)
+    assert b"Adobe" in enc
+    dec = decode_jpeg(enc)
+    assert dec is not None and dec.shape == (24, 32, 3)
+    want = _cmyk_to_rgb_oracle(img)
+    # pre-conversion DCT error is <= 2 per channel; the k-multiply can
+    # only shrink it, rounding adds <= 1
+    assert np.abs(dec.astype(int) - want.astype(int)).max() <= 4
+
+
+def test_ycck_jpeg_decodes_via_transform_2():
+    img = _cmyk_image()
+    f = img.astype(np.float64)
+    c, m, y = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+    # forward YCC over the (inverted) CMY planes, K passes through
+    ycck = np.stack([
+        0.299 * c + 0.587 * m + 0.114 * y,
+        -0.168736 * c - 0.331264 * m + 0.5 * y + 128.0,
+        0.5 * c - 0.418688 * m - 0.081312 * y + 128.0,
+        f[:, :, 3],
+    ], axis=2)
+    enc = bytearray(encode_jpeg_baseline(
+        np.clip(ycck, 0, 255).astype(np.uint8),
+        quant_override=np.ones(64, dtype=np.int64)))
+    i = enc.find(b"Adobe")
+    assert enc[i + 11] == 0  # encoder wrote transform 0
+    enc[i + 11] = 2          # declare YCCK
+    dec = decode_jpeg(bytes(enc))
+    assert dec is not None
+    want = _cmyk_to_rgb_oracle(img)
+    # forward-YCC quantized to uint8 + DCT + inverse-YCC: allow a wider
+    # but still tight band
+    err = np.abs(dec.astype(int) - want.astype(int))
+    assert err.max() <= 8 and err.mean() <= 2.0
+
+
+def test_cmyk_progressive_matches_cmyk_baseline():
+    from smartcrawler_spark.jpeg import encode_jpeg_progressive
+
+    img = _cmyk_image()
+    for kwargs in ({"quality": 85},
+                   {"quant_override": np.ones(64, dtype=np.int64)}):
+        base = decode_jpeg(encode_jpeg_baseline(img, **kwargs))
+        prog = decode_jpeg(encode_jpeg_progressive(img, **kwargs))
+        assert prog is not None and (prog == base).all()
