@@ -314,11 +314,88 @@ def _decode_png(payload: bytes) -> np.ndarray | None:
 # Compressed audio (MP3/OGG/AAC) stays at the declared ffmpeg seam.
 
 
+# G.711 companding (ITU-T G.711 tables, computed from the spec formulas)
+# and IMA/DVI4 ADPCM (IMA "Recommended Practices" rev 3.00) — the telephony
+# and legacy-web WAV formats beyond plain PCM.
+
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767], dtype=np.int64)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def _mulaw_decode_table() -> np.ndarray:
+    b = np.arange(256, dtype=np.int64) ^ 0xFF  # stored complemented
+    sign = np.where(b & 0x80, -1, 1)
+    exp = (b >> 4) & 0x07
+    mant = b & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return (sign * mag).astype(np.float64) / 32768.0
+
+
+def _alaw_decode_table() -> np.ndarray:
+    b = np.arange(256, dtype=np.int64) ^ 0x55  # even bits inverted
+    sign = np.where(b & 0x80, 1, -1)  # A-law MSB set = positive (G.711)
+    exp = (b >> 4) & 0x07
+    mant = b & 0x0F
+    mag = np.where(exp > 0, ((mant << 4) + 0x108) << (exp - 1),
+                   (mant << 4) + 8)
+    return (sign * mag).astype(np.float64) / 32768.0
+
+
+def _ima_adpcm_decode(data: bytes, n_ch: int, block_align: int) -> np.ndarray:
+    """IMA ADPCM 'data' chunk -> (n_samples, n_ch) float64 in [-1, 1].
+    WAV layout: per block, a 4-byte header per channel (predictor int16,
+    step index u8, reserved u8), then channel-interleaved groups of 4
+    bytes (8 nibbles) per channel."""
+    out = [[] for _ in range(n_ch)]
+    for bstart in range(0, len(data) - len(data) % block_align, block_align):
+        block = data[bstart:bstart + block_align]
+        pred = [0] * n_ch
+        idx = [0] * n_ch
+        for ch in range(n_ch):
+            p, i = struct.unpack_from("<hBx", block, ch * 4)
+            pred[ch] = p
+            idx[ch] = min(max(int(i), 0), 88)
+            out[ch].append(float(p))
+        pos = 4 * n_ch
+        while pos + 4 * n_ch <= len(block):
+            for ch in range(n_ch):
+                word = block[pos + 4 * ch:pos + 4 * ch + 4]
+                p, i = pred[ch], idx[ch]
+                buf = out[ch]
+                for byte in word:
+                    for nib in (byte & 0x0F, byte >> 4):
+                        step = int(_IMA_STEPS[i])
+                        diff = step >> 3
+                        if nib & 1:
+                            diff += step >> 2
+                        if nib & 2:
+                            diff += step >> 1
+                        if nib & 4:
+                            diff += step
+                        p = p - diff if nib & 8 else p + diff
+                        p = min(32767, max(-32768, p))
+                        i = min(88, max(0, i + int(_IMA_INDEX[nib & 7])))
+                        buf.append(float(p))
+                pred[ch], idx[ch] = p, i
+            pos += 4 * n_ch
+    n = min(len(c) for c in out) if out else 0
+    return np.stack([np.asarray(c[:n]) for c in out], axis=1) / 32768.0
+
+
 def decode_audio(payload: bytes):
     """RIFF/WAVE bytes -> (mono float64 samples in [-1, 1], sample_rate).
-    Supports PCM (format 1) at 8/16/24/32 bits and IEEE float (format 3)
-    at 32/64 bits, any channel count (downmixed by mean). Returns None for
-    anything else (MP3/OGG/AAC need a real audio stack)."""
+    Supports PCM (format 1) at 8/16/24/32 bits, IEEE float (format 3) at
+    32/64 bits, A-law (6) / mu-law (7) G.711 companding, IMA ADPCM (0x11),
+    and WAVE_FORMAT_EXTENSIBLE (0xFFFE, resolved via the SubFormat GUID);
+    any channel count (downmixed by mean). Returns None for anything else
+    (MP3/OGG/AAC need a real audio stack)."""
     import struct
 
     try:
@@ -327,6 +404,7 @@ def decode_audio(payload: bytes):
         pos = 12
         fmt = None
         data = None
+        fact_frames = None
         while pos + 8 <= len(payload):
             cid = payload[pos:pos + 4]
             (size,) = struct.unpack_from("<I", payload, pos + 4)
@@ -336,13 +414,31 @@ def decode_audio(payload: bytes):
                 fmt = body
             elif cid == b"data":
                 data = body
+            elif cid == b"fact" and len(body) >= 4:
+                (fact_frames,) = struct.unpack_from("<I", body, 0)
         if fmt is None or data is None or len(fmt) < 16:
             return None
-        audio_fmt, n_ch, rate, _br, _ba, bits = struct.unpack_from(
+        audio_fmt, n_ch, rate, _br, block_align, bits = struct.unpack_from(
             "<HHIIHH", fmt, 0)
         if n_ch == 0 or rate == 0:
             return None
-        if audio_fmt == 1:  # integer PCM
+        if audio_fmt == 0xFFFE and len(fmt) >= 40:
+            # EXTENSIBLE: actual format is the first 2 bytes of SubFormat
+            (audio_fmt,) = struct.unpack_from("<H", fmt, 24)
+        if audio_fmt == 7:  # G.711 mu-law
+            x = _mulaw_decode_table()[np.frombuffer(data, np.uint8)]
+        elif audio_fmt == 6:  # G.711 A-law
+            x = _alaw_decode_table()[np.frombuffer(data, np.uint8)]
+        elif audio_fmt == 0x11:  # IMA/DVI4 ADPCM
+            if block_align < 4 * n_ch:
+                return None
+            planes = _ima_adpcm_decode(data, n_ch, block_align)
+            if planes.size == 0:
+                return None
+            if fact_frames is not None:  # drop final-block padding
+                planes = planes[:fact_frames]
+            return planes.mean(axis=1), int(rate)
+        elif audio_fmt == 1:  # integer PCM
             if bits == 8:  # unsigned
                 x = (np.frombuffer(data, np.uint8).astype(np.float64)
                      - 128.0) / 128.0
@@ -403,6 +499,86 @@ def encode_wav(samples: np.ndarray, rate: int, bits: int = 16,
     body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", len(data)) + data)
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def _wav_container(fmt_body: bytes, data: bytes, fact_frames: int | None = None
+                   ) -> bytes:
+    body = b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+    if fact_frames is not None:
+        body += b"fact" + struct.pack("<II", 4, fact_frames)
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def encode_wav_g711(samples: np.ndarray, rate: int, law: str = "mu") -> bytes:
+    """Mono float samples in [-1, 1] -> G.711 companded WAV (format 7
+    mu-law / 6 A-law). Encodes by nearest representable level (the optimal
+    companding quantizer), so decode(encode(x)) is within half the local
+    step of x — for tests and corpus synthesis."""
+    table = _mulaw_decode_table() if law == "mu" else _alaw_decode_table()
+    order = np.argsort(table, kind="stable")
+    levels = table[order]
+    x = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pos = np.clip(np.searchsorted(levels, x), 1, 255)
+    nearer_lo = (x - levels[pos - 1]) <= (levels[pos] - x)
+    codes = order[np.where(nearer_lo, pos - 1, pos)].astype(np.uint8)
+    fmt = struct.pack("<HHIIHH", 7 if law == "mu" else 6, 1, rate, rate, 1, 8)
+    return _wav_container(fmt, codes.tobytes(), fact_frames=len(codes))
+
+
+def encode_wav_ima_adpcm(samples: np.ndarray, rate: int,
+                         groups_per_block: int = 63) -> bytes:
+    """Mono float samples in [-1, 1] -> IMA ADPCM WAV (format 0x11),
+    standard encoder (IMA rev 3.00 quantizer) — for tests and corpus
+    synthesis. Each block = 4-byte header + groups_per_block 4-byte
+    nibble groups, i.e. 1 + 8*groups_per_block samples."""
+    pcm = np.clip(np.round(np.clip(np.asarray(samples, np.float64), -1, 1)
+                           * 32768.0), -32768, 32767).astype(np.int64)
+    spb = 1 + 8 * groups_per_block
+    block_align = 4 + 4 * groups_per_block
+    if len(pcm) == 0:
+        pcm = np.zeros(1, dtype=np.int64)
+    n_real = len(pcm)
+    pad = (-len(pcm)) % spb or 0
+    if len(pcm) % spb:
+        pcm = np.concatenate([pcm, np.full(pad, pcm[-1])])
+    out = bytearray()
+    idx = 0
+    for b0 in range(0, len(pcm), spb):
+        block = pcm[b0:b0 + spb]
+        pred = int(block[0])
+        out += struct.pack("<hBx", pred, idx)
+        nibs = []
+        for s in block[1:]:
+            step = int(_IMA_STEPS[idx])
+            diff = int(s) - pred
+            nib = 8 if diff < 0 else 0
+            diff = abs(diff)
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            dq = step >> 3
+            if nib & 4:
+                dq += step
+            if nib & 2:
+                dq += step >> 1
+            if nib & 1:
+                dq += step >> 2
+            pred = min(32767, max(-32768, pred - dq if nib & 8 else pred + dq))
+            idx = min(88, max(0, idx + int(_IMA_INDEX[nib & 7])))
+            nibs.append(nib)
+        for i in range(0, len(nibs), 2):
+            out.append(nibs[i] | (nibs[i + 1] << 4))
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, rate,
+                      rate * block_align // spb, block_align, 4, 2, spb)
+    return _wav_container(fmt, bytes(out), fact_frames=n_real)
 
 
 def audio_features_from_samples(mono: np.ndarray, rate: int,

