@@ -660,6 +660,23 @@ def q_dedup_exact(spark, sf_dir):
     return DD.exact_dedup(docs)
 
 
+def q_line_dedup(spark, sf_dir):
+    """C4-style cross-corpus line dedup: first occurrence of every
+    eligible (>=10 trimmed chars) line survives, later copies are cut
+    and documents reassembled. Text is re-lined at sentence boundaries
+    first (same trick as c4_filters) so the corpus has real lines."""
+    docs = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+            .withColumn("text",
+                        F.regexp_replace(F.col("text"), r"\. ", ".\n")))
+    out = DD.line_dedup_corpus(docs)
+    return out.select(
+        "doc_id",
+        F.md5("text_deduped").alias("deduped_md5"),
+        "n_lines",
+        "n_lines_kept",
+    )
+
+
 def q_dedup_minhash(spark, sf_dir):
     """MinHash-LSH near-dup dedup survivors (blake2b production kernel).
     Gated against golden parquet from tools/gen_golden.py (independent
@@ -915,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_distinct": q_explode_distinct,
         "text_clean": q_text_clean,
         "dedup_exact": q_dedup_exact,
+        "line_dedup": q_line_dedup,
         "dedup_minhash": q_dedup_minhash,
         "minhash_lsh_portable": q_minhash_lsh_portable,
         "dedup_simhash": q_dedup_simhash,
@@ -1382,6 +1400,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents
             GROUP BY md5(lower({_CLEAN.format(col='text')}))
+        """,
+        "line_dedup": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_replace(text, '\. ', '.' || chr(10), 'g') AS t
+              FROM documents WHERE doc_id < 500
+            ), sp AS (
+              SELECT doc_id, string_split(t, chr(10)) AS l FROM d
+            ), ln AS (
+              SELECT doc_id,
+                     unnest(l) AS line,
+                     unnest(range(len(l))) AS pos
+              FROM sp
+            ), f AS (
+              SELECT doc_id, pos, line,
+                     len(trim(line)) >= 10 AS elig,
+                     row_number() OVER (
+                       PARTITION BY CASE WHEN len(trim(line)) >= 10
+                                         THEN line END
+                       ORDER BY doc_id, pos) AS rn
+              FROM ln
+            ), k AS (
+              SELECT doc_id, pos, line,
+                     (NOT elig) OR rn = 1 AS keep
+              FROM f
+            )
+            SELECT doc_id,
+                   md5(coalesce(string_agg(CASE WHEN keep THEN line END,
+                                           chr(10) ORDER BY pos), ''))
+                     AS deduped_md5,
+                   count(*) AS n_lines,
+                   count(*) FILTER (WHERE keep) AS n_lines_kept
+            FROM k GROUP BY doc_id
         """,
         # ---- golden-parquet gates for the 4 production (numpy/blake2b)
         # kernels: the expected outputs are computed by an INDEPENDENT

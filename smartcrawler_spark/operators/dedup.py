@@ -740,3 +740,73 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+
+
+def line_dedup_corpus(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", min_chars: int = 10
+                      ) -> DataFrame:
+    """C4-style cross-document line deduplication (Raffel et al. 2020
+    §2.2 applies it to three-sentence spans; line granularity is the
+    common production variant): every distinct line of >= `min_chars`
+    trimmed characters is kept only at its FIRST corpus occurrence
+    (lowest (doc_id, line_no)); all later occurrences are dropped and
+    the documents are reassembled without them. Shorter lines never
+    participate (they are formatting, not boilerplate evidence).
+
+    Returns (doc_id, text_deduped, n_lines, n_lines_kept).
+
+    Scale shape (100 TB): three shuffles, no windows over hot keys —
+      1. groupBy(line_hash) min((doc_id, pos)) over ELIGIBLE lines only;
+         map-side partial agg collapses boilerplate skew (the whole
+         point: hot lines are exactly the duplicated ones) before the
+         exchange, so the hot-key fan-in is one partial row per map task;
+      2. a shuffle join of lines against the firsts table — non-eligible
+         lines get a per-row synthetic key (never a single null/constant
+         hot key) and survive via the keep-flag, not the match;
+      3. groupBy(doc_id) reassembly (collect_list is bounded by document
+         size, which is bounded by the ingest contract).
+    The window-free shape matters: PARTITION BY line puts every copy of
+    a viral boilerplate line in one task; the aggregation form does not.
+    """
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    )
+    elig = F.length(F.trim(F.col("_line"))) >= min_chars
+    lines = lines.withColumn("_elig", elig).withColumn(
+        "_h",
+        F.when(elig, F.xxhash64("_line"))
+        # synthetic per-row key: joins even, can only false-match a real
+        # line hash on a 64-bit collision, and the keep rule ignores the
+        # match for non-eligible rows anyway
+        .otherwise(F.xxhash64("_id", "_pos", F.lit("short"))),
+    )
+    firsts = (
+        lines.filter("_elig")
+        .groupBy("_h")
+        .agg(F.min(F.struct(F.col("_id").alias("d"),
+                            F.col("_pos").alias("p"))).alias("_first"))
+    )
+    flagged = lines.join(firsts, "_h", "left").withColumn(
+        "_keep",
+        ~F.col("_elig")
+        | ((F.col("_id") == F.col("_first.d"))
+           & (F.col("_pos") == F.col("_first.p"))),
+    )
+    agg = flagged.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count(F.when(F.col("_keep"), 1)).alias("n_lines_kept"),
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("_keep"),
+                       F.struct(F.col("_pos").alias("pos"),
+                                F.col("_line").alias("line"))))
+        ).alias("_a"),
+    )
+    return agg.select(
+        F.col("_id").alias(id_col),
+        F.concat_ws("\n", F.expr("transform(_a, x -> x.line)"))
+        .alias("text_deduped"),
+        "n_lines",
+        "n_lines_kept",
+    )

@@ -428,3 +428,66 @@ def test_topk_ivf_portable_matches_python(spark, emb_df):
     ]
     assert got == want
     assert got[0] == (0, 0)
+
+
+# ---------------------------------------------------------------------------
+# C4-style cross-corpus line dedup
+# ---------------------------------------------------------------------------
+
+
+def _line_dedup_oracle(docs, min_chars=10):
+    """Independent pure-Python re-statement: first (doc_id, pos) per
+    eligible line wins; short lines always kept."""
+    seen = {}
+    order = []
+    for doc_id, text in sorted(docs):
+        for pos, line in enumerate(text.split("\n")):
+            order.append((doc_id, pos, line))
+    keep = set()
+    for doc_id, pos, line in sorted(order):
+        if len(line.strip()) < min_chars:
+            keep.add((doc_id, pos))
+        elif line not in seen:
+            seen[line] = (doc_id, pos)
+            keep.add((doc_id, pos))
+    out = {}
+    for doc_id, text in docs:
+        lines = text.split("\n")
+        kept = [l for p, l in enumerate(lines) if (doc_id, p) in keep]
+        out[doc_id] = ("\n".join(kept), len(lines), len(kept))
+    return out
+
+
+def test_line_dedup_corpus_matches_hand_oracle(spark):
+    boiler = "subscribe to our newsletter for updates"
+    legal = "all rights reserved by the example corporation"
+    docs = [
+        (1, f"unique opening line one\n{boiler}\nmore unique text here\nok"),
+        (2, f"{boiler}\nanother document body line\n{legal}"),
+        (3, f"{legal}\n{boiler}\nclosing remarks for doc three"),
+        (4, "short\nok\n-\n"),                      # all-short: untouched
+        (5, boiler),                                 # whole doc is boiler
+        (6, f"{boiler}\n{boiler}"),                  # intra-doc repeat
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text_deduped"], r["n_lines"], r["n_lines_kept"])
+           for r in DD.line_dedup_corpus(df).collect()}
+    want = _line_dedup_oracle(docs)
+    assert got == want
+    # the first corpus occurrence (doc 1) keeps the boilerplate...
+    assert boiler in got[1][0]
+    # ...every later copy loses it
+    assert boiler not in got[2][0] and boiler not in got[3][0]
+    assert got[5][0] == "" and got[6] == ("", 2, 0)
+    # short lines are never deduped even when repeated ("ok" in 1 and 4)
+    assert got[4] == ("short\nok\n-\n", 4, 4)
+
+
+def test_line_dedup_plan_is_window_free(spark):
+    df = spark.createDataFrame([(1, "aaaaaaaaaaaa\nbbbbbbbbbbbb")],
+                               "doc_id long, text string")
+    plan = DD.line_dedup_corpus(df)._jdf.queryExecution().executedPlan().toString()
+    # the scale contract: aggregation shapes (map-side partials), no
+    # window over the line key
+    assert "Window" not in plan
+    assert "partial" in plan.lower()
