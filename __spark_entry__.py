@@ -636,6 +636,59 @@ def q_sitemap_roundtrip(spark, sf_dir):
     return sitemap_urls_from_xml(xml, host_col="source", xml_col="sitemap_xml")
 
 
+def q_feed_entries(spark, sf_dir):
+    """RSS/Atom feed ingestion roundtrip: build one RSS feed (even
+    doc_ids) and one Atom feed (odd doc_ids) per source from document
+    URLs, parse entries back out with the engine's JVM regex extractor
+    (sources/feeds.py::feed_entries), and parse the published dates
+    (both RFC 822 and ISO 8601) to tz-proof epoch seconds. The oracle
+    computes the expected entries directly from `documents` — a true
+    independent roundtrip check."""
+    from smartcrawler_spark.sources.feeds import (feed_entries,
+                                                  feed_published_ts)
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    url = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit(".example.com/doc"), F.col("doc_id").cast("string"))
+    sec = F.lpad((F.col("doc_id") % 60).cast("string"), 2, "0")
+    day = F.lpad(((F.col("doc_id") % 27) + 1).cast("string"), 2, "0")
+    item = F.concat(
+        F.lit("<item><title>Doc "), F.col("doc_id").cast("string"),
+        F.lit("</title><link>"), url,
+        F.lit("</link><pubDate>Mon, 10 Aug 2026 12:00:"), sec,
+        F.lit(" GMT</pubDate></item>"))
+    entry = F.concat(
+        F.lit('<entry><title>Doc '), F.col("doc_id").cast("string"),
+        F.lit('</title><link rel="alternate" href="'), url,
+        F.lit('"/><updated>2026-08-'), day,
+        F.lit("T08:00:00Z</updated></entry>"))
+
+    def feed_xml(body, head, tail):
+        return F.concat(
+            F.lit(head),
+            F.concat_ws("", F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id",
+                                                     body.alias("e")))),
+                lambda s: s["e"])),
+            F.lit(tail))
+
+    rss = (docs.filter(F.col("doc_id") % 2 == 0).groupBy("source")
+           .agg(feed_xml(item, '<rss version="2.0"><channel>',
+                         "</channel></rss>").alias("feed_xml"))
+           .select(F.concat(F.col("source"), F.lit("-rss")).alias("host"),
+                   "feed_xml"))
+    atom = (docs.filter(F.col("doc_id") % 2 == 1).groupBy("source")
+            .agg(feed_xml(entry, '<feed xmlns="http://www.w3.org/2005/Atom">',
+                          "</feed>").alias("feed_xml"))
+            .select(F.concat(F.col("source"), F.lit("-atom")).alias("host"),
+                    "feed_xml"))
+    out = feed_entries(rss.unionByName(atom))
+    return out.select(
+        "host", "kind", "url", "published", "title",
+        F.unix_timestamp(feed_published_ts(F.col("published")))
+        .alias("published_epoch"))
+
+
 def q_explode_distinct(spark, sf_dir):
     """T4/D2/D3 — explode + distinct (link-set dedup shape)."""
     docs = _t(spark, sf_dir, "documents")
@@ -933,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_clean": q_text_clean,
         "dedup_exact": q_dedup_exact,
         "line_dedup": q_line_dedup,
+        "feed_entries": q_feed_entries,
         "dedup_minhash": q_dedup_minhash,
         "minhash_lsh_portable": q_minhash_lsh_portable,
         "dedup_simhash": q_dedup_simhash,
@@ -1400,6 +1454,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents
             GROUP BY md5(lower({_CLEAN.format(col='text')}))
+        """,
+        "feed_entries": r"""
+            WITH d AS (
+              SELECT doc_id, source,
+                     'https://' || source || '.example.com/doc' || doc_id
+                       AS url,
+                     lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') AS sec,
+                     lpad(CAST((doc_id % 27) + 1 AS VARCHAR), 2, '0') AS day
+              FROM documents WHERE doc_id < 400
+            )
+            SELECT source || '-rss' AS host, 'rss' AS kind, url,
+                   'Mon, 10 Aug 2026 12:00:' || sec || ' GMT' AS published,
+                   'Doc ' || doc_id AS title,
+                   CAST(epoch(TIMESTAMP '2026-08-10 12:00:00') + doc_id % 60
+                        AS BIGINT) AS published_epoch
+            FROM d WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT source || '-atom', 'atom', url,
+                   '2026-08-' || day || 'T08:00:00Z',
+                   'Doc ' || doc_id,
+                   CAST(epoch(CAST('2026-08-' || day || ' 08:00:00'
+                                   AS TIMESTAMP)) AS BIGINT)
+            FROM d WHERE doc_id % 2 = 1
         """,
         "line_dedup": r"""
             WITH d AS (

@@ -386,3 +386,108 @@ def test_boost_score_with_priority(spark):
     assert got == {"https://a.com/p1": 1.0 + 2.0 * 0.9,
                    "https://a.com/p2": 2.0 + 2.0 * 0.5,
                    "https://a.com/unlisted": 3.0}
+
+
+# ---------------------------------------------------------------------------
+# RSS / Atom feeds
+# ---------------------------------------------------------------------------
+
+
+_RSS = """<?xml version="1.0"?>
+<rss version="2.0"><channel>
+  <title>Example News</title>
+  <link>https://news.example.com/</link>
+  <item>
+    <title>First article</title>
+    <link> https://news.example.com/a1 </link>
+    <pubDate>Mon, 10 Aug 2026 12:00:00 GMT</pubDate>
+  </item>
+  <item>
+    <title>Second &amp; last</title>
+    <link>https://news.example.com/a2</link>
+    <pubDate>Tue, 11 Aug 2026 09:30:00 +0000</pubDate>
+  </item>
+  <item><title>no link, dropped</title></item>
+</channel></rss>"""
+
+_ATOM = """<?xml version="1.0"?>
+<feed xmlns="http://www.w3.org/2005/Atom">
+  <title>Example Blog</title>
+  <link href="https://blog.example.com/"/>
+  <entry>
+    <title>Post one</title>
+    <link rel="alternate" href="https://blog.example.com/p1"/>
+    <updated>2026-08-09T08:00:00Z</updated>
+  </entry>
+  <entry>
+    <title>Post two</title>
+    <link href="https://blog.example.com/p2"/>
+    <published>2026-08-12T23:59:59+02:00</published>
+  </entry>
+</feed>"""
+
+
+def test_feed_entries_rss_and_atom(spark):
+    from smartcrawler_spark.sources.feeds import feed_entries
+
+    df = spark.createDataFrame(
+        [("news.example.com", _RSS), ("blog.example.com", _ATOM),
+         ("junk.example.com", "<html>not a feed</html>"),
+         ("empty.example.com", "<rss version=\"2.0\"><channel/></rss>")],
+        "host string, feed_xml string")
+    rows = {(r["host"], r["url"]): (r["kind"], r["published"], r["title"])
+            for r in feed_entries(df).collect()}
+    assert rows == {
+        ("news.example.com", "https://news.example.com/a1"):
+            ("rss", "Mon, 10 Aug 2026 12:00:00 GMT", "First article"),
+        ("news.example.com", "https://news.example.com/a2"):
+            ("rss", "Tue, 11 Aug 2026 09:30:00 +0000", "Second &amp; last"),
+        ("blog.example.com", "https://blog.example.com/p1"):
+            ("atom", "2026-08-09T08:00:00Z", "Post one"),
+        ("blog.example.com", "https://blog.example.com/p2"):
+            ("atom", "2026-08-12T23:59:59+02:00", "Post two"),
+    }
+
+
+def test_feed_published_ts_parses_both_families(spark):
+    from smartcrawler_spark.sources.feeds import feed_published_ts
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("Mon, 10 Aug 2026 12:00:00 GMT",), ("2026-08-09T08:00:00Z",),
+         ("2026-08-12T23:59:59+02:00",), ("not a date",), ("",)],
+        "published string")
+    got = [r["ts"] for r in df.select(
+        F.date_format(feed_published_ts(F.col("published")),
+                      "yyyy-MM-dd HH:mm:ss").alias("ts")).collect()]
+    assert got[0] == "2026-08-10 12:00:00"
+    assert got[1] == "2026-08-09 08:00:00"
+    assert got[2] == "2026-08-12 21:59:59"  # normalized to session UTC
+    assert got[3] is None and got[4] is None
+
+
+def test_feed_freshness_boost_is_deterministic_and_bounded(spark):
+    from smartcrawler_spark.sources.feeds import (
+        boost_score_with_freshness, feed_entries)
+    from pyspark.sql import functions as F
+
+    feeds = spark.createDataFrame(
+        [("news.example.com", _RSS), ("blog.example.com", _ATOM)],
+        "host string, feed_xml string")
+    entries = feed_entries(feeds)
+    cands = spark.createDataFrame(
+        [("https://news.example.com/a1", 1.0),   # published Aug 10
+         ("https://blog.example.com/p1", 1.0),   # published Aug 9
+         ("https://other.example.com/x", 1.0)],  # not in any feed
+        "url_canon string, score double")
+    out1 = {r["url_canon"]: r["score"] for r in boost_score_with_freshness(
+        cands, entries, "2026-08-17 12:00:00").collect()}
+    out2 = {r["url_canon"]: r["score"] for r in boost_score_with_freshness(
+        cands, entries, "2026-08-17 12:00:00").collect()}
+    assert out1 == out2  # explicit now_ts -> rerun-stable
+    assert out1["https://other.example.com/x"] == 1.0
+    # 7-day-old entry boosts by ~2^-1, fresher entries boost more
+    assert 1.0 < out1["https://blog.example.com/p1"] \
+        < out1["https://news.example.com/a1"] < 2.0
+    a1 = out1["https://news.example.com/a1"] - 1.0
+    assert abs(a1 - 2.0 ** (-7.0 / 7.0)) < 0.01
