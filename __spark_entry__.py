@@ -333,6 +333,20 @@ def q_weighted_sample(spark, sf_dir):
     return SA.weighted_sample(docs, w).select("doc_id", "u24")
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-scaled source mixing, alpha=1/2 integer-exact kernel
+    (operators.sampling.temperature_mix_sqrt): per-source keep rates
+    target an output distribution ∝ sqrt(n_source), thresholds computed
+    entirely in bigint (floor-sqrt weights, integer div) against the
+    portable md5 24-bit draw — zero float ops that could diverge
+    across engines."""
+    from smartcrawler_spark.operators import sampling as SA
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 600)
+    out = SA.temperature_mix_sqrt(docs, total_target=200)
+    return out.select("source", "doc_id", "n_group", "p24", "u24")
+
+
 def q_gopher_rules(spark, sf_dir):
     """Gopher document-quality rule bundle (Rae et al. 2021 §A1.1) as pure
     Column exprs: word-count/mean-word-length windows, symbol ratio,
@@ -987,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "line_dedup": q_line_dedup,
         "feed_entries": q_feed_entries,
+        "temperature_mix": q_temperature_mix,
         "dedup_minhash": q_dedup_minhash,
         "minhash_lsh_portable": q_minhash_lsh_portable,
         "dedup_simhash": q_dedup_simhash,
@@ -1454,6 +1469,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents
             GROUP BY md5(lower({_CLEAN.format(col='text')}))
+        """,
+        "temperature_mix": """
+            WITH c AS (
+              SELECT source, count(*) AS n_group,
+                     CAST(floor(sqrt(count(*))) AS BIGINT) AS w
+              FROM documents WHERE doc_id < 600 GROUP BY source
+            ), t AS (
+              SELECT CAST(sum(w) AS BIGINT) AS wsum FROM c
+            ), p AS (
+              SELECT source, n_group,
+                     least(16777216, (w * 200 * 16777216) // (wsum * n_group))
+                       AS p24
+              FROM c, t
+            ), u AS (
+              SELECT d.source, d.doc_id, p.n_group, p.p24,
+                     md5(d.doc_id::VARCHAR || '|tmix') AS m
+              FROM documents d JOIN p USING (source)
+              WHERE d.doc_id < 600
+            )
+            SELECT source, doc_id, n_group, p24,
+                   CAST((((((CASE WHEN ascii(substr(m,1,1)) <= 57 THEN ascii(substr(m,1,1)) - 48 ELSE ascii(substr(m,1,1)) - 87 END) * 16
+                       + CASE WHEN ascii(substr(m,2,1)) <= 57 THEN ascii(substr(m,2,1)) - 48 ELSE ascii(substr(m,2,1)) - 87 END) * 16
+                       + CASE WHEN ascii(substr(m,3,1)) <= 57 THEN ascii(substr(m,3,1)) - 48 ELSE ascii(substr(m,3,1)) - 87 END) * 16
+                       + CASE WHEN ascii(substr(m,4,1)) <= 57 THEN ascii(substr(m,4,1)) - 48 ELSE ascii(substr(m,4,1)) - 87 END) * 16
+                       + CASE WHEN ascii(substr(m,5,1)) <= 57 THEN ascii(substr(m,5,1)) - 48 ELSE ascii(substr(m,5,1)) - 87 END) * 16
+                       + CASE WHEN ascii(substr(m,6,1)) <= 57 THEN ascii(substr(m,6,1)) - 48 ELSE ascii(substr(m,6,1)) - 87 END AS BIGINT) AS u24
+            FROM u
+            WHERE CAST((((((CASE WHEN ascii(substr(m,1,1)) <= 57 THEN ascii(substr(m,1,1)) - 48 ELSE ascii(substr(m,1,1)) - 87 END) * 16
+                       + CASE WHEN ascii(substr(m,2,1)) <= 57 THEN ascii(substr(m,2,1)) - 48 ELSE ascii(substr(m,2,1)) - 87 END) * 16
+                       + CASE WHEN ascii(substr(m,3,1)) <= 57 THEN ascii(substr(m,3,1)) - 48 ELSE ascii(substr(m,3,1)) - 87 END) * 16
+                       + CASE WHEN ascii(substr(m,4,1)) <= 57 THEN ascii(substr(m,4,1)) - 48 ELSE ascii(substr(m,4,1)) - 87 END) * 16
+                       + CASE WHEN ascii(substr(m,5,1)) <= 57 THEN ascii(substr(m,5,1)) - 48 ELSE ascii(substr(m,5,1)) - 87 END) * 16
+                       + CASE WHEN ascii(substr(m,6,1)) <= 57 THEN ascii(substr(m,6,1)) - 48 ELSE ascii(substr(m,6,1)) - 87 END AS BIGINT) < p24
         """,
         "feed_entries": r"""
             WITH d AS (

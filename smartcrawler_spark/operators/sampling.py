@@ -125,3 +125,77 @@ def weighted_sample(df: DataFrame, weight_p24: Column,
         .filter(F.col("u24") < F.least(weight_p24.cast("long"),
                                        F.lit(1 << 24)))
     )
+
+
+def temperature_mix(df: DataFrame, total_target: int, alpha: float = 0.5,
+                    group_col: str = "source", id_col: str = "doc_id",
+                    salt: str = "tmix") -> DataFrame:
+    """Temperature-scaled source mixing: sample the corpus down to
+    ~`total_target` rows with per-group keep rates chosen so the OUTPUT
+    distribution over groups is q_g ∝ n_g^alpha — the standard
+    multilingual/source rebalancing (alpha=1 natural proportions,
+    alpha→0 uniform over groups; alpha≈0.3–0.7 is the usual production
+    range). Keep probability per group: p_g = min(1, T·q_g / n_g),
+    realized by the deterministic md5 Bernoulli draw (weighted_sample),
+    so membership is a pure function of (id, salt) and a larger T keeps
+    a superset.
+
+    Scale shape: one count aggregation (map-side partials) -> a
+    group-count dim broadcast back -> map-only filter. No shuffle of
+    the corpus itself. Group weights use float pow(): fine in
+    production; for an engine-portable integer-exact kernel gate, see
+    temperature_mix_sqrt (the alpha=1/2 special case).
+
+    Rows with a NULL group are dropped (the broadcast dim join is on
+    the group key). Returns the kept rows + (n_group, p24, u24)."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_group"))
+    counts = counts.withColumn("_w", F.pow(F.col("n_group").cast("double"),
+                                           F.lit(float(alpha))))
+    # global total via a window over the tiny group dim (a self-join on
+    # the aggregate's lineage would be ambiguous; the dim has one row per
+    # group, so the single-partition window is free)
+    dim = counts.withColumn(
+        "_wsum", F.sum("_w").over(Window.partitionBy(F.lit(1)))).withColumn(
+        "p24",
+        F.least(
+            F.lit(1 << 24).cast("long"),
+            F.floor(F.lit(float(total_target)) * (F.col("_w") / F.col("_wsum"))
+                    / F.col("n_group") * F.lit(float(1 << 24))).cast("long"),
+        ),
+    ).select(group_col, "n_group", "p24")
+    joined = df.join(F.broadcast(dim), group_col)
+    return weighted_sample(joined, F.col("p24"), id_col=id_col, salt=salt)
+
+
+def temperature_mix_sqrt(df: DataFrame, total_target: int,
+                         group_col: str = "source", id_col: str = "doc_id",
+                         salt: str = "tmix") -> DataFrame:
+    """The alpha = 1/2 temperature mix as a fully INTEGER-EXACT portable
+    kernel: group weight w_g = floor(sqrt(n_g)) (exact for n < 2^50 —
+    IEEE sqrt is correctly rounded and a non-square integer's root is
+    never within an ulp of an integer at that scale), W = Σ w_g in
+    integer arithmetic, and
+
+        p24_g = min(2^24, (T · w_g · 2^24) div (W · n_g))
+
+    entirely in bigint — no pow(), no float sums whose ordering could
+    diverge across engines, so the same rows are kept by any SQL engine
+    (this is the oracle-gated twin of temperature_mix; overflow bound:
+    T·w_g·2^24 < 2^63 ⇔ T·sqrt(n_g) < 5.5e11, far beyond any real
+    per-run target). Same one-aggregation + broadcast + map-only-filter
+    scale shape."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_group"))
+    counts = counts.withColumn(
+        "_w", F.floor(F.sqrt(F.col("n_group").cast("double"))).cast("long"))
+    dim = (
+        counts.withColumn("_wsum",
+                          F.sum("_w").over(Window.partitionBy(F.lit(1))))
+        .withColumn("_num",
+                    F.col("_w") * F.lit(int(total_target)) * F.lit(1 << 24))
+        .withColumn("_den", F.col("_wsum") * F.col("n_group"))
+        .withColumn("p24", F.least(F.lit(1 << 24).cast("long"),
+                                   F.expr("_num div _den")))
+        .select(group_col, "n_group", "p24")
+    )
+    joined = df.join(F.broadcast(dim), group_col)
+    return weighted_sample(joined, F.col("p24"), id_col=id_col, salt=salt)

@@ -116,3 +116,72 @@ def test_weighted_sample_monotone_superset(spark):
     assert {r["doc_id"] for r in
             S.weighted_sample(df, F.lit(1 << 24)).collect()} == set(range(300))
     assert S.weighted_sample(df, F.lit(0)).count() == 0
+
+
+def _py_u24(i, salt="tmix"):
+    import hashlib as _h
+    return int(_h.md5(f"{i}|{salt}".encode()).hexdigest()[:6], 16)
+
+
+def test_temperature_mix_sqrt_matches_python_oracle(spark):
+    """The alpha=1/2 integer-exact kernel vs a from-scratch python oracle:
+    floor-sqrt group weights, integer-div thresholds, md5 draw."""
+    import math
+
+    # three sources with very different sizes: 400 / 100 / 25
+    rows = ([(i, "big") for i in range(400)]
+            + [(400 + i, "mid") for i in range(100)]
+            + [(500 + i, "small") for i in range(25)])
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {(r["source"], r["doc_id"]): (r["n_group"], r["p24"], r["u24"])
+           for r in S.temperature_mix_sqrt(df, total_target=200).collect()}
+
+    n = {"big": 400, "mid": 100, "small": 25}
+    w = {g: math.isqrt(c) for g, c in n.items()}
+    wsum = sum(w.values())
+    p24 = {g: min(1 << 24, (200 * w[g] * (1 << 24)) // (wsum * n[g]))
+           for g in n}
+    want = {}
+    for i, g in rows:
+        u = _py_u24(i)
+        if u < p24[g]:
+            want[(g, i)] = (n[g], p24[g], u)
+    assert got == want
+    # smaller groups must be kept at a strictly HIGHER rate (alpha < 1
+    # flattens the mix toward uniform): p24 ordering is inverse to size
+    assert p24["small"] > p24["mid"] > p24["big"]
+
+
+def test_temperature_mix_alpha_semantics(spark):
+    """alpha=1 -> natural proportions = one uniform keep rate for every
+    group; alpha=0 -> per-group expected output is equal (uniform over
+    groups), so the keep RATE is inverse to group size."""
+    rows = ([(i, "big") for i in range(300)]
+            + [(300 + i, "small") for i in range(60)])
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    nat = S.temperature_mix(df, total_target=90, alpha=1.0)
+    p = {r["source"]: r["p24"]
+         for r in nat.select("source", "p24").distinct().collect()}
+    assert p["big"] == p["small"]  # T/N for everyone
+    assert abs(p["big"] - (90 / 360) * (1 << 24)) <= 1
+
+    uni = S.temperature_mix(df, total_target=90, alpha=0.0)
+    p0 = {r["source"]: r["p24"]
+          for r in uni.select("source", "p24").distinct().collect()}
+    # expected kept per group = p24 * n / 2^24 ~= 45 each (floor slack
+    # on each p24 allows up to ~n/2^24 docs of difference)
+    assert abs(p0["big"] * 300 - p0["small"] * 60) / (1 << 24) < 1e-3
+
+
+def test_temperature_mix_sqrt_superset_under_bigger_target(spark):
+    """Raising total_target only ADDS rows (fixed u24 per id, monotone
+    thresholds) — staged corpus scale-ups stay reproducible."""
+    rows = [(i, f"s{i % 7}") for i in range(350)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    small = {r["doc_id"]
+             for r in S.temperature_mix_sqrt(df, total_target=50).collect()}
+    big = {r["doc_id"]
+           for r in S.temperature_mix_sqrt(df, total_target=150).collect()}
+    assert small <= big
+    assert len(small) < len(big)
