@@ -465,6 +465,75 @@ def q_url_canonicalize(spark, sf_dir):
     )
 
 
+def q_url_traps(spark, sf_dir):
+    """Spider-trap heuristics + tracking-param stripping
+    (functions.urls.is_trap_url / strip_tracking_params): five synthetic
+    URL shapes per doc bucket — clean, deep path, mirror cycle, calendar
+    spam, query/tracking spam — flagged by the pure-Column trap bounds
+    and rewritten with tracking params removed."""
+    docs = _t(spark, sf_dir, "documents")
+    host = F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com"))
+    sid = F.col("doc_id").cast("string")
+    raw = (
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(host, F.lit("/d/"), sid))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(host, F.lit("/a/b/c/d/e/f/g/h/i/j/k/l/m/n/"), sid))
+        .when(F.col("doc_id") % 5 == 2,
+              F.concat(host, F.lit("/en/about/en/about/en/"), sid))
+        .when(F.col("doc_id") % 5 == 3,
+              F.concat(host, F.lit("/2026/08/17/2026/08/"), sid))
+        .otherwise(
+            F.concat(host, F.lit("/p?a=1&utm_source=feed&b=2&gclid="), sid,
+                     F.lit("&utm_medium=x&c=3&d=4&e=5&f=6&g=7&h=8")))
+    )
+    return docs.select(
+        "doc_id",
+        raw.alias("url"),
+        U.path_depth(raw).cast("long").alias("depth"),
+        U.dup_segment_count(raw).cast("long").alias("dup_segs"),
+        U.numeric_segment_count(raw).cast("long").alias("num_segs"),
+        U.query_param_count(raw).cast("long").alias("n_params"),
+        U.is_trap_url(raw, max_depth=12, max_dup_segments=2,
+                      max_numeric_segments=4, max_query_params=8,
+                      max_len=512).alias("is_trap"),
+        U.strip_tracking_params(raw).alias("stripped"),
+    )
+
+
+def q_redirect_resolve(spark, sf_dir):
+    """Redirect-chain resolution (operators.linkgraph.resolve_redirects):
+    pointer-doubling (log2(max_hops) self-joins) over a synthetic
+    functional redirect map — consecutive-id chains broken every 10 ids,
+    plus a planted 2-cycle — must equal a sequential hop-capped walk
+    (the DuckDB recursive-CTE oracle): final node, exact hop count,
+    loop flag."""
+    from smartcrawler_spark.operators import linkgraph as LG
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.filter(F.col("doc_id") % 10 < 6).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst"))
+    cycle = spark.createDataFrame([(-1, -2), (-2, -1)], "src long, dst long")
+    return LG.resolve_redirects(edges.unionByName(cycle), max_hops=16)
+
+
+def q_pagerank(spark, sf_dir):
+    """Fixed-point integer PageRank (operators.linkgraph.
+    pagerank_fixed_point, 3 iterations, d=0.85, scale=1e9): every step is
+    bigint arithmetic with a pinned op order, so ranks are bit-identical
+    to the oracle's unrolled-CTE evaluation — no float summation-order
+    divergence."""
+    from smartcrawler_spark.operators import linkgraph as LG
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.select(
+        (F.col("doc_id") % 97).alias("src"),
+        ((F.col("doc_id") * F.col("doc_id") * 3 + 1) % 97).alias("dst"),
+    )
+    out = LG.pagerank_fixed_point(edges, iters=3)
+    return out.select("node", F.col("rank").alias("pr"))
+
+
 def q_template_rewrite_sql(spark, sf_dir):
     """R1-R6 (SQL-expressible core) — count/like-pattern rewrite."""
     docs = _t(spark, sf_dir, "documents")
@@ -985,6 +1054,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_order_emission": q_crawl_order_emission,
         "crawl_two_rounds": q_crawl_two_rounds,
         "url_canonicalize": q_url_canonicalize,
+        "url_traps": q_url_traps,
+        "redirect_resolve": q_redirect_resolve,
+        "pagerank": q_pagerank,
         "template_rewrite_sql": q_template_rewrite_sql,
         "template_detect": q_template_detect,
         "subtree_hashes": q_subtree_hashes,
@@ -1341,6 +1413,116 @@ def oracle_sql() -> dict[str, str]:
               FROM adm2
             )
             SELECT * FROM log1 UNION ALL SELECT * FROM log2
+        """,
+        "url_traps": r"""
+            WITH raw AS (
+              SELECT doc_id,
+                     CASE
+                       WHEN doc_id % 5 = 0 THEN
+                         'https://' || source || '.example.com/d/' || doc_id
+                       WHEN doc_id % 5 = 1 THEN
+                         'https://' || source || '.example.com/a/b/c/d/e/f/g/h/i/j/k/l/m/n/' || doc_id
+                       WHEN doc_id % 5 = 2 THEN
+                         'https://' || source || '.example.com/en/about/en/about/en/' || doc_id
+                       WHEN doc_id % 5 = 3 THEN
+                         'https://' || source || '.example.com/2026/08/17/2026/08/' || doc_id
+                       ELSE
+                         'https://' || source || '.example.com/p?a=1&utm_source=feed&b=2&gclid='
+                           || doc_id || '&utm_medium=x&c=3&d=4&e=5&f=6&g=7&h=8'
+                     END AS url
+              FROM documents
+            ), parts AS (
+              SELECT doc_id, url,
+                     list_filter(
+                       string_split(
+                         regexp_extract(url,
+                           '^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([^?#]*)', 1),
+                         '/'),
+                       s -> s <> '') AS segs,
+                     regexp_extract(url, '\?([^#]*)', 1) AS q
+              FROM raw
+            ), feats AS (
+              SELECT doc_id, url,
+                     CAST(len(segs) AS BIGINT) AS depth,
+                     CAST(len(segs) - len(list_distinct(segs)) AS BIGINT)
+                       AS dup_segs,
+                     CAST(len(list_filter(segs,
+                       s -> regexp_matches(s, '^[0-9]+$'))) AS BIGINT)
+                       AS num_segs,
+                     CAST(CASE WHEN q = '' THEN 0
+                          ELSE len(string_split(q, '&')) END AS BIGINT)
+                       AS n_params,
+                     regexp_extract(url, '^([^?#]*)', 1) AS base,
+                     regexp_replace(
+                       regexp_replace('&' || q,
+                         '(?i)&(?:utm_[a-zA-Z0-9_]*|fbclid|gclid|dclid|msclkid|yclid|mc_eid|igshid|phpsessid|jsessionid|sessionid|session_id|sid)=[^&]*',
+                         '', 'g'),
+                       '^&', '') AS q2,
+                     regexp_extract(url, '(#.*)$', 1) AS frag
+              FROM parts
+            )
+            SELECT doc_id, url, depth, dup_segs, num_segs, n_params,
+                   (length(url) > 512 OR depth > 12 OR dup_segs > 2
+                    OR num_segs > 4 OR n_params > 8) AS is_trap,
+                   base || CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END
+                        || frag AS stripped
+            FROM feats
+        """,
+        "redirect_resolve": """
+            WITH RECURSIVE m AS (
+              SELECT doc_id AS src, doc_id + 1 AS dst
+              FROM documents WHERE doc_id % 10 < 6
+              UNION ALL SELECT -1, -2
+              UNION ALL SELECT -2, -1
+            ), walk AS (
+              SELECT src AS start, dst AS cur, 1 AS hops FROM m
+              UNION ALL
+              SELECT w.start, m.dst, w.hops + 1
+              FROM walk w JOIN m ON w.cur = m.src
+              WHERE w.hops < 16
+            ), last AS (
+              SELECT start, arg_max(cur, hops) AS final, max(hops) AS hops
+              FROM walk GROUP BY start
+            )
+            SELECT start AS src, final, CAST(hops AS BIGINT) AS hops,
+                   final IN (SELECT src FROM m) AS is_loop
+            FROM last
+        """,
+        "pagerank": """
+            WITH e AS (
+              SELECT DISTINCT doc_id % 97 AS src,
+                     (doc_id * doc_id * 3 + 1) % 97 AS dst
+              FROM documents
+            ), nodes AS (
+              SELECT src AS node FROM e UNION SELECT dst FROM e
+            ), p AS (SELECT count(*) AS n FROM nodes),
+            deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+            r0 AS (SELECT node, 1000000000 // n AS pr FROM nodes, p),
+            a1 AS (SELECT e.dst, sum(r0.pr // deg.d) AS agg
+                   FROM e JOIN r0 ON e.src = r0.node
+                        JOIN deg ON e.src = deg.src GROUP BY e.dst),
+            r1 AS (SELECT node,
+                          ((1000000000 // n) * 15 + 85 * coalesce(a1.agg, 0))
+                            // 100 AS pr
+                   FROM nodes CROSS JOIN p
+                   LEFT JOIN a1 ON nodes.node = a1.dst),
+            a2 AS (SELECT e.dst, sum(r1.pr // deg.d) AS agg
+                   FROM e JOIN r1 ON e.src = r1.node
+                        JOIN deg ON e.src = deg.src GROUP BY e.dst),
+            r2 AS (SELECT node,
+                          ((1000000000 // n) * 15 + 85 * coalesce(a2.agg, 0))
+                            // 100 AS pr
+                   FROM nodes CROSS JOIN p
+                   LEFT JOIN a2 ON nodes.node = a2.dst),
+            a3 AS (SELECT e.dst, sum(r2.pr // deg.d) AS agg
+                   FROM e JOIN r2 ON e.src = r2.node
+                        JOIN deg ON e.src = deg.src GROUP BY e.dst),
+            r3 AS (SELECT node,
+                          ((1000000000 // n) * 15 + 85 * coalesce(a3.agg, 0))
+                            // 100 AS pr
+                   FROM nodes CROSS JOIN p
+                   LEFT JOIN a3 ON nodes.node = a3.dst)
+            SELECT node, CAST(pr AS BIGINT) AS pr FROM r3
         """,
         "url_canonicalize": """
             SELECT doc_id,

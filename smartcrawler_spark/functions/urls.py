@@ -188,3 +188,113 @@ def seeds_from_links(links: list[str], expand_domains: bool = False) -> list[str
             host = extract_seed_domain(link)
             seeds.add(f"https://{host.lower()}/")
     return sorted(seeds)
+
+
+# ---------------------------------------------------------------------------
+# Spider-trap heuristics + tracking-param hygiene (crawl-frontier filters)
+#
+# Classic crawler-trap shapes (calendar pages, session-id explosions,
+# self-linking cycles, faceted-search query spam) generate unbounded URL
+# spaces under a single host; at a 10^10-URL frontier they crowd out real
+# pages long before the politeness cap binds. Every predicate below is a
+# pure Column expression over the CANONICAL url (JVM-side, engine-portable:
+# regexp + split + array ops that exist identically in DuckDB for the
+# oracle) — no UDFs, no shuffle; a map-only filter at any scale.
+# ---------------------------------------------------------------------------
+
+# query params that never change page content: analytics attribution
+# (utm_*/gclid family), social share ids, and server session ids. Removing
+# them BEFORE canonical dedup collapses the classic n-variants-of-one-page
+# trap at the cheapest possible point (one regexp on the 1-column dedup
+# shuffle input).
+_TRACKING_PARAM_RE = (
+    r"&(?:utm_[a-zA-Z0-9_]*|fbclid|gclid|dclid|msclkid|yclid|mc_eid|igshid|"
+    r"phpsessid|jsessionid|sessionid|session_id|sid)=[^&]*"
+)
+
+
+def _url_base(url: Column) -> Column:
+    return F.regexp_extract(url, r"^([^?#]*)", 1)
+
+
+def _url_query_str(url: Column) -> Column:
+    """Query string ('' when absent) — regexp form, not parse_url, so the
+    DuckDB oracle mirrors it verbatim."""
+    return F.regexp_extract(url, r"\?([^#]*)", 1)
+
+
+def _url_fragment(url: Column) -> Column:
+    return F.regexp_extract(url, r"(#.*)$", 1)
+
+
+def strip_tracking_params(url: Column) -> Column:
+    """Remove tracking/session query params (case-insensitive names),
+    preserving the relative order of surviving params; '?' dropped when
+    nothing survives, fragment preserved. Pure regexp surgery: prefix the
+    query with '&' so every param (including the first) matches the same
+    `&name=value` shape, strip, then restore '?'."""
+    q = _url_query_str(url)
+    stripped = F.regexp_replace(
+        F.concat(F.lit("&"), q), "(?i)" + _TRACKING_PARAM_RE, ""
+    )
+    q2 = F.regexp_replace(stripped, r"^&", "")
+    return F.concat(
+        _url_base(url),
+        F.when(q2 == "", F.lit("")).otherwise(F.concat(F.lit("?"), q2)),
+        _url_fragment(url),
+    )
+
+
+def url_path_segments(url: Column) -> Column:
+    """Non-empty path segments of a canonical URL as an array."""
+    path = F.regexp_extract(url, _SCHEME_RE + r"[^/?#]*([^?#]*)", 1)
+    return F.filter(F.split(path, "/"), lambda s: s != "")
+
+
+def path_depth(url: Column) -> Column:
+    return F.size(url_path_segments(url))
+
+
+def dup_segment_count(url: Column) -> Column:
+    """How many path segments are repeats of an earlier segment —
+    /a/b/a/b/a has 3. Repetition ANYWHERE in the path (not just adjacent)
+    catches mirror cycles (/en/about/en/about/...) that adjacent-only
+    checks miss, while legitimate single reuse (/docs/api/docs.html is 0:
+    distinct strings) stays clean."""
+    segs = url_path_segments(url)
+    return F.size(segs) - F.size(F.array_distinct(segs))
+
+
+def numeric_segment_count(url: Column) -> Column:
+    """All-digit path segments — calendar/pagination traps
+    (/2026/08/17/2026/08/...) accumulate these without bound."""
+    return F.size(
+        F.filter(url_path_segments(url), lambda s: s.rlike("^[0-9]+$"))
+    )
+
+
+def query_param_count(url: Column) -> Column:
+    q = _url_query_str(url)
+    return F.when(q == "", F.lit(0)).otherwise(F.size(F.split(q, "&")))
+
+
+def is_trap_url(
+    url: Column,
+    max_depth: int = 12,
+    max_dup_segments: int = 2,
+    max_numeric_segments: int = 4,
+    max_query_params: int = 8,
+    max_len: int = 512,
+) -> Column:
+    """True when any trap heuristic exceeds its bound. Thresholds are
+    deliberately loose — a trap filter that rejects real pages is worse
+    than one that admits a few trap pages (the per-host cap still bounds
+    the damage); defaults follow common crawler practice (IRLbot's
+    depth/length limits, Heritrix's pathological-path rules)."""
+    return (
+        (F.length(url) > max_len)
+        | (path_depth(url) > max_depth)
+        | (dup_segment_count(url) > max_dup_segments)
+        | (numeric_segment_count(url) > max_numeric_segments)
+        | (query_param_count(url) > max_query_params)
+    )

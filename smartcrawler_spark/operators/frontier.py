@@ -489,8 +489,11 @@ def admit_with_cap(
 
     NB: the join-back reads `tagged` TWICE — persist it upstream."""
     counts = frontier.groupBy("host").agg(F.count("*").alias("_n"))
+    elig_expr = ~F.col("robots_blocked") & ~F.col("seen")
+    if "trap_blocked" in tagged.columns:  # opt-in spider-trap hygiene
+        elig_expr = elig_expr & ~F.col("trap_blocked")
     tagged = (
-        tagged.withColumn("eligible", ~F.col("robots_blocked") & ~F.col("seen"))
+        tagged.withColumn("eligible", elig_expr)
         .join(counts, "host", "left")  # AQE picks broadcast when counts is small
         .withColumn("_room", F.lit(cap) - F.coalesce(F.col("_n"), F.lit(0)))
     )

@@ -1,0 +1,158 @@
+"""Link-graph operators: redirect-chain resolution and PageRank-style
+centrality for crawl prioritization.
+
+Neither exists in the reference (it follows links one page at a time and
+never materializes the graph — /root/reference/src/main.rs:57-287 drives a
+per-page loop); both are standard components of a web-scale crawler that a
+10^10-URL frontier needs:
+
+* `resolve_redirects` — collapse redirect chains (301/302/canonical maps)
+  to their final target before frontier admission, so n aliases of one
+  page cost one fetch. POINTER DOUBLING: k self-joins resolve chains of
+  length 2^k, vs 2^k sequential joins for the naive walk — at web scale
+  (chains are short, a few hops; the map has ~10^8 rows) that is 4-5
+  shuffles total, each co-partitioned on the join key. Cycles and
+  over-long chains are flagged, not silently followed.
+
+* `pagerank_fixed_point` — power-iteration PageRank in PURE BIGINT
+  arithmetic (ranks scaled by `scale`, integer division at every step, a
+  pinned order of operations) so the result is bit-identical on any
+  engine — no float summation-order divergence — and the DuckDB oracle
+  can gate it exactly. The per-iteration shape is the canonical Spark
+  PageRank plan: ranks⋈edges co-partitioned on src, map-side-combined
+  groupBy dst, one shuffle pair per iteration; degrees are computed once.
+  Dangling-node mass is dropped (not redistributed) — documented choice,
+  identical on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def resolve_redirects(
+    redirects: DataFrame,
+    max_hops: int = 16,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Resolve every redirect source to the end of its chain.
+
+    `redirects` is a functional map (one dst per src — callers dedup;
+    duplicate srcs here would multiply rows in the self-join). Returns
+    (src, final, hops, is_loop):
+
+    * final — the node reached after following redirects until a node
+      with no outgoing edge, or until `max_hops` steps (whichever first)
+    * hops  — real steps taken, exactly min(chain_length, max_hops)
+    * is_loop — True when `final` STILL has an outgoing edge, i.e. the
+      chain was cut by the hop cap (a cycle, or a chain longer than
+      max_hops — both are treated as traps and should not be admitted)
+
+    max_hops must be a power of two: the resolution composes the
+    absorbing step-map with itself log2(max_hops) times (pointer
+    doubling), so hop counts saturate at exactly max_hops — which makes
+    the output bit-identical to a sequential hop-capped walk (the DuckDB
+    recursive-CTE oracle)."""
+    if max_hops & (max_hops - 1):
+        raise ValueError("max_hops must be a power of two")
+    k = max_hops.bit_length() - 1  # log2
+
+    # cur(node, final, hops): the absorbing map "follow 2^i steps from
+    # node" — nodes absent from the map are terminal (step = identity)
+    cur = redirects.select(
+        F.col(src_col).alias("node"),
+        F.col(dst_col).alias("final"),
+        F.lit(1).cast("long").alias("hops"),
+    )
+    for _ in range(k):
+        nxt = cur.select(
+            F.col("node").alias("_n2"),
+            F.col("final").alias("_f2"),
+            F.col("hops").alias("_h2"),
+        )
+        cur = (
+            cur.join(nxt, cur.final == nxt._n2, "left")
+            .select(
+                "node",
+                F.coalesce(F.col("_f2"), F.col("final")).alias("final"),
+                (F.col("hops") + F.coalesce(F.col("_h2"), F.lit(0)))
+                .alias("hops"),
+            )
+        )
+    live = redirects.select(F.col(src_col).alias("_src"),
+                            F.lit(True).alias("_live")).distinct()
+    return (
+        cur.join(live, cur.final == live._src, "left")
+        .select(
+            F.col("node").alias("src"),
+            "final",
+            "hops",
+            F.coalesce(F.col("_live"), F.lit(False)).alias("is_loop"),
+        )
+    )
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    iters: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**9,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Power-iteration PageRank with bit-exact integer arithmetic.
+
+    Ranks live in units of `scale` (r=scale means rank 1.0). Per
+    iteration, with den=damping_den, num=damping_num, n=|nodes|:
+
+        share(u)  = r(u) div outdeg(u)                [bigint div]
+        agg(v)    = sum of share(u) over edges u->v   [exact bigint sum]
+        r'(v)     = ((den-num) * (scale div n) + num * agg(v)) div den
+
+    Every op is integer and the order is pinned, so any engine computes
+    identical ranks (the float formulation would diverge on summation
+    order). Dangling mass is dropped — ranks are a relative priority
+    signal for crawl scheduling, not probabilities; normalization is not
+    needed and redistribution would add an all-to-one shuffle per
+    iteration for no ordering benefit.
+
+    Edges are deduped (parallel edges would double-count shares).
+    `n` comes from one driver-side count of the node set — a metadata-
+    scale action (node COUNT, not node rows). Overflow bound:
+    num * agg(v) < 2^63 needs indegree(v) * scale * num < 2^63 —
+    at scale=10^9, num=85, safe to indegree ~10^11. Returns (node, rank).
+    """
+    e = edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0).cast("long"))
+    base = (scale // n) * (damping_den - damping_num)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    ranks = nodes.withColumn("rank", F.lit(scale // n).cast("long"))
+    for _ in range(iters):
+        shares = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select("dst", F.expr("rank div _deg").alias("_share"))
+        )
+        agg = shares.groupBy("dst").agg(F.sum("_share").alias("_agg"))
+        ranks = (
+            nodes.join(agg.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    f"({base}L + {damping_num}L * coalesce(_agg, 0L)) "
+                    f"div {damping_den}L"
+                ).alias("rank"),
+            )
+        )
+    return ranks

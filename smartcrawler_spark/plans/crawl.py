@@ -98,6 +98,17 @@ class EngineConfig:
     # from observed fetch outcomes (operators.frontier.adaptive_budgets)
     # — hosts failing >= half their attempts get budget halved (floor 1).
     # Default off = reference-parity static budgets.
+    trap_filters: bool = False
+    # ^ spider-trap hygiene at admission: candidates whose canonical URL
+    # trips a trap heuristic (depth / repeated-segment / calendar /
+    # query-spam / length bounds — functions.urls.is_trap_url) are fate-
+    # tagged `trap_rejected` and never admitted. Default off =
+    # reference-parity (the reference has no trap logic).
+    strip_tracking: bool = False
+    # ^ remove tracking/session query params (utm_*, gclid, ...sessionid)
+    # BEFORE canonical dedup, collapsing n-tracking-variants of one page
+    # into a single frontier row. Default off = reference-parity
+    # byte-identical URL handling.
     table_backend: str = "parquet"  # snapshot substrate: "parquet" (the
                                     # manifest analog, always available) or
                                     # "iceberg" (real catalog; requires the
@@ -208,7 +219,15 @@ class CrawlJob:
         # dedup-first: the batch-dedup shuffle carries ONLY url_canon;
         # hash/host/is_root/score derive from the distinct survivors
         # (identical output, ~40% less exchange volume — frontier.py)
+        if self.cfg.strip_tracking:
+            # strip BEFORE canonicalize+dedup so tracking variants collapse
+            # inside the 1-column dedup shuffle instead of surviving it
+            raw_urls = raw_urls.withColumn(
+                "url", U.strip_tracking_params(F.col("url")))
         cands = FR.with_url_columns_deduped(raw_urls, "url", self.cfg.keywords)
+        if self.cfg.trap_filters:
+            cands = cands.withColumn(
+                "trap_blocked", U.is_trap_url(F.col("url_canon")))
         cands = self._robots_gate(cands, self.robots)
         # adaptive prefilter: probe only once the frontier is big enough
         # for the blob probe to beat the plain exact join (see
@@ -273,6 +292,10 @@ class CrawlJob:
         fate = F.when(F.col("robots_blocked"), "robots_blocked").when(
             F.col("seen"), "dedup_rejected"
         ).when(F.col("admitted"), "admitted").otherwise("cap_rejected")
+        if self.cfg.trap_filters:
+            # trap verdict outranks every other fate (cheapest filter wins
+            # the attribution; robots/seen still computed for their gates)
+            fate = F.when(F.col("trap_blocked"), "trap_rejected").otherwise(fate)
         metrics = (
             tagged.withColumn("fate", fate)
             .groupBy("fate", F.spark_partition_id().alias("partition_id"))

@@ -394,3 +394,40 @@ def test_adaptive_budget_noop_when_healthy_throttles_when_failing(
                 .orderBy("round", "seq").collect()]
 
     assert {u for _, u in other_log(a2)} == {u for _, u in other_log(s2)}
+
+
+def test_trap_filters_reject_traps_and_preserve_clean_runs(
+        spark, corpus, oracle_result, tmp_path):
+    """EngineConfig.trap_filters + strip_tracking: (a) on the clean
+    synthetic corpus both flags are exact no-ops (crawl_log identical to
+    the reference oracle); (b) at the admission-chain level, trap URLs are
+    fate-tagged and never admitted while clean siblings pass."""
+    from smartcrawler_spark.functions import urls as U
+    from smartcrawler_spark.operators import frontier as FR
+
+    d, manifest = corpus
+    job = _run_engine(spark, d, manifest["seeds"], tmp_path / "trapckpt",
+                      _engine_cfg(trap_filters=True, strip_tracking=True))
+    assert _log_tuples(job) == oracle_result.crawl_log
+
+    # (b) admission chain with one trap of each shape + clean URLs
+    raw = spark.createDataFrame(
+        [("https://h0.com/ok/1",),
+         ("https://h0.com/en/about/en/about/en/x",),
+         ("https://h0.com/2026/08/17/2026/08/p",),
+         ("https://h0.com/" + "a/" * 14 + "leaf",)],
+        "url string")
+    cands = FR.with_url_columns_deduped(raw, "url", {})
+    cands = cands.withColumn("trap_blocked",
+                             U.is_trap_url(F.col("url_canon")))
+    robots = spark.createDataFrame([], "host string, disallow_prefix string")
+    cands = FR.robots_gate(cands, robots)
+    empty_frontier = job._empty_frontier()
+    tagged = FR.admit_with_cap(
+        FR.tag_seen(cands, empty_frontier), empty_frontier, cap=10)
+    rows = {r["url_canon"]: (r["trap_blocked"], r["admitted"])
+            for r in tagged.collect()}
+    assert rows["https://h0.com/ok/1"] == (False, True)
+    traps = [u for u, (t, _) in rows.items() if t]
+    assert len(traps) == 3
+    assert all(not rows[u][1] for u in traps)

@@ -1,0 +1,79 @@
+"""Link-graph operators vs pure-python oracles (exact equality — both
+kernels are integer-deterministic by design)."""
+
+from __future__ import annotations
+
+from smartcrawler_spark.operators import linkgraph as LG
+
+
+def _py_resolve(edges: dict, max_hops: int):
+    out = {}
+    for s in edges:
+        cur, hops = edges[s], 1
+        while cur in edges and hops < max_hops:
+            cur = edges[cur]
+            hops += 1
+        out[s] = (cur, hops, cur in edges)
+    return out
+
+
+def test_resolve_redirects_chains_cycles_and_caps(spark):
+    edges = {}
+    # plain chain a0->a1->...->a4 (a4 terminal)
+    for i in range(4):
+        edges[f"a{i}"] = f"a{i + 1}"
+    # 3-cycle
+    edges["c0"], edges["c1"], edges["c2"] = "c1", "c2", "c0"
+    # chain longer than the cap (20 hops, cap 16)
+    for i in range(20):
+        edges[f"l{i}"] = f"l{i + 1}"
+    df = spark.createDataFrame(list(edges.items()), "src string, dst string")
+    got = {r["src"]: (r["final"], r["hops"], r["is_loop"])
+           for r in LG.resolve_redirects(df, max_hops=16).collect()}
+    assert got == _py_resolve(edges, 16)
+    # spot semantics: chain resolves fully, cycle saturates and is flagged
+    assert got["a0"] == ("a4", 4, False)
+    assert got["c0"][1] == 16 and got["c0"][2] is True
+    assert got["l0"][1] == 16 and got["l0"][2] is True
+    assert got["l10"] == ("l20", 10, False)
+
+
+def test_resolve_redirects_requires_power_of_two():
+    import pytest
+
+    with pytest.raises(ValueError):
+        LG.resolve_redirects(None, max_hops=10)
+
+
+def _py_pagerank(edges, iters, num=85, den=100, scale=10**9):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    deg = {}
+    for s, _ in set(edges):
+        deg[s] = deg.get(s, 0) + 1
+    base = (scale // n) * (den - num)
+    r = {v: scale // n for v in nodes}
+    for _ in range(iters):
+        agg = {v: 0 for v in nodes}
+        for s, d in set(edges):
+            agg[d] += r[s] // deg[s]
+        r = {v: (base + num * agg[v]) // den for v in nodes}
+    return r
+
+
+def test_pagerank_matches_integer_oracle_exactly(spark):
+    # varied in/out degrees plus a deliberate hub (everything links to 0)
+    edges = [(i % 13, (i * i * 3 + 1) % 13) for i in range(40)]
+    edges += [(i, 0) for i in range(1, 9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"]
+           for r in LG.pagerank_fixed_point(df, iters=3).collect()}
+    assert got == _py_pagerank(edges, 3)
+    # hubs with more in-links outrank leaves
+    assert got[0] == max(got.values())  # the hub outranks everything
+    assert len(set(got.values())) > 3   # ranks actually differentiate
+
+
+def test_pagerank_empty_graph(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    assert LG.pagerank_fixed_point(df, iters=2).count() == 0

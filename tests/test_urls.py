@@ -102,3 +102,65 @@ def test_same_domain(spark):
     }
     got = _eval(spark, same_domain(F.col("u"), F.lit("example.com")), [(k,) for k in cases])
     assert got == list(cases.values())
+
+
+def test_trap_predicates_hand_oracle(spark):
+    from smartcrawler_spark.functions import urls as U
+
+    cases = [
+        # url, depth, dup, numeric, params, trap
+        ("https://h.com/d/42", 2, 0, 1, 0, False),
+        ("https://h.com/", 0, 0, 0, 0, False),
+        ("https://h.com/a/b/c/d/e/f/g/h/i/j/k/l/m", 13, 0, 0, 0, True),
+        ("https://h.com/en/about/en/about/en/x", 6, 3, 0, 0, True),
+        ("https://h.com/2026/08/17/2026/08/p", 6, 2, 5, 0, True),
+        ("https://h.com/p?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9", 1, 0, 0, 9, True),
+        ("https://h.com/docs/api/docs.html", 3, 0, 0, 0, False),
+        ("https://h.com/p?" + "x=1&" * 7 + "y=2", 1, 0, 0, 8, False),
+    ]
+    df = spark.createDataFrame([(u,) for u, *_ in cases], "url string")
+    u = F.col("url")
+    got = {
+        r["url"]: (r["d"], r["dup"], r["num"], r["np"], r["trap"])
+        for r in df.select(
+            "url",
+            U.path_depth(u).alias("d"),
+            U.dup_segment_count(u).alias("dup"),
+            U.numeric_segment_count(u).alias("num"),
+            U.query_param_count(u).alias("np"),
+            U.is_trap_url(u).alias("trap"),
+        ).collect()
+    }
+    for url, d, dup, num, np_, trap in cases:
+        assert got[url] == (d, dup, num, np_, trap), url
+    # length bound: a clean shallow URL over 512 chars is still a trap
+    long_url = "https://h.com/" + "x" * 520
+    df2 = spark.createDataFrame([(long_url,)], "url string")
+    assert df2.select(U.is_trap_url(F.col("url")).alias("t")).first()["t"]
+
+
+def test_strip_tracking_params_edges(spark):
+    from smartcrawler_spark.functions import urls as U
+
+    cases = [
+        # tracking param first: '?' moves to the first survivor
+        ("https://h/p?utm_source=a&keep=1", "https://h/p?keep=1"),
+        # all params tracking: '?' dropped entirely
+        ("https://h/p?utm_a=1&gclid=2", "https://h/p"),
+        # survivors keep relative order; fragment preserved
+        ("https://h/p?a=1&fbclid=x&b=2#frag", "https://h/p?a=1&b=2#frag"),
+        # case-insensitive param names
+        ("https://h/p?UTM_Source=a&b=1", "https://h/p?b=1"),
+        ("https://h/p?PHPSESSID=x", "https://h/p"),
+        # no query: passthrough
+        ("https://h/p", "https://h/p"),
+        ("https://h/p#f", "https://h/p#f"),
+        # utm-prefixed VALUE (not name) survives
+        ("https://h/p?q=utm_source", "https://h/p?q=utm_source"),
+    ]
+    df = spark.createDataFrame([(a,) for a, _ in cases], "url string")
+    got = {r["url"]: r["s"] for r in df.select(
+        "url",
+        U.strip_tracking_params(F.col("url")).alias("s")).collect()}
+    for raw, want in cases:
+        assert got[raw] == want, raw
