@@ -534,6 +534,21 @@ def q_pagerank(spark, sf_dir):
     return out.select("node", F.col("rank").alias("pr"))
 
 
+def q_warc_ingest(spark, sf_dir):
+    """WARC archive ingest (sources.warc.read_warc): binaryFile scan +
+    stdlib mapInPandas parse over the deterministic fixture files
+    (gzip-member + plain + truncated-tail shapes). The oracle is the
+    WRITER'S input manifest (tools/gen_warc_fixture.py golden parquet),
+    so the gate proves the parser exactly inverts the serialization —
+    writer and parser share no parse logic."""
+    from smartcrawler_spark.sources import warc as W
+
+    recs = W.read_warc(spark, "/root/repo/fixtures/warc")
+    return recs.select(
+        "file", "warc_type", "url", "date", "record_id",
+        "http_status", "content_type", "payload_md5", "n_bytes")
+
+
 def q_template_rewrite_sql(spark, sf_dir):
     """R1-R6 (SQL-expressible core) — count/like-pattern rewrite."""
     docs = _t(spark, sf_dir, "documents")
@@ -1057,6 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_traps": q_url_traps,
         "redirect_resolve": q_redirect_resolve,
         "pagerank": q_pagerank,
+        "warc_ingest": q_warc_ingest,
         "template_rewrite_sql": q_template_rewrite_sql,
         "template_detect": q_template_detect,
         "subtree_hashes": q_subtree_hashes,
@@ -1467,6 +1483,10 @@ def oracle_sql() -> dict[str, str]:
                    base || CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END
                         || frag AS stripped
             FROM feats
+        """,
+        "warc_ingest": """
+            SELECT * FROM read_parquet(
+                '/root/repo/fixtures/golden/warc_ingest.parquet')
         """,
         "redirect_resolve": """
             WITH RECURSIVE m AS (

@@ -1,0 +1,269 @@
+"""WARC (Web ARChive, ISO 28500) source: the standard interchange format
+for crawl corpora (Common Crawl, Internet Archive, Heritrix output).
+
+The reference fetches pages live and never persists raw captures
+(/root/reference/src/browser.rs:52-84); a production crawl at 10^10 URLs
+both WRITES its fetches as WARC and INGESTS third-party WARC corpora, so
+this module does both with stdlib-only parsing:
+
+* `warc_record_bytes` / `write_warc` — serialize response records
+  (WARC/1.0 headers + HTTP/1.1 response block), optionally one gzip
+  member per record (the `.warc.gz` convention: members concatenate, so
+  readers can seek record boundaries without decompressing the file).
+* `parse_warc_bytes` — tolerant streaming parser: uncompressed or
+  multi-member gzip, warcinfo/request/response/revisit/metadata types,
+  HTTP status + Content-Type extraction, payload isolation. Malformed
+  trailing bytes end the stream (partial capture) instead of raising —
+  a 100 TB ingest cannot die on one truncated file.
+* `read_warc` — Spark ingest: `binaryFile` scan + `mapInPandas` parse.
+  Parallelism is FILE-granular, which is the right unit at scale: WARC
+  records are sequential within a file, but archive corpora ship as
+  many ~1 GB files (Common Crawl: ~10^5 per snapshot), so the scan
+  parallelizes across files/executors with zero shuffle and Arrow-batch
+  output. One file never passes through the driver.
+* `warc_documents` — route HTML response payloads through the engine's
+  span decomposition (sources.html_ingest) into the BASELINE input_hint
+  document shape (doc_id, spans).
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import io
+import zlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_CRLF = b"\r\n"
+
+
+# ---------------------------------------------------------------------------
+# writer
+# ---------------------------------------------------------------------------
+
+def _http_block(status: int, content_type: str, payload: bytes) -> bytes:
+    reason = {200: "OK", 301: "Moved Permanently", 302: "Found",
+              404: "Not Found", 500: "Internal Server Error"}.get(status, "X")
+    head = (
+        f"HTTP/1.1 {status} {reason}\r\n"
+        f"Content-Type: {content_type}\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode("ascii")
+    return head + payload
+
+
+def warc_record_bytes(
+    warc_type: str,
+    target_uri: str | None,
+    date: str,
+    record_id: str,
+    block: bytes,
+    content_type: str = "application/http; msgtype=response",
+) -> bytes:
+    """One WARC/1.0 record: named headers, Content-Length of the block,
+    block, and the mandated two trailing CRLFs."""
+    headers = [
+        ("WARC-Type", warc_type),
+        ("WARC-Date", date),
+        ("WARC-Record-ID", f"<urn:uuid:{record_id}>"),
+        ("Content-Type", content_type),
+        ("Content-Length", str(len(block))),
+    ]
+    if target_uri is not None:
+        headers.insert(3, ("WARC-Target-URI", target_uri))
+    head = b"WARC/1.0\r\n" + b"".join(
+        f"{k}: {v}\r\n".encode("ascii") for k, v in headers
+    ) + _CRLF
+    return head + block + _CRLF + _CRLF
+
+
+def response_record(url: str, date: str, record_id: str, status: int,
+                    content_type: str, payload: bytes) -> bytes:
+    return warc_record_bytes(
+        "response", url, date, record_id,
+        _http_block(status, content_type, payload))
+
+
+def write_warc(records: list[bytes], gzip_members: bool = True) -> bytes:
+    """Concatenate records into a .warc / .warc.gz byte stream. With
+    gzip_members each record is its own gzip member (mtime pinned to 0 so
+    output is byte-deterministic)."""
+    if not gzip_members:
+        return b"".join(records)
+    out = io.BytesIO()
+    for rec in records:
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+            gz.write(rec)
+        out.write(buf.getvalue())
+    return out.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+def _iter_gzip_members(data: bytes) -> Iterator[bytes]:
+    """Decompress concatenated gzip members one at a time (zlib keeps
+    unused_data pointing at the next member)."""
+    pos = 0
+    while pos < len(data):
+        d = zlib.decompressobj(wbits=31)
+        try:
+            chunk = d.decompress(data[pos:])
+        except zlib.error:
+            return  # truncated/corrupt tail: stop, keep what we have
+        yield chunk + d.flush()
+        consumed = len(data) - pos - len(d.unused_data)
+        if consumed <= 0:
+            return
+        pos += consumed
+
+
+def _parse_records(data: bytes) -> Iterator[dict]:
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record padding
+        while pos < n and data[pos:pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n:
+            return
+        head_end = data.find(b"\r\n\r\n", pos)
+        if head_end < 0 or not data[pos:pos + 5] == b"WARC/":
+            return  # not a record boundary: damaged tail
+        head = data[pos:head_end].decode("utf-8", "replace")
+        fields: dict[str, str] = {}
+        for line in head.split("\r\n")[1:]:
+            k, _, v = line.partition(":")
+            if _:
+                fields[k.strip().lower()] = v.strip()
+        try:
+            length = int(fields.get("content-length", ""))
+        except ValueError:
+            return
+        block = data[head_end + 4: head_end + 4 + length]
+        if len(block) < length:
+            return  # truncated capture
+        yield {"fields": fields, "block": block}
+        pos = head_end + 4 + length
+
+
+def _split_http(block: bytes) -> tuple[int | None, str | None, bytes]:
+    """HTTP response block -> (status, content_type, payload)."""
+    sep = block.find(b"\r\n\r\n")
+    if sep < 0 or not block.startswith(b"HTTP/"):
+        return None, None, block
+    head = block[:sep].decode("utf-8", "replace")
+    lines = head.split("\r\n")
+    parts = lines[0].split(" ", 2)
+    try:
+        status = int(parts[1])
+    except (IndexError, ValueError):
+        status = None
+    ctype = None
+    for line in lines[1:]:
+        k, _, v = line.partition(":")
+        if k.strip().lower() == "content-type":
+            ctype = v.strip()
+            break
+    return status, ctype, block[sep + 4:]
+
+
+def parse_warc_bytes(data: bytes) -> list[dict]:
+    """WARC bytes (plain or multi-member gzip) -> list of
+    {warc_type, url, date, record_id, http_status, content_type, payload}.
+    Request/warcinfo/metadata records keep their raw block as payload
+    with http_status/content_type None; damaged tails truncate silently."""
+    if data[:2] == b"\x1f\x8b":
+        data = b"".join(_iter_gzip_members(data))
+    out = []
+    for rec in _parse_records(data):
+        f = rec["fields"]
+        wtype = f.get("warc-type", "")
+        status = ctype = None
+        payload = rec["block"]
+        if wtype in ("response", "revisit"):
+            status, ctype, payload = _split_http(rec["block"])
+        out.append({
+            "warc_type": wtype,
+            "url": f.get("warc-target-uri"),
+            "date": f.get("warc-date", ""),
+            "record_id": f.get("warc-record-id", ""),
+            "http_status": status,
+            "content_type": ctype,
+            "payload": payload,
+        })
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Spark ingest
+# ---------------------------------------------------------------------------
+
+WARC_SCHEMA = (
+    "file string, warc_type string, url string, date string, "
+    "record_id string, http_status int, content_type string, "
+    "payload binary, payload_md5 string, n_bytes long"
+)
+
+
+def read_warc(spark, path_glob: str) -> DataFrame:
+    """Scan .warc/.warc.gz files into records: binaryFile source (one row
+    per file, streamed through Arrow) -> mapInPandas stdlib parse. Column
+    pruning applies upstream of the parse only at file granularity (WARC
+    is a sequential container) — which matches how archive corpora shard:
+    many independent files, each one task."""
+    import os
+
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path_glob)
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                name = os.path.basename(str(path))
+                for r in parse_warc_bytes(bytes(content)):
+                    rows.append({
+                        "file": name,
+                        "warc_type": r["warc_type"],
+                        "url": r["url"],
+                        "date": r["date"],
+                        "record_id": r["record_id"],
+                        "http_status": r["http_status"],
+                        "content_type": r["content_type"],
+                        "payload": r["payload"],
+                        "payload_md5": hashlib.md5(r["payload"]).hexdigest(),
+                        "n_bytes": len(r["payload"]),
+                    })
+            yield pd.DataFrame(rows, columns=[
+                "file", "warc_type", "url", "date", "record_id",
+                "http_status", "content_type", "payload", "payload_md5",
+                "n_bytes"])
+
+    return files.select("path", "content").mapInPandas(gen, WARC_SCHEMA)
+
+
+def warc_documents(records: DataFrame) -> DataFrame:
+    """Successful HTML response records -> the input_hint document shape
+    (doc_id=URL, spans) via the engine's span decomposition. Non-HTML and
+    non-200 records are filtered JVM-side BEFORE the Python parse — the
+    expensive stage only sees rows it will keep."""
+    from .html_ingest import parse_html_docs
+
+    html = (
+        records.filter(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+            & F.col("content_type").startswith("text/html")
+            & F.col("url").isNotNull()
+        )
+        .select(F.col("url").alias("doc_id"),
+                F.col("payload").cast("string").alias("html"))
+    )
+    return parse_html_docs(html)

@@ -1,0 +1,112 @@
+"""WARC source: writer/parser inversion, damage tolerance, Spark ingest,
+and span-pipeline integration."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+
+from smartcrawler_spark.sources.warc import (
+    parse_warc_bytes,
+    read_warc,
+    response_record,
+    warc_documents,
+    write_warc,
+)
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FIXTURE_DIR = os.path.join(ROOT, "fixtures", "warc")
+GOLDEN = os.path.join(ROOT, "fixtures", "golden", "warc_ingest.parquet")
+
+
+def _mk_records(n=5):
+    return [
+        response_record(
+            f"https://t.example.com/p{i}", f"2026-08-17T01:00:{i:02d}Z",
+            f"t{i}", 200 if i % 3 else 404, "text/html",
+            f"<html><body><p>doc {i}</p></body></html>".encode())
+        for i in range(n)
+    ]
+
+
+def test_roundtrip_plain_and_gzip():
+    recs = _mk_records()
+    for gz in (False, True):
+        parsed = parse_warc_bytes(write_warc(recs, gzip_members=gz))
+        assert len(parsed) == len(recs)
+        for i, r in enumerate(parsed):
+            assert r["url"] == f"https://t.example.com/p{i}"
+            assert r["http_status"] == (200 if i % 3 else 404)
+            assert r["payload"] == f"<html><body><p>doc {i}</p></body></html>".encode()
+            assert r["record_id"] == f"<urn:uuid:t{i}>"
+
+
+def test_damage_tolerance_prefix_only_never_crashes():
+    """Cutting the stream at ANY byte yields a prefix of the record list
+    (deterministic sweep, both plain and gzip framing)."""
+    recs = _mk_records(3)
+    for gz in (False, True):
+        data = write_warc(recs, gzip_members=gz)
+        full = [r["record_id"] for r in parse_warc_bytes(data)]
+        for cut in range(0, len(data), 37):
+            got = [r["record_id"] for r in parse_warc_bytes(data[:cut])]
+            assert got == full[:len(got)]
+    # garbage bytes: parse to nothing, no exception
+    assert parse_warc_bytes(b"\x00\x01garbage" * 50) == []
+    assert parse_warc_bytes(b"") == []
+
+
+def test_fixture_matches_golden_manifest():
+    """The checked-in fixtures parse EXACTLY to the writer's golden
+    manifest (tools/gen_warc_fixture.py) — fixture freshness + parser
+    inversion in one assert, no Spark needed."""
+    import hashlib
+
+    want = pq.read_table(GOLDEN).to_pylist()
+    got = []
+    for path in sorted(glob.glob(os.path.join(FIXTURE_DIR, "*"))):
+        for r in parse_warc_bytes(open(path, "rb").read()):
+            got.append({
+                "file": os.path.basename(path), "warc_type": r["warc_type"],
+                "url": r["url"], "date": r["date"],
+                "record_id": r["record_id"], "http_status": r["http_status"],
+                "content_type": r["content_type"],
+                "payload_md5": hashlib.md5(r["payload"]).hexdigest(),
+                "n_bytes": len(r["payload"]),
+            })
+    key = lambda d: (d["file"], d["record_id"])  # noqa: E731
+    assert sorted(got, key=key) == sorted(want, key=key)
+
+
+def test_read_warc_spark_matches_fixture(spark):
+    df = read_warc(spark, FIXTURE_DIR)
+    assert df.count() == pq.read_table(GOLDEN).num_rows
+    row = {r["record_id"]: r for r in df.collect()}["<urn:uuid:r0>"]
+    assert row["url"] == "https://a.example.com/p0"
+    assert row["http_status"] == 200
+    assert row["payload"].startswith(b"<html>")
+
+
+def test_warc_documents_span_equality(spark):
+    """HTML response payloads route through the SAME span decomposition as
+    direct ingest: spans from warc_documents == html_to_spans(payload)."""
+    from smartcrawler_spark.sources.html_ingest import html_to_spans
+
+    recs = read_warc(spark, FIXTURE_DIR)
+    docs = {r["doc_id"]: r["spans"]
+            for r in warc_documents(recs).collect()}
+    # eligible = 200 + text/html + url (an empty-payload revisit record
+    # for p0 is filtered out by status/type rules upstream)
+    raw = {r["url"]: bytes(r["payload"]) for r in recs.filter(
+        "warc_type = 'response' AND http_status = 200 "
+        "AND content_type LIKE 'text/html%'").collect()}
+    assert set(docs) == set(raw)
+    for url, payload in raw.items():
+        want_spans, _ = html_to_spans(payload.decode())
+        got = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+               for s in (docs[url] or [])]
+        want = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                for s in want_spans]
+        assert got == want, url
