@@ -184,10 +184,13 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
     for rec in _parse_records(data):
         f = rec["fields"]
         wtype = f.get("warc-type", "")
-        status = ctype = None
-        payload = rec["block"]
+        status, payload = None, rec["block"]
         if wtype in ("response", "revisit"):
             status, ctype, payload = _split_http(rec["block"])
+        else:
+            # non-HTTP records: the WARC-level Content-Type IS the
+            # payload's type (resource/warcinfo/metadata/request)
+            ctype = f.get("content-type")
         out.append({
             "warc_type": wtype,
             "url": f.get("warc-target-uri"),
@@ -267,3 +270,84 @@ def warc_documents(records: DataFrame) -> DataFrame:
                 F.col("payload").cast("string").alias("html"))
     )
     return parse_html_docs(html)
+
+
+# ---------------------------------------------------------------------------
+# WARC sink (corpus archival)
+# ---------------------------------------------------------------------------
+
+def export_corpus_warc(docs: DataFrame, out_dir: str, date: str,
+                       n_files: int = 8) -> DataFrame:
+    """Archive a span-document corpus as WARC: one `.warc.gz` per output
+    partition, written ON THE EXECUTORS (mapInPandas; no rows pass the
+    driver), each record a `resource` entry whose payload is the doc's
+    span sequence as CANONICAL JSON (sorted keys, fixed separators) —
+    archival fidelity over cosmetics, since the corpus IS spans (the
+    network payload the reference would have archived does not exist in
+    the decomposed data model; input_hint schema). `date` is explicit —
+    same no-wall-clock discipline as the feed source.
+
+    Files are range-partitioned by doc_id, so output bytes are a pure
+    function of (input, date, n_files) — re-exports are byte-stable and
+    `read_warc(out_dir)` + a JSON parse reproduces the exact spans
+    (tests assert the full roundtrip). Returns the per-file manifest
+    (file, n_records, n_bytes)."""
+    import json
+    import os
+
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        recs, first_id = [], None
+        for pdf in batches:
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                if first_id is None:
+                    first_id = str(doc_id)
+                payload = json.dumps(
+                    [{"kind": s["kind"], "text": s["text"],
+                      "media_ref": s["media_ref"], "offset": int(s["offset"])}
+                     for s in (spans if spans is not None else [])],
+                    sort_keys=True, separators=(",", ":")).encode()
+                recs.append(warc_record_bytes(
+                    "resource", str(doc_id), date,
+                    hashlib.md5(str(doc_id).encode()).hexdigest(), payload,
+                    content_type="application/json"))
+        if not recs:
+            return
+        data = write_warc(recs, gzip_members=True)
+        # name by first doc id's md5: deterministic under range
+        # partitioning, no partition-id dependence
+        name = f"part-{hashlib.md5(first_id.encode()).hexdigest()[:12]}.warc.gz"
+        with open(os.path.join(out_dir, name), "wb") as f:
+            f.write(data)
+        yield pd.DataFrame([{"file": name, "n_records": len(recs),
+                             "n_bytes": len(data)}])
+
+    part = docs.select("doc_id", "spans").repartitionByRange(
+        n_files, "doc_id").sortWithinPartitions("doc_id")
+    return part.mapInPandas(gen, "file string, n_records long, n_bytes long")
+
+
+def corpus_from_warc(spark, warc_dir: str) -> DataFrame:
+    """Inverse of export_corpus_warc: resource records -> (doc_id, spans)."""
+    import json
+
+    import pandas as pd
+
+    recs = read_warc(spark, warc_dir).filter(
+        (F.col("warc_type") == "resource")
+        & (F.col("content_type") == "application/json"))
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for url, payload in zip(pdf["url"], pdf["payload"]):
+                rows.append({"doc_id": url,
+                             "spans": json.loads(bytes(payload).decode())})
+            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+
+    schema = ("doc_id string, spans array<struct<kind:string,text:string,"
+              "media_ref:string,offset:int>>")
+    return recs.select("url", "payload").mapInPandas(gen, schema)

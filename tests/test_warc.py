@@ -7,6 +7,7 @@ import glob
 import os
 
 import pyarrow.parquet as pq
+from pyspark.sql import functions as F
 
 from smartcrawler_spark.sources.warc import (
     parse_warc_bytes,
@@ -110,3 +111,46 @@ def test_warc_documents_span_equality(spark):
         want = [(s["kind"], s["text"], s["media_ref"], s["offset"])
                 for s in want_spans]
         assert got == want, url
+
+
+def test_export_corpus_warc_roundtrip(spark):
+    """Archive -> re-ingest is EXACT: corpus_from_warc(export(docs))
+    reproduces every doc's span sequence; export is byte-deterministic."""
+    import tempfile
+
+    from smartcrawler_spark.sources.warc import (
+        corpus_from_warc,
+        export_corpus_warc,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.expr("""array(
+                named_struct('kind','p','text',substr(text,1,40),
+                             'media_ref','','offset',0),
+                named_struct('kind','a','text','next',
+                             'media_ref',concat('/p/', doc_id),'offset',1))
+            """).alias("spans"))
+    d1, d2 = tempfile.mkdtemp(), tempfile.mkdtemp()
+    m1 = export_corpus_warc(docs, d1, "2026-08-17T12:00:00Z", n_files=4)
+    files1 = {r["file"]: (r["n_records"], r["n_bytes"]) for r in m1.collect()}
+    assert sum(n for n, _ in files1.values()) == docs.count()
+
+    back = {r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                          for s in r["spans"]]
+            for r in corpus_from_warc(spark, d1).collect()}
+    want = {r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                          for s in r["spans"]]
+            for r in docs.collect()}
+    assert back == want
+
+    # byte-determinism: a second export writes identical files
+    import hashlib as H
+    import os
+
+    m2 = export_corpus_warc(docs, d2, "2026-08-17T12:00:00Z", n_files=4)
+    m2.collect()
+    h = lambda d: {f: H.md5(open(os.path.join(d, f), 'rb').read()).hexdigest()
+                   for f in os.listdir(d)}  # noqa: E731
+    assert h(d1) == h(d2)

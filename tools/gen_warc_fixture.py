@@ -70,7 +70,7 @@ def build():
         "warcinfo", None, D.format(s=0), "w0", info_block,
         content_type="application/warc-fields"))
     g("sample_0.warc.gz", "warcinfo", None, D.format(s=0), "w0",
-      None, None, info_block)
+      None, "application/warc-fields", info_block)
 
     req_block = (b"GET /p0 HTTP/1.1\r\nHost: a.example.com\r\n"
                  b"User-Agent: graft\r\n\r\n")
@@ -78,7 +78,8 @@ def build():
         "request", "https://a.example.com/p0", D.format(s=1), "q0", req_block,
         content_type="application/http; msgtype=request"))
     g("sample_0.warc.gz", "request", "https://a.example.com/p0",
-      D.format(s=1), "q0", None, None, req_block)
+      D.format(s=1), "q0", None, "application/http; msgtype=request",
+      req_block)
 
     resp0 = [
         ("https://a.example.com/p0", 200, "text/html; charset=utf-8", _html(0)),
@@ -107,7 +108,7 @@ def build():
         "metadata", "https://a.example.com/p0", D.format(s=11), "m0",
         meta_block, content_type="application/warc-fields"))
     g("sample_0.warc.gz", "metadata", "https://a.example.com/p0",
-      D.format(s=11), "m0", None, None, meta_block)
+      D.format(s=11), "m0", None, "application/warc-fields", meta_block)
 
     # ---- sample_1.warc (uncompressed) ------------------------------------
     recs1 = []
