@@ -828,6 +828,26 @@ def q_line_dedup(spark, sf_dir):
     )
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing passage fingerprints (Schleimer et al., SIGMOD 2003):
+    per doc, md5-24bit hash every 8-token gram and keep the rightmost
+    minimum of each 4-hash sliding window — local fingerprints that
+    guarantee any shared passage of >= k+window-1 tokens collides on at
+    least one identical (fp). Pure JVM higher-order functions, no UDF,
+    no shuffle; the DuckDB oracle replays the exact md5/hex arithmetic."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return DD.winnow_fingerprints(docs, k=8, window=4)
+
+
+def q_duplicate_passages(spark, sf_dir):
+    """Per-doc duplicated-passage coverage from winnowing fingerprints:
+    share of a doc's fingerprints selected by >= 2 distinct docs, in
+    integer basis points (float-free gate discipline). Localizes WHICH
+    passages are boilerplate, complementing whole-doc MinHash/SimHash."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return DD.duplicate_passages(docs, k=8, window=4)
+
+
 def q_dedup_minhash(spark, sf_dir):
     """MinHash-LSH near-dup dedup survivors (blake2b production kernel).
     Gated against golden parquet from tools/gen_golden.py (independent
@@ -1088,6 +1108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_clean": q_text_clean,
         "dedup_exact": q_dedup_exact,
         "line_dedup": q_line_dedup,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "duplicate_passages": q_duplicate_passages,
         "feed_entries": q_feed_entries,
         "temperature_mix": q_temperature_mix,
         "dedup_minhash": q_dedup_minhash,
@@ -1789,6 +1811,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, sim
             FROM read_parquet(
                 '/root/repo/fixtures/golden/embedding_near_dup_lsh.parquet')
+        """,
+        "winnow_fingerprints": rf"""
+            WITH toks AS (
+              SELECT doc_id, {words} AS w FROM documents WHERE doc_id < 400
+            ), g AS (
+              SELECT doc_id, len(w) - 8 + 1 AS m, w FROM toks WHERE len(w) > 0
+            ), h AS (
+              SELECT doc_id, m, greatest(m, 1) AS mc,
+                     list_transform(range(1, greatest(m, 1)+1),
+                       i -> CAST(('0x' || substr(md5(array_to_string(w[i:i+7],' ') || '|wf'),1,6)) AS BIGINT)) AS hs
+              FROM g
+            )
+            SELECT DISTINCT doc_id,
+                   j + least(4, mc) - list_position(list_reverse(hs[j:j+3]), list_min(hs[j:j+3])) AS pos,
+                   list_min(hs[j:j+3]) AS fp
+            FROM h, UNNEST(range(1, greatest(m - 4 + 1, 1)+1)) AS t(j)
+        """,
+        "duplicate_passages": rf"""
+            WITH toks AS (
+              SELECT doc_id, {words} AS w FROM documents WHERE doc_id < 400
+            ), g AS (
+              SELECT doc_id, len(w) - 8 + 1 AS m, w FROM toks WHERE len(w) > 0
+            ), h AS (
+              SELECT doc_id, m, greatest(m, 1) AS mc,
+                     list_transform(range(1, greatest(m, 1)+1),
+                       i -> CAST(('0x' || substr(md5(array_to_string(w[i:i+7],' ') || '|wf'),1,6)) AS BIGINT)) AS hs
+              FROM g
+            ), sels AS (
+              SELECT DISTINCT doc_id,
+                     j + least(4, mc) - list_position(list_reverse(hs[j:j+3]), list_min(hs[j:j+3])) AS pos,
+                     list_min(hs[j:j+3]) AS fp
+              FROM h, UNNEST(range(1, greatest(m - 4 + 1, 1)+1)) AS t(j)
+            ), fps AS (SELECT DISTINCT doc_id, fp FROM sels
+            ), shared AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) >= 2)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+                   CAST(count(*) FILTER (fp IN (SELECT fp FROM shared)) AS BIGINT) AS n_shared,
+                   CAST((10000 * count(*) FILTER (fp IN (SELECT fp FROM shared))) // count(*) AS BIGINT) AS share_bp
+            FROM fps GROUP BY doc_id
         """,
         "minhash_lsh_portable": r"""
             WITH toks AS (

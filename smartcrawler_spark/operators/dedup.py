@@ -810,3 +810,97 @@ def line_dedup_corpus(df: DataFrame, text_col: str = "text",
         "n_lines",
         "n_lines_kept",
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing passage fingerprints (Schleimer, Wilkerson & Aiken 2003)
+# ---------------------------------------------------------------------------
+
+def winnow_fingerprints(df: DataFrame, k: int = 8, window: int = 4,
+                        text_col: str = "text", id_col: str = "doc_id"
+                        ) -> DataFrame:
+    """Winnowing (SIGMOD 2003): per document, hash every k-token gram and
+    keep, from each sliding window of `window` consecutive gram hashes,
+    the RIGHTMOST minimum — the classic local-fingerprinting scheme with
+    the guarantee that any shared passage of >= k + window - 1 tokens
+    yields at least one IDENTICAL selected fingerprint in both documents
+    (robust-winnowing tie rule). This is the passage-level complement to
+    the document-level MinHash/SimHash kernels: it localizes WHICH part
+    of a document is duplicated, not just that some of it is.
+
+    Everything runs as one JVM higher-order-function expression per row
+    (no UDF, no shuffle): tokenize -> gram -> md5-24bit hash (the same
+    engine-portable digit arithmetic as the sampling/minhash twins) ->
+    windowed rightmost-argmin via array_position on the reversed slice.
+    Documents shorter than one full window still emit their global-min
+    fingerprint (every non-empty doc is represented). Expression cost is
+    O(tokens * window) per row; output density ~ 2/(window+1) of grams.
+
+    Returns exploded rows (doc_id, pos, fp): pos = 1-based gram index of
+    the selected fingerprint, fp in [0, 2^24). The only downstream
+    shuffle consumers need is groupBy(fp) — bucketable, and hot fps ARE
+    the duplicated passages, collapsed map-side by partial aggregation.
+    """
+    from .sampling import md5_uniform_p24
+
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda t: t != "")
+    m = F.size(toks) - k + 1  # gram count
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    hashes = F.transform(grams, lambda g: md5_uniform_p24(g, salt="wf"))
+    m_c = F.greatest(m, F.lit(1))  # clamped gram count == size(hashes)
+    n_win = F.greatest(m - window + 1, F.lit(1))
+    sels = F.transform(
+        F.sequence(F.lit(1), n_win),
+        lambda j: F.struct(
+            (j + F.least(F.lit(window), m_c) - F.array_position(
+                F.reverse(F.slice(hashes, j, window)),
+                F.array_min(F.slice(hashes, j, window)))).alias("pos"),
+            F.array_min(F.slice(hashes, j, window)).alias("fp"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.when(F.size(toks) > 0, F.array_distinct(sels))
+                  .otherwise(F.array().cast(
+                      "array<struct<pos:long,fp:long>>")).alias("_s"))
+        .select("doc_id", F.explode("_s").alias("s"))
+        .select("doc_id", F.col("s.pos").alias("pos"),
+                F.col("s.fp").alias("fp"))
+    )
+
+
+def duplicate_passages(df: DataFrame, k: int = 8, window: int = 4,
+                       min_docs: int = 2, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Per-document duplicated-passage coverage from winnowing
+    fingerprints: a fingerprint is `shared` when >= min_docs distinct
+    documents selected it; each document reports how much of its
+    fingerprint set is shared (integer basis points — the float-free
+    gate discipline). High share_bp = document is mostly boilerplate /
+    mirrored passages even if no OTHER whole-document kernel fires.
+
+    Shape: fingerprint rows -> groupBy(fp) distinct-doc count (map-side
+    partials; hot fps are exactly the duplicates) -> broadcast-or-
+    shuffle semi back -> groupBy(doc_id). Returns
+    (doc_id, n_fp, n_shared, share_bp)."""
+    fps = winnow_fingerprints(df, k=k, window=window,
+                              text_col=text_col, id_col=id_col
+                              ).select("doc_id", "fp").distinct()
+    shared = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_nd"))  # fps already doc-distinct
+        .filter(F.col("_nd") >= min_docs)
+        .select("fp", F.lit(True).alias("_shared"))
+    )
+    marked = fps.join(shared, "fp", "left")
+    return (
+        marked.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_fp"),
+             F.sum(F.when(F.col("_shared"), 1).otherwise(0)).alias("n_shared"))
+        .select("doc_id", "n_fp", "n_shared",
+                F.expr("(10000 * n_shared) div n_fp").alias("share_bp"))
+    )

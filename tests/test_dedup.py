@@ -164,3 +164,77 @@ def test_minhash_portable_on_testdata(spark, sf_dir):
         for r in DD.minhash_lsh_pairs_portable(docs, num_perm=8, band_rows=2).collect()
     }
     assert got == _portable_minhash_pairs(rows)
+
+
+# ---------------------------------------------------------------------------
+# winnowing (Schleimer et al. 2003)
+# ---------------------------------------------------------------------------
+
+def _py_winnow(text, k=8, window=4):
+    import hashlib
+    import re
+
+    toks = [t for t in re.split(r"\s+", text.lower()) if t]
+    if not toks:
+        return set()
+    m = max(len(toks) - k + 1, 1)
+    grams = [" ".join(toks[i:i + k]) for i in range(m)]
+    hs = [int(hashlib.md5(f"{g}|wf".encode()).hexdigest()[:6], 16)
+          for g in grams]
+    sels = set()
+    n_win = max(m - window + 1, 1)
+    for j in range(n_win):
+        win = hs[j:j + window]
+        minv = min(win)
+        # rightmost minimum (robust winnowing tie rule)
+        pos = j + max(i for i, h in enumerate(win) if h == minv)
+        sels.add((pos + 1, minv))  # 1-based
+    return sels
+
+
+def test_winnow_fingerprints_matches_python_oracle(spark):
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "completely different content with no overlap at all here now"),
+        (3, "short doc"),
+        (4, ""),
+        (5, "word " * 30 + "tail"),
+        (6, "prefix unique part the quick brown fox jumps over the lazy "
+            "dog again and again suffix unique"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {}
+    for r in DD.winnow_fingerprints(df, k=8, window=4).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    for i, t in texts:
+        want = _py_winnow(t, 8, 4)
+        assert got.get(i, set()) == want, i
+    # guarantee: identical docs share ALL fingerprints; a >= k+window-1
+    # token shared passage yields at least one common fingerprint
+    assert got[0] == got[1]
+    assert got[0] & got.get(6, set()) == set() or True  # pos differs...
+    fps0 = {fp for _, fp in got[0]}
+    fps6 = {fp for _, fp in got[6]}
+    assert fps0 & fps6, "shared passage must collide on some fingerprint"
+    assert not ({fp for _, fp in got[2]} & fps0)
+
+
+def test_duplicate_passages_rollup(spark):
+    texts = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu"),
+        (2, "nothing in common with those documents whatsoever in any "
+            "way shape or form"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            DD.duplicate_passages(df, k=8, window=4).collect()}
+    # identical docs: every fingerprint shared -> 10000 bp
+    assert rows[0]["share_bp"] == 10000
+    assert rows[1]["share_bp"] == 10000
+    assert rows[0]["n_fp"] == rows[0]["n_shared"] > 0
+    # unrelated doc: nothing shared
+    assert rows[2]["n_shared"] == 0 and rows[2]["share_bp"] == 0
