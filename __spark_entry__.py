@@ -32,6 +32,7 @@ from smartcrawler_spark.functions import urls as U
 from smartcrawler_spark.operators import dedup as DD
 from smartcrawler_spark.operators import frontier as FR
 from smartcrawler_spark.operators import similarity as SIM
+from smartcrawler_spark.operators import sketches as SK
 
 DEFAULT_SF = "/root/testdata/sf0.001"
 
@@ -848,6 +849,16 @@ def q_duplicate_passages(spark, sf_dir):
     return DD.duplicate_passages(docs, k=8, window=4)
 
 
+def q_hll_registers(spark, sf_dir):
+    """HyperLogLog register table per source (operators.sketches): md5-48bit
+    hash -> top-8-bit register routing -> leading-zero rank, aggregated by
+    groupBy(source, bucket).max(rho) — the mergeable, bounded-size distinct
+    sketch (keys x 256 rows out regardless of input rows). All-integer
+    output; the float estimate is consumer-side (pytest-verified)."""
+    docs = _t(spark, sf_dir, "documents")
+    return SK.hll_registers(docs, ["source"], "doc_id", b=8, nbits=48)
+
+
 def q_dedup_minhash(spark, sf_dir):
     """MinHash-LSH near-dup dedup survivors (blake2b production kernel).
     Gated against golden parquet from tools/gen_golden.py (independent
@@ -1110,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "winnow_fingerprints": q_winnow_fingerprints,
         "duplicate_passages": q_duplicate_passages,
+        "hll_registers": q_hll_registers,
         "feed_entries": q_feed_entries,
         "temperature_mix": q_temperature_mix,
         "dedup_minhash": q_dedup_minhash,
@@ -1811,6 +1823,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, sim
             FROM read_parquet(
                 '/root/repo/fixtures/golden/embedding_near_dup_lsh.parquet')
+        """,
+        "hll_registers": r"""
+            WITH u AS (
+              SELECT source,
+                     CAST(('0x' || substr(md5(doc_id::VARCHAR || '|hll'),1,12)) AS BIGINT) AS h
+              FROM documents
+            ), r AS (
+              SELECT source, h // 1099511627776 AS bucket, h % 1099511627776 AS tail
+              FROM u
+            )
+            SELECT source, bucket,
+                   max(CASE WHEN tail = 0 THEN 41
+                            ELSE 41 - length(bin(tail)) END) AS max_rho
+            FROM r GROUP BY source, bucket
         """,
         "winnow_fingerprints": rf"""
             WITH toks AS (

@@ -98,9 +98,20 @@ def md5_uniform_p24(col: Column, salt: str = "ws") -> Column:
     hex digits of `id|salt` — the same engine-portable discipline as
     md5_bucket (md5 + substring + ascii arithmetic only), with 24 bits of
     resolution so sampling rates down to ~6e-8 stay expressible."""
+    return md5_uniform_bits(col, salt=salt, nbits=24)
+
+
+def md5_uniform_bits(col: Column, salt: str = "ws", nbits: int = 24) -> Column:
+    """Deterministic uniform LONG in [0, 2^nbits) from the first nbits/4
+    md5 hex digits of `value|salt` — md5 + substring + ascii arithmetic
+    only, so any engine (DuckDB: CAST('0x'||substr(md5(..),1,n) AS
+    BIGINT)) replays it bit-exactly. nbits must be a multiple of 4 and
+    <= 60 (stays comfortably inside a signed 64-bit long)."""
+    if nbits % 4 or not 0 < nbits <= 60:
+        raise ValueError("nbits must be a multiple of 4 in (0, 60]")
     h = F.md5(F.concat(col.cast("string"), F.lit("|" + salt)))
-    v = F.lit(0)
-    for i in range(6):
+    v = F.lit(0).cast("long")
+    for i in range(nbits // 4):
         v = v * 16 + _hex_val(F.substring(h, i + 1, 1))
     return v
 

@@ -1,0 +1,129 @@
+"""Distributed cardinality sketches (HyperLogLog) in engine-portable
+integer arithmetic.
+
+A 100 TB crawl needs per-key distinct counts everywhere — distinct URLs
+per host for budget planning, distinct docs per source for mixing
+weights, distinct fingerprints per shard for dedup telemetry — and exact
+`count(distinct)` shuffles every value.  HyperLogLog (Flajolet et al.
+2007) replaces that with m = 2^b integer registers per key: hash each
+value, route it to register `bucket` = top b bits, record rho = number
+of leading zeros of the remaining w = nbits-b bits, plus one; the
+per-key register vector is `groupBy(key, bucket).agg(max(rho))` — fully
+map-side-combinable, mergeable across partitions / days / clusters by
+plain `max`, and its size is bounded by m per key no matter how many
+values stream through.
+
+The hash is the repo's engine-portable md5 discipline (md5 -> first
+nbits/4 hex digits -> integer; see operators/sampling.md5_uniform_bits),
+default nbits=48: supports ~10^12 distinct values before hash-collision
+saturation, and a DuckDB oracle replays every register bit-exactly —
+the register table itself is the all-integer driver gate, while the
+float estimate stays a consumer-side function.
+
+Scale notes: the only shuffle is the (key, bucket) groupBy, whose
+cardinality is keys x m regardless of input rows; partial max-agg
+collapses each executor's contribution to <= m rows per key before the
+exchange.  No reference analog (this is a pipeline extension beyond
+/root/reference/src — the Rust engine keeps exact HashSets,
+storage.rs:78-150, which cannot scale past memory).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .sampling import md5_uniform_bits
+
+__all__ = [
+    "hll_registers",
+    "hll_estimate",
+    "hll_merge",
+    "hll_estimate_py",
+]
+
+
+def _alpha(m: int) -> float:
+    """HLL bias-correction constant (Flajolet et al. 2007, Fig. 3)."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_registers(df: DataFrame, key_cols: list[str], value_col: str,
+                  b: int = 8, nbits: int = 48, salt: str = "hll"
+                  ) -> DataFrame:
+    """Per-key HLL register table: (key..., bucket, max_rho), all
+    integers.  bucket in [0, 2^b); max_rho in [1, nbits-b+1].  Absent
+    (key, bucket) rows mean register value 0.  This IS the sketch:
+    union register tables from any number of runs and re-`hll_merge`
+    them — max is associative, so sketches compose across partitions,
+    snapshots, and clusters with no precision loss."""
+    if not 2 <= b <= 14 or nbits - b < 8:
+        raise ValueError("need 2 <= b <= 14 and nbits - b >= 8")
+    w = nbits - b
+    u = md5_uniform_bits(F.col(value_col), salt=salt, nbits=nbits)
+    bucket = F.shiftright(u, w)
+    tail = u.bitwiseAND(F.lit((1 << w) - 1).cast("long"))
+    rho = (
+        F.when(tail == 0, F.lit(w + 1).cast("long"))
+        .otherwise(F.lit(w + 1) - F.length(F.bin(tail)))
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())  # count(distinct) parity
+        .select(*key_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*key_cols, "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_merge(regs: DataFrame, *more: DataFrame) -> DataFrame:
+    """Merge register tables (same key_cols/b/nbits/salt): union +
+    per-register max.  Lossless — merge(sketch(A), sketch(B)) is
+    bit-identical to sketch(A UNION ALL B)."""
+    out = regs
+    for r in more:
+        out = out.unionByName(r)
+    keys = [c for c in out.columns if c != "max_rho"]
+    return out.groupBy(*keys).agg(F.max("max_rho").alias("max_rho"))
+
+
+def hll_estimate(regs: DataFrame, key_cols: list[str], b: int = 8,
+                 nbits: int = 48) -> DataFrame:
+    """Cardinality estimate per key from a register table (consumer-side
+    floats; the gate stays on the integer registers).  Standard HLL
+    estimator with the small-range linear-counting correction:
+    E = alpha_m * m^2 / (V + sum 2^-M_j); if E <= 2.5m and V > 0,
+    E = m * ln(m / V), where V = number of zero registers.  Relative
+    std error ~ 1.04 / sqrt(m)."""
+    m = 1 << b
+    am = _alpha(m)
+    agg = regs.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("_present"),
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("_inv"),
+    )
+    v = F.lit(m) - F.col("_present")  # zero registers
+    raw = F.lit(am * m * m) / (F.col("_inv") + v.cast("double"))
+    est = F.when(
+        (raw <= 2.5 * m) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(raw)
+    return agg.select(*key_cols, est.alias("estimate"))
+
+
+def hll_estimate_py(registers: dict[int, int], b: int = 8) -> float:
+    """Pure-Python estimator over {bucket: max_rho} — the oracle twin of
+    `hll_estimate` for tests and driver-side spot checks."""
+    m = 1 << b
+    inv = sum(2.0 ** -r for r in registers.values()) + (m - len(registers))
+    raw = _alpha(m) * m * m / inv
+    v = m - len(registers)
+    if raw <= 2.5 * m and v > 0:
+        return m * math.log(m / v)
+    return raw

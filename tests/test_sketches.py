@@ -1,0 +1,80 @@
+"""HyperLogLog register/estimator tests vs a pure-Python oracle."""
+
+import hashlib
+import math
+
+import pytest
+
+import smartcrawler_spark.operators.sketches as SK
+
+
+def _py_registers(values, b=8, nbits=48, salt="hll"):
+    """Independent register oracle: md5 -> first nbits/4 hex digits."""
+    m_mask = (1 << (nbits - b)) - 1
+    regs = {}
+    for v in values:
+        u = int(hashlib.md5(f"{v}|{salt}".encode()).hexdigest()
+                [: nbits // 4], 16)
+        bucket = u >> (nbits - b)
+        tail = u & m_mask
+        w = nbits - b
+        rho = w + 1 if tail == 0 else w - tail.bit_length() + 1
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    return regs
+
+
+def test_hll_registers_match_python_oracle(spark):
+    rows = [(("h%d" % (i % 3)), "val-%d" % i) for i in range(500)]
+    df = spark.createDataFrame(rows, "host string, url string")
+    got = {}
+    for r in SK.hll_registers(df, ["host"], "url", b=6).collect():
+        got.setdefault(r["host"], {})[r["bucket"]] = r["max_rho"]
+    for h in ("h0", "h1", "h2"):
+        vals = [u for hh, u in rows if hh == h]
+        assert got[h] == _py_registers(vals, b=6)
+
+
+def test_hll_merge_is_lossless(spark):
+    rows = [("k", "v-%d" % i) for i in range(400)]
+    df = spark.createDataFrame(rows, "k string, v string")
+    whole = {(r["k"], r["bucket"]): r["max_rho"]
+             for r in SK.hll_registers(df, ["k"], "v").collect()}
+    a = SK.hll_registers(df.limit(150), ["k"], "v")
+    b = SK.hll_registers(df.subtract(df.limit(150)), ["k"], "v")
+    merged = {(r["k"], r["bucket"]): r["max_rho"]
+              for r in SK.hll_merge(a, b).collect()}
+    assert merged == whole
+
+
+@pytest.mark.parametrize("n", [80, 1200, 6000])
+def test_hll_estimate_accuracy(spark, n):
+    df = spark.createDataFrame(
+        [("k", "item-%d" % i) for i in range(n)], "k string, v string")
+    regs = SK.hll_registers(df, ["k"], "v", b=8)
+    est = SK.hll_estimate(regs, ["k"], b=8).collect()[0]["estimate"]
+    # m=256 -> rel std err ~6.5%; allow 4 sigma
+    assert abs(est - n) / n < 4 * 1.04 / math.sqrt(256)
+    # spark estimator == python estimator on the same registers
+    py = SK.hll_estimate_py(
+        {r["bucket"]: r["max_rho"] for r in regs.collect()}, b=8)
+    assert est == pytest.approx(py, rel=1e-9)
+
+
+def test_hll_estimate_exact_small_range(spark):
+    # linear counting regime: tiny cardinalities come out near-exact
+    df = spark.createDataFrame(
+        [("k", "x-%d" % i) for i in range(5)], "k string, v string")
+    regs = SK.hll_registers(df, ["k"], "v", b=8)
+    est = SK.hll_estimate(regs, ["k"], b=8).collect()[0]["estimate"]
+    assert abs(est - 5) < 1.0
+
+
+def test_hll_duplicates_do_not_move_registers(spark):
+    base = [("k", "u-%d" % i) for i in range(300)]
+    df1 = spark.createDataFrame(base, "k string, v string")
+    df2 = spark.createDataFrame(base * 5, "k string, v string")
+    r1 = {(r["bucket"], r["max_rho"])
+          for r in SK.hll_registers(df1, ["k"], "v").collect()}
+    r2 = {(r["bucket"], r["max_rho"])
+          for r in SK.hll_registers(df2, ["k"], "v").collect()}
+    assert r1 == r2
