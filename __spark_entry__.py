@@ -859,6 +859,16 @@ def q_hll_registers(spark, sf_dir):
     return SK.hll_registers(docs, ["source"], "doc_id", b=8, nbits=48)
 
 
+def q_cms_registers(spark, sf_dir):
+    """Count-min frequency sketch per lang (operators.sketches): 4 x 64
+    integer counters over the source column — bounded-exchange hot-item
+    counting (counter rows <= keys x depth x width no matter the input);
+    mergeable by SUM. Point queries are consumer-side (pytest: one-sided
+    guarantee + eps*N bound)."""
+    docs = _t(spark, sf_dir, "documents")
+    return SK.cms_registers(docs, ["lang"], "source", depth=4, width=64)
+
+
 def q_dedup_minhash(spark, sf_dir):
     """MinHash-LSH near-dup dedup survivors (blake2b production kernel).
     Gated against golden parquet from tools/gen_golden.py (independent
@@ -1122,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "duplicate_passages": q_duplicate_passages,
         "hll_registers": q_hll_registers,
+        "cms_registers": q_cms_registers,
         "feed_entries": q_feed_entries,
         "temperature_mix": q_temperature_mix,
         "dedup_minhash": q_dedup_minhash,
@@ -1837,6 +1848,16 @@ def oracle_sql() -> dict[str, str]:
                    max(CASE WHEN tail = 0 THEN 41
                             ELSE 41 - length(bin(tail)) END) AS max_rho
             FROM r GROUP BY source, bucket
+        """,
+        "cms_registers": r"""
+            WITH e AS (
+              SELECT lang, d,
+                     CAST(('0x' || substr(md5(source || '|cms' || d::VARCHAR),1,6)) AS BIGINT) % 64 AS col
+              FROM documents, UNNEST(range(4)) AS t(d)
+              WHERE source IS NOT NULL
+            )
+            SELECT lang, d, col, CAST(count(*) AS BIGINT) AS count
+            FROM e GROUP BY lang, d, col
         """,
         "winnow_fingerprints": rf"""
             WITH toks AS (

@@ -42,6 +42,10 @@ __all__ = [
     "hll_estimate",
     "hll_merge",
     "hll_estimate_py",
+    "cms_registers",
+    "cms_merge",
+    "cms_estimate",
+    "cms_query_py",
 ]
 
 
@@ -127,3 +131,97 @@ def hll_estimate_py(registers: dict[int, int], b: int = 8) -> float:
     if raw <= 2.5 * m and v > 0:
         return m * math.log(m / v)
     return raw
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+def cms_registers(df: DataFrame, key_cols: list[str], value_col: str,
+                  depth: int = 4, width: int = 256, salt: str = "cms",
+                  weight: Column | None = None) -> DataFrame:
+    """Count-min frequency sketch per key: depth x width integer counters,
+    counter[d][h_d(v) % width] += weight (default 1) for each of `depth`
+    independent md5-salted hash rows.  Output (key..., d, col, count) —
+    at most keys x depth x width rows regardless of input size, built by
+    one groupBy with map-side partial sums, mergeable across runs /
+    partitions by plain SUM (lossless, tested).  Point-frequency queries
+    (`cms_query_py` / `cms_estimate`) take min over depth: never an
+    underestimate, overestimate bounded by e/width x total_weight with
+    probability 1 - e^-depth — the standard CMS guarantee.
+
+    Use for hot-URL / hot-term detection where exact per-value counts
+    would shuffle every distinct value: the exchange here is bounded by
+    the sketch dimensions, not the data."""
+    if depth < 1 or width < 2:
+        raise ValueError("need depth >= 1 and width >= 2")
+    w_col = (weight if weight is not None else F.lit(1)).cast("long")
+    rows = df.filter(F.col(value_col).isNotNull()).select(
+        *key_cols,
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(d).alias("d"),
+                (md5_uniform_bits(F.col(value_col),
+                                  salt=f"{salt}{d}", nbits=24)
+                 % width).alias("col"),
+            ) for d in range(depth)
+        ])).alias("s"),
+        w_col.alias("_w"),
+    )
+    return (
+        rows.groupBy(*key_cols, F.col("s.d").alias("d"),
+                     F.col("s.col").alias("col"))
+        .agg(F.sum("_w").alias("count"))
+    )
+
+
+def cms_merge(regs: DataFrame, *more: DataFrame) -> DataFrame:
+    """Merge CMS register tables (same dims/salt): union + per-counter
+    SUM — bit-identical to sketching the concatenated input."""
+    out = regs
+    for r in more:
+        out = out.unionByName(r)
+    keys = [c for c in out.columns if c != "count"]
+    return out.groupBy(*keys).agg(F.sum("count").alias("count"))
+
+
+def cms_estimate(regs: DataFrame, probes: DataFrame, key_cols: list[str],
+                 value_col: str, depth: int = 4, width: int = 256,
+                 salt: str = "cms") -> DataFrame:
+    """Estimated frequency for each (key, probe value): min over depth of
+    the probed counters; absent counters read 0.  The probe side carries
+    only (key, value, d, col) longs through a join on the bounded
+    register table — broadcastable whenever keys x depth x width is
+    dimension-sized.  Returns (key..., value, est)."""
+    p = probes.filter(F.col(value_col).isNotNull()).select(
+        *key_cols, F.col(value_col).alias("value"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(d).alias("d"),
+                (md5_uniform_bits(F.col(value_col),
+                                  salt=f"{salt}{d}", nbits=24)
+                 % width).alias("col"),
+            ) for d in range(depth)
+        ])).alias("s"),
+    ).select(*key_cols, "value", "s.d", "s.col")
+    joined = p.join(regs, [*key_cols, "d", "col"], "left")
+    return (
+        joined.groupBy(*key_cols, "value")
+        .agg(F.min(F.coalesce(F.col("count"), F.lit(0))).alias("est"))
+    )
+
+
+def cms_query_py(registers: dict[tuple[int, int], int], value,
+                 depth: int = 4, width: int = 256, salt: str = "cms"
+                 ) -> int:
+    """Pure-Python point query over {(d, col): count} — oracle twin of
+    `cms_estimate`."""
+    import hashlib
+
+    est = None
+    for d in range(depth):
+        u = int(hashlib.md5(f"{value}|{salt}{d}".encode()).hexdigest()[:6],
+                16)
+        c = registers.get((d, u % width), 0)
+        est = c if est is None else min(est, c)
+    return est or 0

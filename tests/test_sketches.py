@@ -78,3 +78,77 @@ def test_hll_duplicates_do_not_move_registers(spark):
     r2 = {(r["bucket"], r["max_rho"])
           for r in SK.hll_registers(df2, ["k"], "v").collect()}
     assert r1 == r2
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+def _py_cms(values, depth=4, width=64, salt="cms"):
+    regs = {}
+    for v in values:
+        for d in range(depth):
+            u = int(hashlib.md5(f"{v}|{salt}{d}".encode()).hexdigest()[:6],
+                    16)
+            key = (d, u % width)
+            regs[key] = regs.get(key, 0) + 1
+    return regs
+
+
+def test_cms_registers_match_python_oracle(spark):
+    vals = ["u-%d" % (i % 40) for i in range(600)]  # skewed: 15 each
+    df = spark.createDataFrame([("k", v) for v in vals], "k string, v string")
+    got = {(r["d"], r["col"]): r["count"]
+           for r in SK.cms_registers(df, ["k"], "v", depth=4,
+                                     width=64).collect()}
+    assert got == _py_cms(vals, 4, 64)
+
+
+def test_cms_estimate_never_underestimates(spark):
+    from collections import Counter
+    vals = (["hot"] * 200 + ["warm"] * 50
+            + ["u-%d" % i for i in range(300)])
+    truth = Counter(vals)
+    df = spark.createDataFrame([("k", v) for v in vals], "k string, v string")
+    regs = SK.cms_registers(df, ["k"], "v", depth=4, width=256)
+    probes = spark.createDataFrame(
+        [("k", v) for v in truth], "k string, v string")
+    est = {r["value"]: r["est"]
+           for r in SK.cms_estimate(regs, probes, ["k"], "v",
+                                    depth=4, width=256).collect()}
+    for v, n in truth.items():
+        assert est[v] >= n, v                       # one-sided guarantee
+        assert est[v] <= n + len(vals) // 16, v     # loose eps*N bound
+    # hot item clearly separated
+    assert est["hot"] >= 200 and est["hot"] < 250
+    # spark estimate == python oracle query on the same registers
+    py_regs = {(r["d"], r["col"]): r["count"] for r in regs.collect()}
+    for v in ("hot", "warm", "u-0"):
+        assert est[v] == SK.cms_query_py(py_regs, v, 4, 256)
+
+
+def test_cms_merge_is_lossless(spark):
+    vals = [("k", i, "v-%d" % (i % 30)) for i in range(400)]
+    df = spark.createDataFrame(vals, "k string, i long, v string")
+    whole = {(r["k"], r["d"], r["col"]): r["count"]
+             for r in SK.cms_registers(df, ["k"], "v").collect()}
+    a = SK.cms_registers(df.filter("i % 3 = 0"), ["k"], "v")
+    b = SK.cms_registers(df.filter("i % 3 != 0"), ["k"], "v")
+    merged = {(r["k"], r["d"], r["col"]): r["count"]
+              for r in SK.cms_merge(a, b).collect()}
+    assert merged == whole
+
+
+def test_cms_weighted(spark):
+    import pyspark.sql.functions as F
+    df = spark.createDataFrame(
+        [("k", "a", 7), ("k", "a", 3), ("k", "b", 5)],
+        "k string, v string, w long")
+    regs = SK.cms_registers(df, ["k"], "v", depth=2, width=32,
+                            weight=F.col("w"))
+    probes = spark.createDataFrame([("k", "a"), ("k", "b")],
+                                   "k string, v string")
+    est = {r["value"]: r["est"]
+           for r in SK.cms_estimate(regs, probes, ["k"], "v",
+                                    depth=2, width=32).collect()}
+    assert est["a"] >= 10 and est["b"] >= 5
