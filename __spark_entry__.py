@@ -869,6 +869,25 @@ def q_cms_registers(spark, sf_dir):
     return SK.cms_registers(docs, ["lang"], "source", depth=4, width=64)
 
 
+def q_kmv_registers(spark, sf_dir):
+    """K-minimum-values sketch per source over text fingerprints
+    (operators.sketches): the 32 smallest distinct md5-48bit hashes —
+    supports distinct estimates AND set operations (union/intersection),
+    which HLL cannot. Two-phase salted top-k, skew-safe."""
+    docs = _t(spark, sf_dir, "documents").withColumn("fp", F.md5("text"))
+    return SK.kmv_registers(docs, ["source"], "fp", k=32)
+
+
+def q_kmv_overlap(spark, sf_dir):
+    """Pairwise corpus-overlap estimate between sources from KMV sketches:
+    k smallest hashes of sketch(a) UNION sketch(b), count in both —
+    n_common/k_used estimates Jaccard(A,B). All-integer, dimension-sized
+    (2*k*S^2 longs regardless of corpus size)."""
+    docs = _t(spark, sf_dir, "documents").withColumn("fp", F.md5("text"))
+    regs = SK.kmv_registers(docs, ["source"], "fp", k=32)
+    return SK.kmv_overlap_pairs(regs, "source", k=32)
+
+
 def q_dedup_minhash(spark, sf_dir):
     """MinHash-LSH near-dup dedup survivors (blake2b production kernel).
     Gated against golden parquet from tools/gen_golden.py (independent
@@ -1133,6 +1152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_passages": q_duplicate_passages,
         "hll_registers": q_hll_registers,
         "cms_registers": q_cms_registers,
+        "kmv_registers": q_kmv_registers,
+        "kmv_overlap": q_kmv_overlap,
         "feed_entries": q_feed_entries,
         "temperature_mix": q_temperature_mix,
         "dedup_minhash": q_dedup_minhash,
@@ -1858,6 +1879,47 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT lang, d, col, CAST(count(*) AS BIGINT) AS count
             FROM e GROUP BY lang, d, col
+        """,
+        "kmv_registers": r"""
+            WITH h AS (
+              SELECT DISTINCT source,
+                     CAST(('0x' || substr(md5(md5(text) || '|kmv'),1,12)) AS BIGINT) AS hash
+              FROM documents WHERE text IS NOT NULL
+            ), r AS (
+              SELECT source, hash,
+                     row_number() OVER (PARTITION BY source ORDER BY hash) AS pos
+              FROM h
+            )
+            SELECT source, pos, hash FROM r WHERE pos <= 32
+        """,
+        "kmv_overlap": r"""
+            WITH h AS (
+              SELECT DISTINCT source,
+                     CAST(('0x' || substr(md5(md5(text) || '|kmv'),1,12)) AS BIGINT) AS hash
+              FROM documents WHERE text IS NOT NULL
+            ), r AS (
+              SELECT source, hash,
+                     row_number() OVER (PARTITION BY source ORDER BY hash) AS pos
+              FROM h
+            ), regs AS (
+              SELECT source, hash FROM r WHERE pos <= 32
+            ), keys AS (SELECT DISTINCT source FROM regs
+            ), memb AS (
+              SELECT x.source AS a, k.source AS b, x.hash, 1 AS in_a, 0 AS in_b
+              FROM regs x JOIN keys k ON x.source < k.source
+              UNION ALL
+              SELECT k.source AS a, y.source AS b, y.hash, 0 AS in_a, 1 AS in_b
+              FROM regs y JOIN keys k ON k.source < y.source
+            ), uni AS (
+              SELECT a, b, hash, max(in_a) AS in_a, max(in_b) AS in_b
+              FROM memb GROUP BY a, b, hash
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY a, b ORDER BY hash) AS rn
+              FROM uni
+            )
+            SELECT a, b, CAST(count(*) AS BIGINT) AS k_used,
+                   CAST(sum(in_a * in_b) AS BIGINT) AS n_common
+            FROM ranked WHERE rn <= 32 GROUP BY a, b
         """,
         "winnow_fingerprints": rf"""
             WITH toks AS (

@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .sampling import md5_uniform_bits
@@ -46,6 +46,9 @@ __all__ = [
     "cms_merge",
     "cms_estimate",
     "cms_query_py",
+    "kmv_registers",
+    "kmv_estimate_py",
+    "kmv_overlap_pairs",
 ]
 
 
@@ -225,3 +228,93 @@ def cms_query_py(registers: dict[tuple[int, int], int], value,
         c = registers.get((d, u % width), 0)
         est = c if est is None else min(est, c)
     return est or 0
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch (Bar-Yossef et al. 2002 / Beyer et al. 2007) + corpus overlap
+# ---------------------------------------------------------------------------
+
+def kmv_registers(df: DataFrame, key_cols: list[str], value_col: str,
+                  k: int = 64, nbits: int = 48, salt: str = "kmv",
+                  n_salts: int = 32) -> DataFrame:
+    """K-minimum-values sketch per key: the k smallest DISTINCT md5-nbits
+    hashes of the value column, as (key..., pos, hash) with pos = 1-based
+    rank.  Distinct estimate = (k-1) * 2^nbits / hash_k; unlike HLL, KMV
+    sketches also support SET operations (union = k smallest of the
+    merged lists; intersection via `kmv_overlap_pairs`), which is what
+    cross-corpus overlap measurement needs.
+
+    Shuffle discipline: dropDuplicates on (key, hash) is the one
+    full-width exchange (unavoidable for exact k-min of distincts), then
+    a two-phase salted top-k — rank within (key, hash%n_salts) first, so
+    a single hot key spreads over n_salts reducers and the final
+    per-key window sees at most n_salts*k rows, never the raw
+    distribution (the politeness_topk skew pattern)."""
+    u = md5_uniform_bits(F.col(value_col), salt=salt, nbits=nbits)
+    hashes = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*key_cols, u.alias("hash"))
+        .dropDuplicates([*key_cols, "hash"])
+    )
+    w1 = (
+        Window.partitionBy(*key_cols, F.col("hash") % n_salts)
+        .orderBy("hash")
+    )
+    cand = (
+        hashes.withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy("hash")
+    return (
+        cand.withColumn("pos", F.row_number().over(w2).cast("long"))
+        .filter(F.col("pos") <= k)
+        .select(*key_cols, "pos", "hash")
+    )
+
+
+def kmv_estimate_py(hashes: list[int], k: int = 64, nbits: int = 48
+                    ) -> float:
+    """Distinct-count estimate from a KMV hash list (oracle twin): if the
+    sketch is unsaturated (< k hashes) the count is exact; else
+    (k-1) * 2^nbits / kth_smallest."""
+    hs = sorted(hashes)
+    if len(hs) < k:
+        return float(len(hs))
+    return (k - 1) * float(1 << nbits) / hs[k - 1]
+
+
+def kmv_overlap_pairs(regs: DataFrame, key_col: str, k: int = 64
+                      ) -> DataFrame:
+    """Pairwise corpus overlap from KMV register tables: for every key
+    pair a < b, take the k smallest hashes of sketch(a) UNION sketch(b)
+    and count how many of those appear in BOTH sketches — n_common / k
+    estimates Jaccard(A, B) (Beyer et al. 2007).  Returns all-integer
+    (a, b, k_used, n_common); divide consumer-side.
+
+    Everything here is dimension-sized: with S keys the working set is
+    2*k*S^2 rows of longs, independent of corpus size — the corpus was
+    compressed into the sketches already."""
+    ka = regs.select(F.col(key_col).alias("a"), "hash")
+    kb = regs.select(F.col(key_col).alias("b"), "hash")
+    keys = regs.select(F.col(key_col).alias("_k")).distinct()
+    # membership rows for every ordered pair (a < b)
+    left = ka.join(keys, ka["a"] < keys["_k"]).select(
+        "a", F.col("_k").alias("b"), "hash", F.lit(1).alias("in_a"),
+        F.lit(0).alias("in_b"))
+    right = kb.join(keys, keys["_k"] < kb["b"]).select(
+        F.col("_k").alias("a"), "b", "hash", F.lit(0).alias("in_a"),
+        F.lit(1).alias("in_b"))
+    uni = (
+        left.unionByName(right)
+        .groupBy("a", "b", "hash")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("a", "b").orderBy("hash")
+    topk = uni.withColumn("_r", F.row_number().over(w)).filter(
+        F.col("_r") <= k)
+    return (
+        topk.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("k_used"),
+             F.sum(F.col("in_a") * F.col("in_b")).alias("n_common"))
+    )

@@ -152,3 +152,63 @@ def test_cms_weighted(spark):
            for r in SK.cms_estimate(regs, probes, ["k"], "v",
                                     depth=2, width=32).collect()}
     assert est["a"] >= 10 and est["b"] >= 5
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch + corpus overlap
+# ---------------------------------------------------------------------------
+
+def _py_kmv(values, k=64, nbits=48, salt="kmv"):
+    hs = sorted({int(hashlib.md5(f"{v}|{salt}".encode()).hexdigest()
+                     [: nbits // 4], 16) for v in values})
+    return hs[:k]
+
+
+def test_kmv_registers_match_python_oracle(spark):
+    rows = [("s%d" % (i % 2), "v-%d" % i) for i in range(300)]
+    df = spark.createDataFrame(rows, "src string, v string")
+    got = {}
+    for r in SK.kmv_registers(df, ["src"], "v", k=16).collect():
+        got.setdefault(r["src"], []).append((r["pos"], r["hash"]))
+    for s in ("s0", "s1"):
+        vals = [v for src, v in rows if src == s]
+        want = [(i + 1, h) for i, h in enumerate(_py_kmv(vals, k=16))]
+        assert sorted(got[s]) == want
+
+
+def test_kmv_estimate(spark):
+    # unsaturated: exact; saturated: within 4 sigma (~1/sqrt(k-2))
+    import math
+    for n, k in [(10, 64), (5000, 64)]:
+        df = spark.createDataFrame(
+            [("k", "item-%d" % i) for i in range(n)], "k string, v string")
+        hs = [r["hash"]
+              for r in SK.kmv_registers(df, ["k"], "v", k=k).collect()]
+        est = SK.kmv_estimate_py(hs, k=k)
+        if n < k:
+            assert est == n
+        else:
+            assert abs(est - n) / n < 4 / math.sqrt(k - 2)
+
+
+def test_kmv_overlap_pairs(spark):
+    # A = 0..999, B = 500..1499 (J = 1/3), C = A (J = 1), D disjoint
+    rows = ([("A", "x-%d" % i) for i in range(1000)]
+            + [("B", "x-%d" % i) for i in range(500, 1500)]
+            + [("C", "x-%d" % i) for i in range(1000)]
+            + [("D", "y-%d" % i) for i in range(1000)])
+    df = spark.createDataFrame(rows, "src string, v string")
+    regs = SK.kmv_registers(df, ["src"], "v", k=128)
+    got = {(r["a"], r["b"]): r
+           for r in SK.kmv_overlap_pairs(regs, "src", k=128).collect()}
+    assert len(got) == 6  # all unordered pairs of 4 keys
+    # identical corpora: identical sketches, every union hash in both
+    ac = got[("A", "C")]
+    assert ac["n_common"] == ac["k_used"] == 128
+    # disjoint corpora: nothing in common
+    assert got[("A", "D")]["n_common"] == 0
+    assert got[("B", "D")]["n_common"] == 0
+    # J(A,B) = 1/3 within 4 sigma of sqrt(J(1-J)/k)
+    import math
+    j = got[("A", "B")]["n_common"] / got[("A", "B")]["k_used"]
+    assert abs(j - 1 / 3) < 4 * math.sqrt((1 / 3) * (2 / 3) / 128)
