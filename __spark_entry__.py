@@ -888,6 +888,32 @@ def q_kmv_overlap(spark, sf_dir):
     return SK.kmv_overlap_pairs(regs, "source", k=32)
 
 
+def q_corpus_diff(spark, sf_dir):
+    """Snapshot-to-snapshot corpus diff (plans.analysis.corpus_diff):
+    added/removed/changed/unchanged per doc across two simulated crawl
+    rounds (old = id%7!=0; new = id%5!=0 with id%3==0 texts edited). One
+    co-partitioned full outer join on the id."""
+    from smartcrawler_spark.plans import analysis as AN
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")))
+    return AN.corpus_diff(old, new)
+
+
+def q_log2_histogram(spark, sf_dir):
+    """Integer-exact power-of-two histogram of doc length per source
+    (operators.sketches.log2_histogram): bucket = bit_length-1 via
+    length(bin(v)) — no float log. keys x 64 rows max, SUM-mergeable;
+    factor-of-2 quantiles consumer-side (pytest)."""
+    docs = _t(spark, sf_dir, "documents")
+    return SK.log2_histogram(docs, ["source"], "n_chars")
+
+
 def q_dedup_minhash(spark, sf_dir):
     """MinHash-LSH near-dup dedup survivors (blake2b production kernel).
     Gated against golden parquet from tools/gen_golden.py (independent
@@ -1154,6 +1180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_registers": q_cms_registers,
         "kmv_registers": q_kmv_registers,
         "kmv_overlap": q_kmv_overlap,
+        "corpus_diff": q_corpus_diff,
+        "log2_histogram": q_log2_histogram,
         "feed_entries": q_feed_entries,
         "temperature_mix": q_temperature_mix,
         "dedup_minhash": q_dedup_minhash,
@@ -1920,6 +1948,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, CAST(count(*) AS BIGINT) AS k_used,
                    CAST(sum(in_a * in_b) AS BIGINT) AS n_common
             FROM ranked WHERE rn <= 32 GROUP BY a, b
+        """,
+        "corpus_diff": r"""
+            WITH old AS (
+              SELECT doc_id, md5(text) AS old_fp
+              FROM documents WHERE doc_id % 7 <> 0
+            ), new AS (
+              SELECT doc_id,
+                     md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2'
+                              ELSE text END) AS new_fp
+              FROM documents WHERE doc_id % 5 <> 0
+            )
+            SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+                   CASE WHEN old_fp IS NULL THEN 'added'
+                        WHEN new_fp IS NULL THEN 'removed'
+                        WHEN old_fp <> new_fp THEN 'changed'
+                        ELSE 'unchanged' END AS change,
+                   old_fp, new_fp
+            FROM old FULL JOIN new ON old.doc_id = new.doc_id
+        """,
+        "log2_histogram": r"""
+            SELECT source,
+                   CASE WHEN n_chars <= 0 THEN -1
+                        ELSE length(bin(n_chars::BIGINT)) - 1 END AS bucket,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM documents WHERE n_chars IS NOT NULL
+            GROUP BY source, bucket
         """,
         "winnow_fingerprints": rf"""
             WITH toks AS (

@@ -49,6 +49,8 @@ __all__ = [
     "kmv_registers",
     "kmv_estimate_py",
     "kmv_overlap_pairs",
+    "log2_histogram",
+    "log2_quantile_py",
 ]
 
 
@@ -318,3 +320,51 @@ def kmv_overlap_pairs(regs: DataFrame, key_col: str, k: int = 64
         .agg(F.count(F.lit(1)).alias("k_used"),
              F.sum(F.col("in_a") * F.col("in_b")).alias("n_common"))
     )
+
+
+# ---------------------------------------------------------------------------
+# log2 histogram — integer-exact distribution sketch
+# ---------------------------------------------------------------------------
+
+def log2_histogram(df: DataFrame, key_cols: list[str], value_col: str
+                   ) -> DataFrame:
+    """Power-of-two histogram per key for a non-negative integer metric
+    (doc length, fetch bytes, latency ms): bucket = floor(log2(v)) for
+    v > 0, computed INTEGER-EXACTLY as bit_length - 1 (`length(bin(v))`
+    — no float log that could round log2(8) to 2.9999), bucket -1 holds
+    zeros.  Output (key..., bucket, n): at most keys x 64 rows, merge by
+    SUM, and any quantile is answerable within a factor of 2 from the
+    cumulative counts (`log2_quantile_py`) — the cheap alternative to a
+    full KLL/t-digest when order-of-magnitude accuracy is enough
+    (shuffle bounded by keys x 64, never a global sort)."""
+    v = F.col(value_col).cast("long")
+    bucket = (
+        F.when(v <= 0, F.lit(-1).cast("long"))
+        .otherwise((F.length(F.bin(v)) - 1).cast("long"))
+    )
+    return (
+        df.filter(v.isNotNull())
+        .select(*key_cols, bucket.alias("bucket"))
+        .groupBy(*key_cols, "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def log2_quantile_py(hist: dict[int, int], q: float) -> int:
+    """Quantile estimate from a {bucket: n} log2 histogram: returns the
+    geometric midpoint (3 * 2^b / 2 rounded down; 0 for the zero bucket)
+    of the bucket containing the q-quantile.  Exact to within the
+    bucket's factor-of-2 span — the oracle/consumer twin of
+    `log2_histogram`."""
+    if not 0 <= q <= 1:
+        raise ValueError("q in [0, 1]")
+    total = sum(hist.values())
+    if total == 0:
+        raise ValueError("empty histogram")
+    target = q * total
+    run = 0
+    for b in sorted(hist):
+        run += hist[b]
+        if run >= target:
+            return 0 if b < 0 else (3 * (1 << b)) // 2
+    return 0 if b < 0 else (3 * (1 << b)) // 2

@@ -62,6 +62,39 @@ def host_report(frontier: DataFrame) -> DataFrame:
     )
 
 
+def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
+                fingerprint=None) -> DataFrame:
+    """Snapshot-to-snapshot corpus diff: classify every doc id across two
+    crawl rounds as added / removed / changed / unchanged, where "changed"
+    means the content fingerprint moved (default md5(text); pass any
+    Column for span-level or metadata fingerprints).  The recrawl loop's
+    ground truth — what actually changed — and the input to freshness
+    models (how often does this host's content move?).
+
+    Shape: one full outer join co-partitioned on the id column — both
+    sides shuffle exactly once on the same key; at 10^10 docs this is the
+    canonical sort-merge join, and bucketed snapshot tables make it
+    exchange-free.  Output (id, change, old_fp, new_fp)."""
+    fp = fingerprint if fingerprint is not None else F.md5(F.col("text"))
+    o = old.select(F.col(id_col).alias(id_col), fp.alias("old_fp"))
+    n = new.select(F.col(id_col).alias(id_col), fp.alias("new_fp"))
+    j = o.join(n, id_col, "full_outer")
+    change = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(id_col, change.alias("change"), "old_fp", "new_fp")
+
+
+def corpus_diff_summary(diff: DataFrame) -> DataFrame:
+    """Rollup of `corpus_diff`: row counts per change class — the
+    one-line recrawl report (and the churn-rate numerator/denominator
+    for scheduling)."""
+    return diff.groupBy("change").agg(F.count(F.lit(1)).alias("n"))
+
+
 def template_paths_json(spark: SparkSession, job, out_dir: str) -> DataFrame:
     """S6: template paths as pretty-ish JSON lines (df.write.json), the
     engine form of TemplatePathStore.to_serialized_string()."""

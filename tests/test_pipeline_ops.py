@@ -491,3 +491,36 @@ def test_line_dedup_plan_is_window_free(spark):
     # window over the line key
     assert "Window" not in plan
     assert "partial" in plan.lower()
+
+
+# ---------------------------------------------------------------------------
+# corpus snapshot diff
+# ---------------------------------------------------------------------------
+
+def test_corpus_diff_classifies_all_four_ways(spark):
+    from smartcrawler_spark.plans import analysis as AN
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "will vanish")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (4, "brand new")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["change"]
+           for r in AN.corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+    summ = {r["change"]: r["n"]
+            for r in AN.corpus_diff_summary(AN.corpus_diff(old, new)).collect()}
+    assert summ == {"unchanged": 1, "changed": 1, "removed": 1, "added": 1}
+
+
+def test_corpus_diff_custom_fingerprint(spark):
+    from smartcrawler_spark.plans import analysis as AN
+
+    # fingerprint on length only: text edits of equal length = unchanged
+    old = spark.createDataFrame([(1, "aaaa")], "doc_id long, text string")
+    new = spark.createDataFrame([(1, "bbbb")], "doc_id long, text string")
+    got = AN.corpus_diff(old, new,
+                         fingerprint=F.length("text").cast("string")
+                         ).collect()
+    assert got[0]["change"] == "unchanged"

@@ -212,3 +212,30 @@ def test_kmv_overlap_pairs(spark):
     import math
     j = got[("A", "B")]["n_common"] / got[("A", "B")]["k_used"]
     assert abs(j - 1 / 3) < 4 * math.sqrt((1 / 3) * (2 / 3) / 128)
+
+
+# ---------------------------------------------------------------------------
+# log2 histogram
+# ---------------------------------------------------------------------------
+
+def test_log2_histogram_buckets_exact(spark):
+    rows = [("k", v) for v in [0, 1, 2, 3, 4, 7, 8, 1023, 1024, 0]]
+    df = spark.createDataFrame(rows, "k string, v long")
+    got = {r["bucket"]: r["n"]
+           for r in SK.log2_histogram(df, ["k"], "v").collect()}
+    # exact powers land in their OWN bucket (no float-log off-by-one)
+    assert got == {-1: 2, 0: 1, 1: 2, 2: 2, 3: 1, 9: 1, 10: 1}
+
+
+def test_log2_quantile(spark):
+    import random
+    rng = random.Random(7)
+    vals = [rng.randint(1, 10000) for _ in range(2000)]
+    df = spark.createDataFrame([("k", v) for v in vals], "k string, v long")
+    hist = {r["bucket"]: r["n"]
+            for r in SK.log2_histogram(df, ["k"], "v").collect()}
+    vals.sort()
+    for q in (0.1, 0.5, 0.9):
+        est = SK.log2_quantile_py(hist, q)
+        true = vals[int(q * len(vals)) - 1]
+        assert true / 2 <= est <= true * 2, (q, est, true)
