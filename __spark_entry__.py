@@ -550,6 +550,66 @@ def q_warc_ingest(spark, sf_dir):
         "http_status", "content_type", "payload_md5", "n_bytes")
 
 
+# Mirrors tools/gen_golden.py AUDIO_INFO_CASES literally — the golden
+# generator re-derives the expected values from the container specs'
+# framing arithmetic without importing the parser; tests/test_golden.py
+# keeps the two lists in lockstep.
+_AUDIO_INFO_CASES = [
+    ("a01.mp3", "mp3", dict(version=1, layer=3, kbps=128, rate=44100, ch=2, n=38, xing=False)),
+    ("a02.mp3", "mp3", dict(version=2, layer=3, kbps=64, rate=22050, ch=1, n=50, xing=False)),
+    ("a03.mp3", "mp3", dict(version=1, layer=2, kbps=192, rate=48000, ch=2, n=20, xing=False)),
+    ("a04.mp3", "mp3", dict(version=1, layer=1, kbps=256, rate=32000, ch=2, n=20, xing=False)),
+    ("a05.mp3", "mp3", dict(version=2.5, layer=3, kbps=16, rate=8000, ch=1, n=12, xing=False)),
+    ("a06.mp3", "mp3", dict(version=1, layer=3, kbps=128, rate=44100, ch=2, n=100, xing=True)),
+    ("a07.opus", "ogg", dict(codec="opus", rate=48000, ch=2, n_pages=4, spp=48000, preskip=312, body=420)),
+    ("a08.opus", "ogg", dict(codec="opus", rate=24000, ch=1, n_pages=6, spp=12000, preskip=104, body=200)),
+    ("a09.ogg", "ogg", dict(codec="vorbis", rate=44100, ch=1, n_pages=3, spp=44100, body=420)),
+    ("a10.ogg", "ogg", dict(codec="vorbis", rate=11025, ch=2, n_pages=5, spp=5000, body=300)),
+    ("a11.flac", "flac", dict(rate=96000, ch=2, bps=24, total=480000, frame_bytes=4096)),
+    ("a12.flac", "flac", dict(rate=44100, ch=1, bps=16, total=44100, frame_bytes=1000)),
+    ("a13.wav", "wav", dict(rate=8000, n=8000)),
+    ("a14.bin", "junk", dict()),
+]
+
+
+def q_audio_stream_info(spark, sf_dir):
+    """Compressed-audio stream metadata (multimodal.audio_stream_info_table):
+    header-only MP3/Ogg/FLAC/WAV parse — codec, rate, channels, duration,
+    bitrate, frame count — over deterministically synthesized containers.
+    The oracle is golden parquet whose values come from the SPECS' framing
+    arithmetic (tools/gen_golden.py golden_audio_stream_info), never from
+    the parser, so the gate proves parse == spec on the production
+    mapInPandas path."""
+    import numpy as np
+
+    from smartcrawler_spark import multimodal as MM
+
+    rows = []
+    for ref, kind, p in _AUDIO_INFO_CASES:
+        if kind == "mp3":
+            payload = MM.encode_mp3_stream(
+                n_frames=p["n"], bitrate_kbps=p["kbps"], rate=p["rate"],
+                version=p["version"], layer=p["layer"], channels=p["ch"],
+                xing=p["xing"])
+        elif kind == "ogg":
+            payload = MM.encode_ogg_stream(
+                p["codec"], rate=p["rate"], channels=p["ch"],
+                n_pages=p["n_pages"], samples_per_page=p["spp"],
+                preskip=p.get("preskip", 312),
+                page_body_bytes=p["body"])
+        elif kind == "flac":
+            payload = MM.encode_flac_info(
+                rate=p["rate"], channels=p["ch"], bps=p["bps"],
+                total_samples=p["total"], frame_bytes=p["frame_bytes"])
+        elif kind == "wav":
+            payload = MM.encode_wav(np.zeros(p["n"]), p["rate"])
+        else:
+            payload = b"\x00\x01\x02 not audio"
+        rows.append((ref, bytearray(payload)))
+    raw = spark.createDataFrame(rows, "media_ref string, payload binary")
+    return MM.audio_stream_info_table(raw)
+
+
 def q_template_rewrite_sql(spark, sf_dir):
     """R1-R6 (SQL-expressible core) — count/like-pattern rewrite."""
     docs = _t(spark, sf_dir, "documents")
@@ -1159,6 +1219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolve": q_redirect_resolve,
         "pagerank": q_pagerank,
         "warc_ingest": q_warc_ingest,
+        "audio_stream_info": q_audio_stream_info,
         "template_rewrite_sql": q_template_rewrite_sql,
         "template_detect": q_template_detect,
         "subtree_hashes": q_subtree_hashes,
@@ -1878,6 +1939,12 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": """
             SELECT vec_id, sim
             FROM read_parquet('/root/repo/fixtures/golden/ann_ivf.parquet')
+        """,
+        "audio_stream_info": """
+            SELECT media_ref, codec, sample_rate, channels, duration_ms,
+                   bitrate_kbps, n_frames
+            FROM read_parquet(
+                '/root/repo/fixtures/golden/audio_stream_info.parquet')
         """,
         "embedding_near_dup_lsh": """
             SELECT a, b, sim

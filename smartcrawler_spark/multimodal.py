@@ -706,6 +706,391 @@ def sample_clips(assets: DataFrame, every_ms: int = 1000,
     return assets.mapInPandas(clips, CLIP_SCHEMA)
 
 
+# -- Compressed-audio stream info (MP3 / Ogg Vorbis / Ogg Opus / FLAC) -----
+#
+# What a 100 TB media pipeline actually runs over compressed audio: parse
+# container/frame HEADERS for codec, sample rate, channels, duration and
+# bitrate WITHOUT decoding any samples (decode needs codec stacks that are
+# deliberately out of scope — the ffmpeg seam). Header walks are pure
+# stdlib struct math from the public specs (ISO 11172-3 / MPEG audio frame
+# header, RFC 3533 Ogg framing, RFC 7845 OpusHead, Vorbis I ident header,
+# FLAC STREAMINFO), tolerant of damaged bytes: any unparseable payload
+# yields None, never an exception. This is the metadata tier the reference
+# lacks entirely (its media handling stops at dropping the tags,
+# /root/reference/src/html_parser.rs:116-123 — we keep the refs as spans
+# and enrich them here).
+
+# MPEG audio bitrate tables (kbps), keyed (version_group, layer):
+# version_group 1 = MPEG-1, 2 = MPEG-2 & 2.5 (ISO 11172-3 / 13818-3).
+_MP3_BITRATE = {
+    (1, 1): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (1, 2): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (1, 3): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (2, 1): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (2, 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_BITRATE[(2, 3)] = _MP3_BITRATE[(2, 2)]
+# sample-rate tables keyed by the 2-bit version field (3=MPEG1, 2=MPEG2,
+# 0=MPEG2.5; 1 is reserved).
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+              0: (11025, 12000, 8000)}
+
+
+def _mp3_frame_header(hdr: int):
+    """32-bit big-endian frame header -> (frame_len, samples_per_frame,
+    rate, channels, bitrate_kbps, version_bits, layer) or None."""
+    if (hdr >> 21) & 0x7FF != 0x7FF:
+        return None
+    ver = (hdr >> 19) & 3
+    layer_bits = (hdr >> 17) & 3
+    if ver == 1 or layer_bits == 0:
+        return None
+    layer = 4 - layer_bits  # 3->I, 2->II, 1->III
+    br_idx = (hdr >> 12) & 0xF
+    sr_idx = (hdr >> 10) & 3
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None
+    vgroup = 1 if ver == 3 else 2
+    kbps = _MP3_BITRATE[(vgroup, layer)][br_idx]
+    rate = _MP3_RATES[ver][sr_idx]
+    pad = (hdr >> 9) & 1
+    channels = 1 if ((hdr >> 6) & 3) == 3 else 2
+    if layer == 1:
+        spf = 384
+        flen = (12 * kbps * 1000 // rate + pad) * 4
+    else:
+        spf = 1152 if (layer == 2 or vgroup == 1) else 576
+        flen = spf // 8 * kbps * 1000 // rate + pad
+    if flen < 4:
+        return None
+    return flen, spf, rate, channels, kbps, ver, layer
+
+
+def _mp3_stream_info(payload: bytes):
+    pos = 0
+    # ID3v2 prefix: 10-byte header, syncsafe 28-bit size
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        sz = 0
+        for b in payload[6:10]:
+            if b & 0x80:
+                return None
+            sz = (sz << 7) | b
+        pos = 10 + sz
+    n_frames = 0
+    total_samples = 0
+    first = None
+    first_pos = None
+    end_pos = pos
+    xing_frames = None
+    resyncs = 0
+    while pos + 4 <= len(payload):
+        hdr = int.from_bytes(payload[pos:pos + 4], "big")
+        parsed = _mp3_frame_header(hdr)
+        if parsed is None:
+            # damaged byte: resync by scanning forward (bounded)
+            if n_frames > 0 or resyncs > 1 << 16:
+                break
+            resyncs += 1
+            pos += 1
+            continue
+        flen, spf, rate, channels, kbps, ver, layer = parsed
+        if first is None:
+            first = parsed
+            first_pos = pos
+            # Xing/Info VBR tag in the first frame: offset past side info
+            off = pos + 4 + ((17 if channels == 1 else 32) if ver == 3
+                             else (9 if channels == 1 else 17))
+            tag = payload[off:off + 4]
+            if tag in (b"Xing", b"Info"):
+                flags = int.from_bytes(payload[off + 4:off + 8], "big")
+                if flags & 1 and len(payload) >= off + 12:
+                    xing_frames = int.from_bytes(payload[off + 8:off + 12],
+                                                 "big")
+        elif parsed[2] != first[2] or parsed[5] != first[5]:
+            break  # rate/version change: not one stream
+        n_frames += 1
+        total_samples += spf
+        pos += flen
+        end_pos = pos
+    if first is None or (n_frames < 2 and xing_frames is None):
+        return None
+    _, spf, rate, channels, kbps, _, _ = first
+    if xing_frames is not None:
+        n_frames = xing_frames
+        total_samples = xing_frames * spf
+    duration_ms = round(total_samples * 1000 / rate)
+    n_bytes = min(end_pos, len(payload)) - first_pos
+    return {"codec": "mp3", "sample_rate": rate, "channels": channels,
+            "duration_ms": int(duration_ms),
+            "bitrate_kbps": int(n_bytes * 8 // max(duration_ms, 1)),
+            "n_frames": int(n_frames)}
+
+
+def _ogg_stream_info(payload: bytes):
+    pos = 0
+    serial_want = None
+    codec = None
+    rate = channels = None
+    preskip = 0
+    last_granule = 0
+    n_pages = 0
+    end_pos = 0
+    while pos + 27 <= len(payload) and payload[pos:pos + 4] == b"OggS":
+        granule = int.from_bytes(payload[pos + 6:pos + 14], "little",
+                                 signed=True)
+        serial = int.from_bytes(payload[pos + 14:pos + 18], "little")
+        nseg = payload[pos + 26]
+        seg_table = payload[pos + 27:pos + 27 + nseg]
+        if len(seg_table) < nseg:
+            break
+        body_len = sum(seg_table)
+        body = payload[pos + 27 + nseg:pos + 27 + nseg + body_len]
+        pos += 27 + nseg + body_len
+        if serial_want is None:
+            if body[:8] == b"OpusHead" and len(body) >= 19:
+                codec = "ogg-opus"
+                channels = body[9]
+                preskip = int.from_bytes(body[10:12], "little")
+                rate = int.from_bytes(body[12:16], "little")
+                serial_want = serial
+            elif body[:7] == b"\x01vorbis" and len(body) >= 30:
+                codec = "ogg-vorbis"
+                channels = body[11]
+                rate = int.from_bytes(body[12:16], "little")
+                serial_want = serial
+            continue
+        if serial != serial_want:
+            continue
+        n_pages += 1
+        end_pos = pos
+        if granule >= 0:
+            last_granule = max(last_granule, granule)
+    if codec is None or not rate or not channels:
+        return None
+    if codec == "ogg-opus":
+        duration_ms = round(max(last_granule - preskip, 0) * 1000 / 48000)
+    else:
+        duration_ms = round(last_granule * 1000 / rate)
+    return {"codec": codec, "sample_rate": int(rate),
+            "channels": int(channels), "duration_ms": int(duration_ms),
+            "bitrate_kbps": int(end_pos * 8 // max(duration_ms, 1)),
+            "n_frames": int(n_pages)}
+
+
+def _flac_stream_info(payload: bytes):
+    if payload[:4] != b"fLaC":
+        return None
+    pos = 4
+    while pos + 4 <= len(payload):
+        flags = payload[pos]
+        blen = int.from_bytes(payload[pos + 1:pos + 4], "big")
+        body = payload[pos + 4:pos + 4 + blen]
+        pos += 4 + blen
+        if flags & 0x7F == 0:  # STREAMINFO
+            if len(body) < 18:
+                return None
+            rate = (body[10] << 12) | (body[11] << 4) | (body[12] >> 4)
+            channels = ((body[12] >> 1) & 7) + 1
+            total = ((body[13] & 0x0F) << 32) | int.from_bytes(body[14:18],
+                                                               "big")
+            if rate == 0:
+                return None
+            duration_ms = round(total * 1000 / rate)
+            return {"codec": "flac", "sample_rate": int(rate),
+                    "channels": int(channels),
+                    "duration_ms": int(duration_ms),
+                    "bitrate_kbps": int(len(payload) * 8
+                                        // max(duration_ms, 1)),
+                    "n_frames": int(total)}
+        if flags & 0x80:
+            break
+    return None
+
+
+def _wav_stream_info(payload: bytes):
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = data_len = fact_frames = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"fmt ":
+            fmt = payload[pos + 8:pos + 8 + size]
+        elif cid == b"data":
+            data_len = min(size, len(payload) - pos - 8)
+        elif cid == b"fact" and size >= 4:
+            (fact_frames,) = struct.unpack_from("<I", payload, pos + 8)
+        pos += 8 + size + (size & 1)
+    if fmt is None or data_len is None or len(fmt) < 16:
+        return None
+    _afmt, n_ch, rate, byte_rate, block_align, _bits = struct.unpack_from(
+        "<HHIIHH", fmt, 0)
+    if n_ch == 0 or rate == 0 or block_align == 0:
+        return None
+    frames = fact_frames if fact_frames is not None else data_len // block_align
+    duration_ms = round(frames * 1000 / rate)
+    return {"codec": "wav", "sample_rate": int(rate), "channels": int(n_ch),
+            "duration_ms": int(duration_ms),
+            "bitrate_kbps": int(byte_rate * 8 // 1000),
+            "n_frames": int(frames)}
+
+
+def audio_stream_info(payload: bytes) -> dict | None:
+    """Audio payload bytes -> stream metadata dict {codec, sample_rate,
+    channels, duration_ms, bitrate_kbps, n_frames} — header-only parse of
+    WAV / MP3 / Ogg Vorbis / Ogg Opus / FLAC; None for anything
+    unrecognizable or too damaged. All fields integral (hash-safe).
+    `n_frames` counts MPEG frames (mp3), Ogg audio pages (ogg-*), PCM
+    frames (wav) and total samples (flac) — the native framing unit of
+    each container."""
+    try:
+        for probe in (_wav_stream_info, _ogg_stream_info, _flac_stream_info,
+                      _mp3_stream_info):
+            info = probe(payload)
+            if info is not None:
+                return info
+        return None
+    except Exception:
+        return None
+
+
+def encode_mp3_stream(n_frames: int = 40, bitrate_kbps: int = 128,
+                      rate: int = 44100, version: int = 1, layer: int = 3,
+                      channels: int = 2, xing: bool = False) -> bytes:
+    """Structurally-valid MPEG audio stream (correct frame headers +
+    zero-filled payloads; NOT playable audio) for tests and corpus
+    synthesis — exactly what a header-walk parser sees in the wild.
+    `version` is 1, 2 or 2.5 (MPEG-2.5 carries the low sample rates)."""
+    vbits = {1: 3, 2: 2, 2.5: 0}[version]
+    vgroup = 1 if version == 1 else 2
+    br_idx = _MP3_BITRATE[(vgroup, layer)].index(bitrate_kbps)
+    sr_idx = _MP3_RATES[vbits].index(rate)
+    layer_bits = 4 - layer
+    hdr = (0x7FF << 21) | (vbits << 19) | (layer_bits << 17) | (1 << 16) \
+        | (br_idx << 12) | (sr_idx << 10) | ((3 if channels == 1 else 0) << 6)
+    hdr_b = hdr.to_bytes(4, "big")
+    if layer == 1:
+        flen = (12 * bitrate_kbps * 1000 // rate) * 4
+    else:
+        spf = 1152 if (layer == 2 or vgroup == 1) else 576
+        flen = spf // 8 * bitrate_kbps * 1000 // rate
+    frame = hdr_b + b"\x00" * (flen - 4)
+    out = []
+    if xing:
+        first = bytearray(frame)
+        off = 4 + ((17 if channels == 1 else 32) if vbits == 3
+                   else (9 if channels == 1 else 17))
+        first[off:off + 4] = b"Xing"
+        first[off + 4:off + 8] = (1).to_bytes(4, "big")
+        first[off + 8:off + 12] = n_frames.to_bytes(4, "big")
+        out.append(bytes(first))
+    out += [frame] * n_frames
+    return b"".join(out)
+
+
+def _ogg_page(serial: int, seq: int, granule: int, packets: list[bytes],
+              header_type: int = 0) -> bytes:
+    segs = bytearray()
+    body = bytearray()
+    for pkt in packets:
+        n = len(pkt)
+        while True:
+            segs.append(min(n, 255))
+            if n < 255:
+                break
+            n -= 255
+        body += pkt
+    hdr = (b"OggS" + bytes([0, header_type])
+           + granule.to_bytes(8, "little", signed=True)
+           + serial.to_bytes(4, "little") + seq.to_bytes(4, "little")
+           + b"\x00\x00\x00\x00" + bytes([len(segs)]) + bytes(segs))
+    return hdr + bytes(body)
+
+
+def encode_ogg_stream(codec: str = "opus", rate: int = 48000,
+                      channels: int = 2, n_pages: int = 5,
+                      samples_per_page: int = 48000, preskip: int = 312,
+                      serial: int = 0x5CA1AB1E,
+                      page_body_bytes: int = 420) -> bytes:
+    """Structurally-valid Ogg stream (RFC 3533 framing; CRC fields zero,
+    packet bodies deterministic filler) carrying an OpusHead (RFC 7845) or
+    Vorbis I identification header — for tests and corpus synthesis."""
+    if codec == "opus":
+        id_pkt = (b"OpusHead" + bytes([1, channels])
+                  + preskip.to_bytes(2, "little")
+                  + rate.to_bytes(4, "little") + b"\x00\x00" + b"\x00")
+        g0 = preskip  # opus granules are 48 kHz-based and include preskip
+    else:
+        id_pkt = (b"\x01vorbis" + (0).to_bytes(4, "little")
+                  + bytes([channels]) + rate.to_bytes(4, "little")
+                  + (0).to_bytes(4, "little")
+                  + (128000).to_bytes(4, "little")
+                  + (0).to_bytes(4, "little") + bytes([0xB8, 0x01]))
+        g0 = 0
+    pages = [_ogg_page(serial, 0, 0, [id_pkt], header_type=2)]
+    filler = bytes(range(256)) * (page_body_bytes // 256 + 1)
+    for i in range(n_pages):
+        granule = g0 + (i + 1) * samples_per_page
+        ht = 4 if i == n_pages - 1 else 0
+        pages.append(_ogg_page(serial, i + 1, granule,
+                               [filler[:page_body_bytes]], header_type=ht))
+    return b"".join(pages)
+
+
+def encode_flac_info(rate: int = 44100, channels: int = 2, bps: int = 16,
+                     total_samples: int = 441000,
+                     frame_bytes: int = 4096) -> bytes:
+    """Minimal FLAC container: STREAMINFO metadata block + deterministic
+    filler standing in for the frame section — for tests and synthesis."""
+    si = bytearray(34)
+    si[0:2] = (4096).to_bytes(2, "big")
+    si[2:4] = (4096).to_bytes(2, "big")
+    si[10] = (rate >> 12) & 0xFF
+    si[11] = (rate >> 4) & 0xFF
+    si[12] = ((rate & 0xF) << 4) | ((channels - 1) << 1) | ((bps - 1) >> 4)
+    si[13] = (((bps - 1) & 0xF) << 4) | ((total_samples >> 32) & 0xF)
+    si[14:18] = (total_samples & 0xFFFFFFFF).to_bytes(4, "big")
+    block = b"\x80" + (34).to_bytes(3, "big") + bytes(si)
+    filler = (b"\xA5" * frame_bytes)
+    return b"fLaC" + block + filler
+
+
+AUDIO_INFO_SCHEMA = ("media_ref string, codec string, sample_rate int, "
+                     "channels int, duration_ms int, bitrate_kbps int, "
+                     "n_frames int")
+
+
+def audio_stream_info_table(raw: DataFrame, ref_col: str = "media_ref",
+                            payload_col: str = "payload") -> DataFrame:
+    """(media_ref, payload) rows -> per-asset stream metadata via
+    `audio_stream_info`. Unrecognizable payloads keep their row with
+    codec='unknown' and null metrics so a pipeline can COUNT undecodables
+    instead of silently losing them. mapInPandas, Arrow-batched,
+    hash-repartitioned — the heavy payload column is read once per row
+    JVM->Arrow and never shuffled again."""
+
+    def info(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_ref", "codec", "sample_rate", "channels",
+                "duration_ms", "bitrate_kbps", "n_frames"]
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                meta = audio_stream_info(bytes(r[payload_col]))
+                if meta is None:
+                    rows.append({"media_ref": r[ref_col], "codec": "unknown",
+                                 "sample_rate": None, "channels": None,
+                                 "duration_ms": None, "bitrate_kbps": None,
+                                 "n_frames": None})
+                else:
+                    rows.append({"media_ref": r[ref_col], **meta})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return raw.repartition(F.pmod(F.xxhash64(ref_col), F.lit(32))).mapInPandas(
+        info, AUDIO_INFO_SCHEMA
+    )
+
+
 # -- GIF (GIF87a/89a): LZW decompression + palette, first frame ------------
 
 

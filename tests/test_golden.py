@@ -45,6 +45,8 @@ def _table_rows(t, cols):
     ("ann_lsh", ["vec_id", "sim"]),
     ("ann_ivf", ["vec_id", "sim"]),
     ("embedding_near_dup_lsh", ["a", "b", "sim"]),
+    ("audio_stream_info", ["media_ref", "codec", "sample_rate", "channels",
+                           "duration_ms", "bitrate_kbps", "n_frames"]),
 ])
 def test_generator_matches_kernel_on_other_sf(spark, sf_dir, name, cols):
     import __spark_entry__ as E

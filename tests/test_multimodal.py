@@ -1001,3 +1001,140 @@ def test_gif_animated_rides_video_pipeline(spark):
     for r in sampled:
         src = frames[r["frame_idx"] * 2]
         assert np.array_equal(MM.decode_image(bytes(r["frame"])), src)
+
+
+# ---------------------------------------------------------------------------
+# compressed-audio stream info: header-only MP3 / Ogg / FLAC / WAV metadata
+# ---------------------------------------------------------------------------
+
+
+def test_mp3_stream_info_cbr_spec_arithmetic():
+    """CBR MPEG streams: duration/bitrate recomputed from ISO 11172-3
+    frame math, independent of the parser."""
+    cases = [
+        # (version, layer, kbps, rate, channels, n_frames, spf)
+        (1, 3, 128, 44100, 2, 38, 1152),
+        (1, 3, 320, 48000, 2, 21, 1152),
+        (2, 3, 64, 22050, 1, 50, 576),
+        (2.5, 3, 16, 8000, 1, 12, 576),  # MPEG2.5: low rates, v2 tables
+        (1, 2, 192, 48000, 2, 20, 1152),
+        (2, 2, 48, 16000, 1, 15, 1152),
+        (1, 1, 256, 32000, 2, 20, 384),
+    ]
+    for ver, layer, kbps, rate, ch, n, spf in cases:
+        p = MM.encode_mp3_stream(n_frames=n, bitrate_kbps=kbps, rate=rate,
+                                 version=ver, layer=layer, channels=ch)
+        info = MM.audio_stream_info(p)
+        assert info is not None, (ver, layer, kbps, rate)
+        want_dur = round(n * spf * 1000 / rate)
+        assert info == {
+            "codec": "mp3", "sample_rate": rate, "channels": ch,
+            "duration_ms": want_dur,
+            "bitrate_kbps": len(p) * 8 // max(want_dur, 1),
+            "n_frames": n,
+        }
+
+
+def test_mp3_stream_info_xing_and_id3():
+    p = MM.encode_mp3_stream(n_frames=100, bitrate_kbps=128, rate=44100,
+                             xing=True)
+    info = MM.audio_stream_info(p)
+    assert info["n_frames"] == 100  # Xing count, not walked count (101)
+    assert info["duration_ms"] == round(100 * 1152 * 1000 / 44100)
+    # ID3v2 prefix (syncsafe size) is skipped
+    body = MM.encode_mp3_stream(n_frames=10, bitrate_kbps=128, rate=44100)
+    tag = b"ID3\x04\x00\x00" + bytes([0, 0, 1, 4]) + b"\x00" * 132
+    info2 = MM.audio_stream_info(tag + body)
+    assert info2["n_frames"] == 10
+    # garbage prefix before first sync: bounded resync finds the stream
+    info3 = MM.audio_stream_info(b"\x12\x34\x56" * 11 + body)
+    assert info3["n_frames"] == 10
+    # a single frame is rejected (random-byte false-positive guard)...
+    one = MM.encode_mp3_stream(n_frames=1, bitrate_kbps=128, rate=44100)
+    assert MM.audio_stream_info(one) is None
+    # ...unless a Xing tag vouches for it
+    one_x = MM.encode_mp3_stream(n_frames=0, bitrate_kbps=128, rate=44100,
+                                 xing=True)
+    assert MM.audio_stream_info(one_x) is not None
+
+
+def test_ogg_stream_info_opus_and_vorbis():
+    p = MM.encode_ogg_stream("opus", rate=48000, channels=2, n_pages=4,
+                             samples_per_page=48000, preskip=312)
+    # opus: granules are 48 kHz and include preskip; duration excludes it
+    assert MM.audio_stream_info(p) == {
+        "codec": "ogg-opus", "sample_rate": 48000, "channels": 2,
+        "duration_ms": 4000, "bitrate_kbps": len(p) * 8 // 4000,
+        "n_frames": 4}
+    v = MM.encode_ogg_stream("vorbis", rate=44100, channels=1, n_pages=3,
+                             samples_per_page=44100)
+    iv = MM.audio_stream_info(v)
+    assert (iv["codec"], iv["sample_rate"], iv["channels"],
+            iv["duration_ms"], iv["n_frames"]) == (
+        "ogg-vorbis", 44100, 1, 3000, 3)
+    # a second multiplexed serial is ignored; truncation never raises
+    other = MM.encode_ogg_stream("vorbis", rate=8000, channels=2, n_pages=2,
+                                 samples_per_page=100, serial=7)
+    mux = p[:len(p) // 2] + other + p[len(p) // 2:]
+    for cut in (len(p) - 3, 30, 5):
+        MM.audio_stream_info(p[:cut])
+    assert MM.audio_stream_info(p + other)["codec"] == "ogg-opus"
+
+
+def test_flac_and_wav_stream_info():
+    f = MM.encode_flac_info(rate=96000, channels=2, bps=24,
+                            total_samples=480000)
+    assert MM.audio_stream_info(f) == {
+        "codec": "flac", "sample_rate": 96000, "channels": 2,
+        "duration_ms": 5000, "bitrate_kbps": len(f) * 8 // 5000,
+        "n_frames": 480000}
+    w = MM.encode_wav(np.zeros(8000), 8000)
+    assert MM.audio_stream_info(w) == {
+        "codec": "wav", "sample_rate": 8000, "channels": 1,
+        "duration_ms": 1000, "bitrate_kbps": 8000 * 2 * 8 // 1000,
+        "n_frames": 8000}
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(min_size=0, max_size=600))
+def test_stream_info_never_raises_on_random_bytes(payload):
+    MM.audio_stream_info(payload)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.data())
+def test_stream_info_never_raises_on_mutated_streams(data):
+    bases = [
+        MM.encode_mp3_stream(8, 128, 44100),
+        MM.encode_ogg_stream("opus", n_pages=3),
+        MM.encode_ogg_stream("vorbis", rate=44100, n_pages=3),
+        MM.encode_flac_info(),
+    ]
+    base = bytearray(data.draw(st.sampled_from(bases)))
+    for _ in range(data.draw(st.integers(1, 8))):
+        pos = data.draw(st.integers(0, len(base) - 1))
+        base[pos] = data.draw(st.integers(0, 255))
+    MM.audio_stream_info(bytes(base))
+
+
+def test_audio_stream_info_table(spark):
+    rows = [
+        ("a.mp3", bytearray(MM.encode_mp3_stream(38, 128, 44100))),
+        ("b.opus", bytearray(MM.encode_ogg_stream("opus", n_pages=2,
+                                                  samples_per_page=24000))),
+        ("c.flac", bytearray(MM.encode_flac_info(total_samples=44100))),
+        ("d.wav", bytearray(MM.encode_wav(np.zeros(4000), 8000))),
+        ("e.bin", bytearray(b"\x00\x01\x02 not audio")),
+    ]
+    raw = spark.createDataFrame(rows, "media_ref string, payload binary")
+    got = {r["media_ref"]: r.asDict()
+           for r in MM.audio_stream_info_table(raw).collect()}
+    assert set(got) == {"a.mp3", "b.opus", "c.flac", "d.wav", "e.bin"}
+    for ref, row in got.items():
+        want = MM.audio_stream_info(bytes(dict(rows)[ref]))
+        if want is None:
+            assert row["codec"] == "unknown" and row["sample_rate"] is None
+        else:
+            assert {k: row[k] for k in want} == want
+    assert got["e.bin"]["codec"] == "unknown"
+    assert got["a.mp3"]["codec"] == "mp3"

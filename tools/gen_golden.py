@@ -311,12 +311,88 @@ def golden_embedding_near_dup_lsh(sf_dir: str, threshold=0.3, bits=4,
     })
 
 
+
+
+# ---------------------------------------------------------------------------
+# audio_stream_info: header-only stream metadata over synthesized compressed
+# audio containers (multimodal.audio_stream_info_table). Expected values are
+# re-derived HERE from the public specs' framing arithmetic (ISO 11172-3
+# frame-length formulas, RFC 3533 Ogg lacing, FLAC STREAMINFO, RIFF sizes) —
+# the parser under test is never imported, so a parser bug cannot leak into
+# its own oracle. The case list is mirrored literally in __spark_entry__
+# (q_audio_stream_info); test_golden.py keeps the two in lockstep.
+# ---------------------------------------------------------------------------
+
+AUDIO_INFO_CASES = [
+    ("a01.mp3", "mp3", dict(version=1, layer=3, kbps=128, rate=44100, ch=2, n=38, xing=False)),
+    ("a02.mp3", "mp3", dict(version=2, layer=3, kbps=64, rate=22050, ch=1, n=50, xing=False)),
+    ("a03.mp3", "mp3", dict(version=1, layer=2, kbps=192, rate=48000, ch=2, n=20, xing=False)),
+    ("a04.mp3", "mp3", dict(version=1, layer=1, kbps=256, rate=32000, ch=2, n=20, xing=False)),
+    ("a05.mp3", "mp3", dict(version=2.5, layer=3, kbps=16, rate=8000, ch=1, n=12, xing=False)),
+    ("a06.mp3", "mp3", dict(version=1, layer=3, kbps=128, rate=44100, ch=2, n=100, xing=True)),
+    ("a07.opus", "ogg", dict(codec="opus", rate=48000, ch=2, n_pages=4, spp=48000, preskip=312, body=420)),
+    ("a08.opus", "ogg", dict(codec="opus", rate=24000, ch=1, n_pages=6, spp=12000, preskip=104, body=200)),
+    ("a09.ogg", "ogg", dict(codec="vorbis", rate=44100, ch=1, n_pages=3, spp=44100, body=420)),
+    ("a10.ogg", "ogg", dict(codec="vorbis", rate=11025, ch=2, n_pages=5, spp=5000, body=300)),
+    ("a11.flac", "flac", dict(rate=96000, ch=2, bps=24, total=480000, frame_bytes=4096)),
+    ("a12.flac", "flac", dict(rate=44100, ch=1, bps=16, total=44100, frame_bytes=1000)),
+    ("a13.wav", "wav", dict(rate=8000, n=8000)),
+    ("a14.bin", "junk", dict()),
+]
+
+
+def golden_audio_stream_info(sf_dir: str) -> pa.Table:  # sf-independent
+    rows = []
+    for ref, kind, p in AUDIO_INFO_CASES:
+        if kind == "mp3":
+            spf = 384 if p["layer"] == 1 else (
+                1152 if (p["layer"] == 2 or p["version"] == 1) else 576)
+            if p["layer"] == 1:
+                flen = (12 * p["kbps"] * 1000 // p["rate"]) * 4
+            else:
+                flen = spf // 8 * p["kbps"] * 1000 // p["rate"]
+            n_disk = p["n"] + (1 if p["xing"] else 0)  # Xing frame is extra
+            dur = round(p["n"] * spf * 1000 / p["rate"])
+            rows.append((ref, "mp3", p["rate"], p["ch"], dur,
+                         n_disk * flen * 8 // max(dur, 1), p["n"]))
+        elif kind == "ogg":
+            id_len = 19 if p["codec"] == "opus" else 30
+            page0 = 27 + 1 + id_len  # BOS page: 1 lacing segment
+            nseg = p["body"] // 255 + 1  # RFC 3533 lacing for one packet
+            total = page0 + p["n_pages"] * (27 + nseg + p["body"])
+            gr = 48000 if p["codec"] == "opus" else p["rate"]
+            dur = round(p["n_pages"] * p["spp"] * 1000 / gr)
+            rows.append((ref, "ogg-" + p["codec"], p["rate"], p["ch"], dur,
+                         total * 8 // max(dur, 1), p["n_pages"]))
+        elif kind == "flac":
+            total_len = 4 + 4 + 34 + p["frame_bytes"]
+            dur = round(p["total"] * 1000 / p["rate"])
+            rows.append((ref, "flac", p["rate"], p["ch"], dur,
+                         total_len * 8 // max(dur, 1), p["total"]))
+        elif kind == "wav":
+            dur = round(p["n"] * 1000 / p["rate"])
+            rows.append((ref, "wav", p["rate"], 1, dur,
+                         p["rate"] * 2 * 8 // 1000, p["n"]))
+        else:
+            rows.append((ref, "unknown", None, None, None, None, None))
+    cols = ["media_ref", "codec", "sample_rate", "channels", "duration_ms",
+            "bitrate_kbps", "n_frames"]
+    arrays = {
+        "media_ref": pa.array([r[0] for r in rows], pa.string()),
+        "codec": pa.array([r[1] for r in rows], pa.string()),
+    }
+    for idx, c in enumerate(cols[2:], start=2):
+        arrays[c] = pa.array([r[idx] for r in rows], pa.int32())
+    return pa.table(arrays)
+
+
 GOLDENS = {
     "dedup_minhash": golden_dedup_minhash,
     "dedup_simhash": golden_dedup_simhash,
     "ann_lsh": golden_ann_lsh,
     "ann_ivf": golden_ann_ivf,
     "embedding_near_dup_lsh": golden_embedding_near_dup_lsh,
+    "audio_stream_info": golden_audio_stream_info,
 }
 
 
