@@ -572,6 +572,53 @@ _AUDIO_INFO_CASES = [
 ]
 
 
+def q_anchor_relevance(spark, sf_dir):
+    """Anchor-text relevance aggregation (operators.frontier.
+    anchor_relevance): incoming-link anchor text votes for its target —
+    the focused-crawler admission signal. Span docs are synthesized
+    JVM-side from `documents` (every doc gets an in-domain anchor whose
+    text embeds its lang token, plus a hub anchor for doc_id%3==0, plus a
+    text span and a media span that must be ignored); the DuckDB oracle
+    re-derives targets and integer keyword hits directly from the table.
+    All-integer outputs — hash-safe."""
+    from smartcrawler_spark.operators.frontier import anchor_relevance
+
+    kw = {"doc": 1, "en": 2, "fr": 3, "hub": 5}
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 600)
+    d = F.col("doc_id")
+    a1 = F.struct(
+        F.lit("a").alias("kind"),
+        F.concat(F.lit("Read doc "), F.col("lang"), F.lit(" now")).alias("text"),
+        F.concat(F.lit("/doc"), ((d * 7) % 311).cast("string")).alias("media_ref"),
+        F.lit(0).cast("int").alias("offset"),
+    )
+    a2 = F.struct(
+        F.lit("a").alias("kind"),
+        F.concat(F.lit("hub "), F.col("source")).alias("text"),
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.com/hub")).alias("media_ref"),
+        F.lit(1).cast("int").alias("offset"),
+    )
+    noise_text = F.struct(
+        F.lit("text").alias("kind"), F.lit("hub doc en").alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(2).cast("int").alias("offset"),
+    )
+    noise_media = F.struct(
+        F.lit("media").alias("kind"), F.lit(None).cast("string").alias("text"),
+        F.lit("img.png").alias("media_ref"), F.lit(3).cast("int").alias("offset"),
+    )
+    spans = F.when(d % 3 == 0, F.array(a1, a2, noise_text, noise_media)) \
+        .otherwise(F.array(a1, noise_text, noise_media))
+    span_docs = docs.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/p"),
+                 d.cast("string")).alias("doc_id"),
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        spans.alias("spans"),
+    )
+    return anchor_relevance(span_docs, kw)
+
+
 def q_audio_stream_info(spark, sf_dir):
     """Compressed-audio stream metadata (multimodal.audio_stream_info_table):
     header-only MP3/Ogg/FLAC/WAV parse — codec, rate, channels, duration,
@@ -1219,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolve": q_redirect_resolve,
         "pagerank": q_pagerank,
         "warc_ingest": q_warc_ingest,
+        "anchor_relevance": q_anchor_relevance,
         "audio_stream_info": q_audio_stream_info,
         "template_rewrite_sql": q_template_rewrite_sql,
         "template_detect": q_template_detect,
@@ -1939,6 +1987,27 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": """
             SELECT vec_id, sim
             FROM read_parquet('/root/repo/fixtures/golden/ann_ivf.parquet')
+        """,
+        "anchor_relevance": """
+            WITH d AS (SELECT * FROM documents WHERE doc_id < 600),
+            a1 AS (
+              SELECT 'https://' || source || '.example.com/p' || doc_id AS doc_id,
+                     'https://' || source || '.example.com/doc' || ((doc_id*7) % 311) AS url_canon,
+                     1 + CASE lang WHEN 'en' THEN 2 WHEN 'fr' THEN 3 ELSE 0 END AS hits
+              FROM d
+            ),
+            a2 AS (
+              SELECT 'https://' || source || '.example.com/p' || doc_id AS doc_id,
+                     'https://' || source || '.example.com/hub' AS url_canon,
+                     5 AS hits
+              FROM d WHERE doc_id % 3 = 0
+            ),
+            u AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+            SELECT url_canon,
+                   count(*) AS n_anchors,
+                   count(DISTINCT doc_id) AS n_referrers,
+                   sum(hits) AS anchor_score
+            FROM u GROUP BY url_canon
         """,
         "audio_stream_info": """
             SELECT media_ref, codec, sample_rate, channels, duration_ms,

@@ -89,3 +89,21 @@ def relevance_score_expr(url: Column, keywords: dict[str, float]) -> Column:
     for t in terms[1:]:
         total = total + t
     return total
+
+
+def keyword_hits_expr(text: Column, keywords: dict[str, int]) -> Column:
+    """Integer keyword-occurrence score over free text (anchor text, titles):
+    sum over keywords of occurrence-count * integer weight. The all-integer
+    twin of `relevance_score_expr` — JVM-only (regexp tokenize + filter/size
+    per keyword, whole-stage codegen), and hash-safe for driver gates.
+    Null text scores 0 (an anchor with no text is still a link)."""
+    tokens = F.regexp_extract_all(
+        F.lower(F.coalesce(text, F.lit(""))), F.lit("[a-z0-9]+"), F.lit(0))
+
+    def _eq(k: str):
+        return lambda t: t == F.lit(k)
+
+    total = F.lit(0).cast("long")
+    for k, w in sorted(keywords.items()):
+        total = total + F.size(F.filter(tokens, _eq(k))).cast("long") * F.lit(int(w))
+    return total

@@ -713,3 +713,55 @@ def global_crawl_order(scheduled: DataFrame, round_no: int,
         (F.row_number().over(w) + offset).cast("int").alias("seq"),
         "url_canon",
     )
+
+
+def anchor_relevance(docs: DataFrame, keywords: dict[str, int],
+                     spans_col: str = "spans",
+                     host_col: str = "host") -> DataFrame:
+    """Anchor-text relevance aggregation — the focused-crawler admission
+    signal the reference approximates with its per-URL Claude selection
+    (/root/reference/src/main.rs:120-156 relevance phase): every incoming
+    link's anchor TEXT votes for its TARGET, because the words people use
+    to link to a page describe it better than the page's own URL tokens.
+
+    Input is the engine's span-doc layout (doc_id, host, spans); anchor
+    spans are `kind='a'` with the href in `media_ref` and the anchor text
+    in `text` (sources/html_ingest.py). Hrefs resolve against the source
+    page's host with the reference's branch-order quirk preserved
+    (functions/urls.py::resolve_href), then canonicalize; anchor text is
+    scored with integer keyword weights (keyword_hits_expr — all-integer,
+    hash-safe).
+
+    Output: one row per distinct target
+    (url_canon, n_anchors, n_referrers, anchor_score). Join it onto the
+    candidate chain by url_canon (or url_hash at 10^10 scale) and fold
+    `anchor_score` into the admission priority alongside the URL-token
+    score — frontier.with_url_columns' score column composes additively.
+
+    Scale shape: explode is map-side (no exchange); the single shuffle is
+    the groupBy on the target key with map-side partial aggregation.
+    countDistinct(doc_id) expands to a two-phase distinct agg — still one
+    exchange on url_canon. At 10^10 links, group on url_hash instead and
+    carry url_canon via first() to cut shuffle-key bytes (the fetch join's
+    key discipline, plans/crawl.py)."""
+    from ..functions.relevance import keyword_hits_expr
+
+    s = F.col("s")
+    anchors = (
+        docs.select(F.col("doc_id"), F.col(host_col).alias("_base"),
+                    F.explode(F.col(spans_col)).alias("s"))
+        .filter((s["kind"] == "a") & s["media_ref"].isNotNull()
+                & (s["media_ref"] != ""))
+        .select(
+            "doc_id",
+            U.canonicalize_url(
+                U.resolve_href(s["media_ref"], F.col("_base"))
+            ).alias("url_canon"),
+            keyword_hits_expr(s["text"], keywords).alias("_hits"),
+        )
+    )
+    return anchors.groupBy("url_canon").agg(
+        F.count("*").alias("n_anchors"),
+        F.countDistinct("doc_id").alias("n_referrers"),
+        F.sum("_hits").alias("anchor_score"),
+    )

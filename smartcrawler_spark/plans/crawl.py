@@ -109,6 +109,15 @@ class EngineConfig:
     # BEFORE canonical dedup, collapsing n-tracking-variants of one page
     # into a single frontier row. Default off = reference-parity
     # byte-identical URL handling.
+    anchor_keywords: dict[str, int] | None = None
+    # ^ focused-crawl anchor-text boost: when set, each discovered link's
+    # anchor TEXT is scored with these integer keyword weights
+    # (functions.relevance.keyword_hits_expr) and the per-target sum is
+    # added to the admission score — incoming anchors vote for their
+    # target (operators.frontier.anchor_relevance is the standalone
+    # analysis twin). One extra agg+join on the politeness-bounded
+    # candidate batch; the 1-column dedup shuffle is untouched. Default
+    # None = reference-parity scoring (URL tokens only).
     table_backend: str = "parquet"  # snapshot substrate: "parquet" (the
                                     # manifest analog, always available) or
                                     # "iceberg" (real catalog; requires the
@@ -210,12 +219,16 @@ class CrawlJob:
     def _empty_frontier(self) -> DataFrame:
         return self.spark.createDataFrame([], FRONTIER_SCHEMA)
 
-    def _admit(self, raw_urls: DataFrame, frontier: DataFrame, round_no: int
+    def _admit(self, raw_urls: DataFrame, frontier: DataFrame, round_no: int,
+               anchor_boost: DataFrame | None = None
                ) -> tuple[DataFrame, DataFrame]:
         """raw_urls(url) -> (new frontier rows, per-fate/per-partition metrics).
 
         Mirrors oracle.admit: canon+distinct, robots gate, seen dedup
-        (bloom fast path + exact authority), per-host cap."""
+        (bloom fast path + exact authority), per-host cap. `anchor_boost`
+        (url_canon, _anchor_hits) — built by run_round when
+        cfg.anchor_keywords is set — adds the incoming-anchor vote to the
+        admission score after the 1-column dedup."""
         # dedup-first: the batch-dedup shuffle carries ONLY url_canon;
         # hash/host/is_root/score derive from the distinct survivors
         # (identical output, ~40% less exchange volume — frontier.py)
@@ -225,6 +238,17 @@ class CrawlJob:
             raw_urls = raw_urls.withColumn(
                 "url", U.strip_tracking_params(F.col("url")))
         cands = FR.with_url_columns_deduped(raw_urls, "url", self.cfg.keywords)
+        if anchor_boost is not None:
+            cands = (
+                cands.join(anchor_boost, "url_canon", "left")
+                .withColumn(
+                    "score",
+                    F.col("score")
+                    + F.coalesce(F.col("_anchor_hits").cast("double"),
+                                 F.lit(0.0)),
+                )
+                .drop("_anchor_hits")
+            )
         if self.cfg.trap_filters:
             cands = cands.withColumn(
                 "trap_blocked", U.is_trap_url(F.col("url_canon")))
@@ -483,7 +507,7 @@ class CrawlJob:
         )
 
         # discovered links: explode 'a' spans of successful fetches
-        links = (
+        resolved = (
             fetched.filter(F.col("doc_canon").isNotNull())
             .select(
                 F.col("host").alias("_base_host"),
@@ -493,12 +517,33 @@ class CrawlJob:
             .select(
                 U.resolve_href(F.col("s.media_ref"), F.col("_base_host")).alias("_u"),
                 "_base_host",
+                F.col("s.text").alias("_atext"),
             )
             .filter(U.same_domain(F.col("_u"), F.col("_base_host")))
-            .select(F.col("_u").alias("url"))
         )
+        links = resolved.select(F.col("_u").alias("url"))
 
-        new_rows, admit_metrics = self._admit(links, frontier, round_no)
+        anchor_boost = None
+        if self.cfg.anchor_keywords:
+            # incoming anchors vote for their target: integer keyword hits
+            # over anchor text, summed per canonical target (one agg on the
+            # politeness-bounded link batch), joined onto the deduped
+            # candidates inside _admit
+            from ..functions.relevance import keyword_hits_expr
+
+            anchor_boost = (
+                resolved.select(
+                    U.canonicalize_url(F.col("_u")).alias("url_canon"),
+                    keyword_hits_expr(
+                        F.col("_atext"), self.cfg.anchor_keywords
+                    ).alias("_hits"),
+                )
+                .groupBy("url_canon")
+                .agg(F.sum("_hits").alias("_anchor_hits"))
+            )
+
+        new_rows, admit_metrics = self._admit(links, frontier, round_no,
+                                              anchor_boost=anchor_boost)
 
         # MERGE, partition-scoped: only the frontier buckets containing this
         # round's scheduled (status transitions) or admitted (inserts) URLs

@@ -431,3 +431,53 @@ def test_trap_filters_reject_traps_and_preserve_clean_runs(
     traps = [u for u, (t, _) in rows.items() if t]
     assert len(traps) == 3
     assert all(not rows[u][1] for u in traps)
+
+
+def test_anchor_keywords_boost_admission_scores(
+        spark, corpus, oracle_result, tmp_path):
+    """EngineConfig.anchor_keywords: (a) weights that match no anchor text
+    are an exact no-op vs the reference oracle; (b) with a matching weight,
+    every admitted URL's score equals its URL-token base PLUS weight x the
+    number of same-domain anchors pointing at it from pages fetched in its
+    admission round — recomputed here independently from the raw span docs
+    (every corpus anchor text is 'link to {href}': exactly one 'link')."""
+    import pyarrow.parquet as pq
+
+    from smartcrawler_spark.functions.relevance import score_url
+    from smartcrawler_spark.oracle import canon, resolve_href, same_domain
+
+    d, manifest = corpus
+    job0 = _run_engine(spark, d, manifest["seeds"], tmp_path / "anoop",
+                       _engine_cfg(anchor_keywords={"zzzznope": 9}))
+    assert _log_tuples(job0) == oracle_result.crawl_log
+
+    job = _run_engine(spark, d, manifest["seeds"], tmp_path / "aboost",
+                      _engine_cfg(anchor_keywords={"link": 7}))
+    fr = {r["url_canon"]: r for r in job.frontier().collect()}
+    assert _log_tuples(job) != oracle_result.crawl_log  # boost reorders
+
+    # incoming[(round, target)] = number of qualifying anchors
+    incoming: dict[tuple, int] = {}
+    for row in pq.read_table(f"{d}/documents.parquet").to_pylist():
+        page = fr.get(canon(row["doc_id"]))
+        if page is None or page["status"] != "SUCCESS":
+            continue
+        r = page["round_fetched"]
+        for s in row["spans"]:
+            if s["kind"] == "a" and s["media_ref"]:
+                u = resolve_href(s["media_ref"], row["host"])
+                if same_domain(u, row["host"]):
+                    key = (r, canon(u))
+                    incoming[key] = incoming.get(key, 0) + 1
+
+    boosted = 0
+    for url, row in fr.items():
+        base = score_url(url, KEYWORDS)
+        if row["round_added"] == 0:  # seeds/sitemaps admit without links
+            want = base
+        else:
+            want = base + 7 * incoming.get((row["round_added"], url), 0)
+            boosted += incoming.get((row["round_added"], url), 0) > 0
+    # every row checked exactly; at least some rows actually got votes
+        assert row["score"] == want, (url, row["score"], want)
+    assert boosted > 0
