@@ -41,6 +41,20 @@ def main() -> int:
     ap.add_argument("--bloom-min-frontier-rows", type=int, default=None,
                     help="adaptive seen-prefilter floor (default 50M; "
                          "0 forces the bloom path on)")
+    ap.add_argument("--anchor-keywords", default=None,
+                    help="integer keyword weights (JSON) for the "
+                         "focused-crawl anchor-text admission boost")
+    ap.add_argument("--trap-filters", action="store_true",
+                    help="reject spider-trap URLs at admission")
+    ap.add_argument("--strip-tracking", action="store_true",
+                    help="strip tracking/session query params before dedup")
+    ap.add_argument("--adaptive-budget", action="store_true",
+                    help="failure-aware per-host politeness budgets")
+    ap.add_argument("--raw-artifacts", action="store_true",
+                    help="parse raw robots.txt/sitemap.xml artifacts "
+                         "instead of the pre-built rule tables")
+    ap.add_argument("--rfc-robots", action="store_true",
+                    help="full RFC 9309 robots matching (with --raw-artifacts)")
     ap.add_argument("--table-backend", choices=["parquet", "iceberg"],
                     default="parquet",
                     help="snapshot substrate (iceberg needs the runtime jar "
@@ -76,6 +90,13 @@ def main() -> int:
         default_budget=args.default_budget,
         refresh_interval=args.refresh_interval,
         refresh_max_per_round=args.refresh_max_per_round,
+        anchor_keywords=(json.loads(args.anchor_keywords)
+                         if args.anchor_keywords else None),
+        trap_filters=args.trap_filters,
+        strip_tracking=args.strip_tracking,
+        adaptive_budget=args.adaptive_budget,
+        raw_artifacts=args.raw_artifacts,
+        rfc_robots=args.rfc_robots,
         table_backend=args.table_backend,
         iceberg_namespace=args.iceberg_namespace,
         **extra,
