@@ -535,6 +535,21 @@ def q_pagerank(spark, sf_dir):
     return out.select("node", F.col("rank").alias("pr"))
 
 
+def q_hits(spark, sf_dir):
+    """Integer fixed-point HITS hubs/authorities (operators.linkgraph.
+    hits_fixed_point, 2 iterations, scale=1e9): divide-first rescale in
+    place of the float L2 norm, pinned bigint op order — the DuckDB
+    oracle unrolls the same two iterations as CTEs and matches exactly."""
+    from smartcrawler_spark.operators import linkgraph as LG
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.select(
+        (F.col("doc_id") % 97).alias("src"),
+        ((F.col("doc_id") * F.col("doc_id") * 3 + 1) % 97).alias("dst"),
+    )
+    return LG.hits_fixed_point(edges, iters=2)
+
+
 def q_warc_ingest(spark, sf_dir):
     """WARC archive ingest (sources.warc.read_warc): binaryFile scan +
     stdlib mapInPandas parse over the deterministic fixture files
@@ -1265,6 +1280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_traps": q_url_traps,
         "redirect_resolve": q_redirect_resolve,
         "pagerank": q_pagerank,
+        "hits": q_hits,
         "warc_ingest": q_warc_ingest,
         "anchor_relevance": q_anchor_relevance,
         "audio_stream_info": q_audio_stream_info,
@@ -1746,6 +1762,41 @@ def oracle_sql() -> dict[str, str]:
                    FROM nodes CROSS JOIN p
                    LEFT JOIN a3 ON nodes.node = a3.dst)
             SELECT node, CAST(pr AS BIGINT) AS pr FROM r3
+        """,
+        "hits": """
+            WITH e AS (
+              SELECT DISTINCT doc_id % 97 AS src,
+                     (doc_id * doc_id * 3 + 1) % 97 AS dst
+              FROM documents
+            ), nodes AS (
+              SELECT src AS node FROM e UNION SELECT dst FROM e
+            ),
+            a1r AS (SELECT e.dst, sum(1000000000) AS v
+                    FROM e GROUP BY e.dst),
+            a1 AS (SELECT dst, v // greatest((SELECT max(v) FROM a1r)
+                                             // 1000000000, 1) AS v
+                   FROM a1r),
+            h1r AS (SELECT e.src, sum(a1.v) AS v
+                    FROM e JOIN a1 ON e.dst = a1.dst GROUP BY e.src),
+            h1 AS (SELECT src, v // greatest((SELECT max(v) FROM h1r)
+                                             // 1000000000, 1) AS v
+                   FROM h1r),
+            a2r AS (SELECT e.dst, sum(h1.v) AS v
+                    FROM e JOIN h1 ON e.src = h1.src GROUP BY e.dst),
+            a2 AS (SELECT dst, v // greatest((SELECT max(v) FROM a2r)
+                                             // 1000000000, 1) AS v
+                   FROM a2r),
+            h2r AS (SELECT e.src, sum(a2.v) AS v
+                    FROM e JOIN a2 ON e.dst = a2.dst GROUP BY e.src),
+            h2 AS (SELECT src, v // greatest((SELECT max(v) FROM h2r)
+                                             // 1000000000, 1) AS v
+                   FROM h2r)
+            SELECT n.node,
+                   CAST(coalesce(h2.v, 0) AS BIGINT) AS hub,
+                   CAST(coalesce(a2.v, 0) AS BIGINT) AS auth
+            FROM nodes n
+            LEFT JOIN h2 ON n.node = h2.src
+            LEFT JOIN a2 ON n.node = a2.dst
         """,
         "url_canonicalize": """
             SELECT doc_id,

@@ -156,3 +156,71 @@ def pagerank_fixed_point(
             )
         )
     return ranks
+
+
+def hits_fixed_point(
+    edges: DataFrame,
+    iters: int = 2,
+    scale: int = 10**9,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) with bit-exact integer
+    arithmetic — the companion centrality to `pagerank_fixed_point`:
+    authorities rank pages many good hubs point AT (fetch-priority
+    signal), hubs rank pages that point at many good authorities
+    (link-source quality for seed selection).
+
+    Scores live in units of `scale`. Per iteration:
+
+        a(v) = sum of h(u) over edges u->v        [exact bigint sum]
+        a    = a div greatest(max(a) div scale, 1)  [divide-first rescale]
+        h(u) = sum of a(v) over edges u->v
+        h    = h div greatest(max(h) div scale, 1)
+
+    The rescale replaces the float L2 normalization: divide-FIRST keeps
+    every intermediate below ~2*scale*max_degree (no 64-bit overflow, no
+    multiply-then-divide blowup) and the pinned integer ops make any
+    engine produce identical scores — the DuckDB oracle gates them
+    exactly. Like pagerank, scores are a relative ordering signal;
+    absolute normalization buys nothing for scheduling.
+
+    Scale shape: two co-partitioned join+groupBy shuffles per iteration
+    (src then dst — the canonical ranks-join-edges plan) plus one
+    broadcast of a 1-row max per rescale (in-plan scalar, no driver
+    action). Nodes without in/out edges surface with score 0 via the
+    final left joins. Returns (node, hub, auth)."""
+    e = edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+
+    def _rescale(df: DataFrame, col: str) -> DataFrame:
+        m = df.agg(F.max(col).alias("_m"))
+        keep = [c for c in df.columns if c != col]
+        return df.crossJoin(F.broadcast(m)).select(
+            *keep,
+            F.expr(f"{col} div greatest(_m div {scale}L, 1L)").alias(col),
+        )
+
+    h = nodes.select(F.col("node").alias("src"),
+                     F.lit(scale).cast("long").alias("hub"))
+    a = None
+    for _ in range(iters):
+        ar = e.join(h, "src").groupBy("dst").agg(F.sum("hub").alias("auth"))
+        a = _rescale(ar, "auth")
+        hr = e.join(a, "dst").groupBy("src").agg(F.sum("auth").alias("hub"))
+        h = _rescale(hr, "hub")
+    out = (
+        nodes.join(h.withColumnRenamed("src", "node"), "node", "left")
+        .join(a.withColumnRenamed("dst", "node"), "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("hub"), F.lit(0).cast("long")).alias("hub"),
+            F.coalesce(F.col("auth"), F.lit(0).cast("long")).alias("auth"),
+        )
+    )
+    return out

@@ -3,6 +3,8 @@ kernels are integer-deterministic by design)."""
 
 from __future__ import annotations
 
+import random
+
 from smartcrawler_spark.operators import linkgraph as LG
 
 
@@ -77,3 +79,54 @@ def test_pagerank_matches_integer_oracle_exactly(spark):
 def test_pagerank_empty_graph(spark):
     df = spark.createDataFrame([], "src long, dst long")
     assert LG.pagerank_fixed_point(df, iters=2).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities (integer fixed-point)
+# ---------------------------------------------------------------------------
+
+
+def _hits_oracle(edges, iters=2, scale=10**9):
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    h = {n: scale for n in nodes}
+    a = {}
+    for _ in range(iters):
+        a = {}
+        for s, d in set(edges):
+            a[d] = a.get(d, 0) + h.get(s, 0)
+        den = max(max(a.values()) // scale, 1)
+        a = {k: v // den for k, v in a.items()}
+        h = {}
+        for s, d in set(edges):
+            h[s] = h.get(s, 0) + a.get(d, 0)
+        den = max(max(h.values()) // scale, 1)
+        h = {k: v // den for k, v in h.items()}
+    return {n: (h.get(n, 0), a.get(n, 0)) for n in nodes}
+
+
+def test_hits_matches_python_oracle(spark):
+    from smartcrawler_spark.operators.linkgraph import hits_fixed_point
+
+    rng = random.Random(11)
+    edges = list({(rng.randrange(40), rng.randrange(40)) for _ in range(160)})
+    # parallel edges must not double-count
+    df = spark.createDataFrame(edges + edges[:10], "src long, dst long")
+    for iters in (1, 2, 3):
+        got = {r["node"]: (r["hub"], r["auth"])
+               for r in hits_fixed_point(df, iters=iters).collect()}
+        assert got == _hits_oracle(edges, iters=iters), iters
+
+
+def test_hits_hub_authority_separation(spark):
+    """A pure hub (points at everything, nothing points at it) ends with
+    auth 0; a pure authority ends with hub 0; the most-pointed-at node
+    has the top authority."""
+    from smartcrawler_spark.operators.linkgraph import hits_fixed_point
+
+    edges = [(0, i) for i in range(1, 6)] + [(9, 5), (8, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: (r["hub"], r["auth"])
+           for r in hits_fixed_point(df, iters=2).collect()}
+    assert got[0][1] == 0          # pure hub: no authority
+    assert got[5][0] == 0          # pure authority: no hub score
+    assert max(got, key=lambda n: got[n][1]) == 5
