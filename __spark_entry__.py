@@ -535,6 +535,21 @@ def q_pagerank(spark, sf_dir):
     return out.select("node", F.col("rank").alias("pr"))
 
 
+def q_cluster_survivors(spark, sf_dir):
+    """Quality-aware canonical selection over dedup clusters
+    (operators.dedup.cluster_survivors): per cluster keep the
+    highest-quality member (tie -> min id) and map every member to it.
+    Clusters and scores synthesized from `documents` (component =
+    doc_id % 97, score = n_chars); the oracle replays the argmax with a
+    window. All-integer/boolean output."""
+    from smartcrawler_spark.operators.dedup import cluster_survivors
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    clusters = docs.select("doc_id", (F.col("doc_id") % 97).alias("component"))
+    quality = docs.select("doc_id", F.col("n_chars").alias("score"))
+    return cluster_survivors(clusters, quality)
+
+
 def q_hits(spark, sf_dir):
     """Integer fixed-point HITS hubs/authorities (operators.linkgraph.
     hits_fixed_point, 2 iterations, scale=1e9): divide-first rescale in
@@ -1281,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolve": q_redirect_resolve,
         "pagerank": q_pagerank,
         "hits": q_hits,
+        "cluster_survivors": q_cluster_survivors,
         "warc_ingest": q_warc_ingest,
         "anchor_relevance": q_anchor_relevance,
         "audio_stream_info": q_audio_stream_info,
@@ -1762,6 +1778,21 @@ def oracle_sql() -> dict[str, str]:
                    FROM nodes CROSS JOIN p
                    LEFT JOIN a3 ON nodes.node = a3.dst)
             SELECT node, CAST(pr AS BIGINT) AS pr FROM r3
+        """,
+        "cluster_survivors": """
+            WITH c AS (
+              SELECT doc_id, doc_id % 97 AS component, n_chars AS score
+              FROM documents WHERE doc_id < 2000
+            ), best AS (
+              SELECT component, doc_id AS survivor_id,
+                     row_number() OVER (PARTITION BY component
+                                        ORDER BY score DESC, doc_id ASC) AS rn
+              FROM c
+            )
+            SELECT c.doc_id, c.component, b.survivor_id,
+                   c.doc_id = b.survivor_id AS is_survivor
+            FROM c JOIN (SELECT component, survivor_id
+                         FROM best WHERE rn = 1) b USING (component)
         """,
         "hits": """
             WITH e AS (

@@ -904,3 +904,47 @@ def duplicate_passages(df: DataFrame, k: int = 8, window: int = 4,
         .select("doc_id", "n_fp", "n_shared",
                 F.expr("(10000 * n_shared) div n_fp").alias("share_bp"))
     )
+
+
+def cluster_survivors(clusters: DataFrame, quality: DataFrame,
+                      id_col: str = "doc_id",
+                      comp_col: str = "component",
+                      score_col: str = "score") -> DataFrame:
+    """Quality-aware canonical selection over dedup clusters: given the
+    connected-components labeling (`connected_components` output:
+    id -> component) and any per-doc quality signal, pick ONE survivor
+    per cluster — the highest-quality member, ties broken by smallest id
+    (fully deterministic) — and map every member to it.
+
+    This is the step after near-dup clustering in a training-data
+    pipeline: naive min-id survivor selection keeps whichever copy
+    happened to hash first; quality-aware selection keeps the best copy
+    (longest / cleanest / highest Gopher score) of each duplicate family.
+
+    Scale shape: one sort-merge join clusters⋈quality on the id, the
+    skew-safe two-phase salted top-k (frontier.top_k_per_group — giant
+    clusters cannot pin a task), then one co-partitioned join back on
+    the component to emit the full member -> survivor mapping. Docs
+    missing from `quality` rank lowest (null sorts last on desc).
+
+    Returns (id, component, survivor_id, is_survivor)."""
+    from .frontier import top_k_per_group
+
+    c = clusters.select(F.col(id_col).alias("_id"),
+                        F.col(comp_col).alias("_comp"))
+    q = quality.select(F.col(id_col).alias("_id"),
+                       F.col(score_col).alias("_score"))
+    members = c.join(q, "_id", "left")
+    best = top_k_per_group(
+        members, ["_comp"],
+        [F.col("_score").desc_nulls_last(), F.col("_id").asc()], k=1,
+    ).select("_comp", F.col("_id").alias("survivor_id"))
+    return (
+        members.join(best, "_comp")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_comp").alias(comp_col),
+            "survivor_id",
+            (F.col("_id") == F.col("survivor_id")).alias("is_survivor"),
+        )
+    )

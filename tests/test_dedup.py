@@ -238,3 +238,60 @@ def test_duplicate_passages_rollup(spark):
     assert rows[0]["n_fp"] == rows[0]["n_shared"] > 0
     # unrelated doc: nothing shared
     assert rows[2]["n_shared"] == 0 and rows[2]["share_bp"] == 0
+
+
+# ---------------------------------------------------------------------------
+# quality-aware cluster survivor selection
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_survivors_matches_hand_oracle(spark):
+    from smartcrawler_spark.operators.dedup import cluster_survivors
+
+    clusters = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20), (5, 20), (6, 30)],
+        "doc_id long, component long")
+    quality = spark.createDataFrame(
+        # comp 10: 2 wins on score; comp 20: tie -> min id (4); comp 30:
+        # member missing from quality -> still survives (only member)
+        [(1, 5), (2, 9), (3, 9), (4, 7), (5, 7)],
+        "doc_id long, score long")
+    got = {r["doc_id"]: (r["component"], r["survivor_id"], r["is_survivor"])
+           for r in cluster_survivors(clusters, quality).collect()}
+    assert got == {
+        1: (10, 2, False), 2: (10, 2, True), 3: (10, 2, False),
+        4: (20, 4, True), 5: (20, 4, False),
+        6: (30, 6, True),
+    }
+
+
+def test_cluster_survivors_composes_with_connected_components(spark):
+    """End-to-end: edges -> connected_components -> quality-aware
+    survivor; every component keeps exactly one survivor and all members
+    map to it."""
+    from smartcrawler_spark.operators.dedup import (cluster_survivors,
+                                                    connected_components)
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "a long, b long")
+    cc = connected_components(edges)
+    quality = spark.createDataFrame(
+        [(n, (n * 37) % 13) for n in [1, 2, 3, 10, 11, 20, 21, 22, 23]],
+        "doc_id long, score long")
+    out = cluster_survivors(
+        cc.withColumnRenamed("node", "doc_id")
+          .withColumnRenamed("comp", "component"), quality).collect()
+    comps = {}
+    for r in out:
+        comps.setdefault(r["component"], []).append(r)
+    assert len(comps) == 3
+    for comp, rows in comps.items():
+        survivors = [r for r in rows if r["is_survivor"]]
+        assert len(survivors) == 1
+        sid = survivors[0]["doc_id"]
+        assert all(r["survivor_id"] == sid for r in rows)
+        # survivor is argmax quality (tie -> min id)
+        best = sorted(rows, key=lambda r: (-((r["doc_id"] * 37) % 13),
+                                           r["doc_id"]))[0]
+        assert sid == best["doc_id"]

@@ -214,3 +214,37 @@ def test_global_crawl_order_empty_schedule(spark):
         [], "url_canon string, is_root boolean, score double"
     )
     assert FR.global_crawl_order(sched, round_no=0).count() == 0
+
+
+def test_anchor_relevance_plan_shape(spark, sf_dir):
+    """anchor_relevance: the explode is map-side, the only exchanges are
+    the (partial-agg'd) groupBy on the target key, and everything stays
+    JVM-side — no Python in the plan."""
+    from smartcrawler_spark.operators.frontier import anchor_relevance
+
+    docs = spark.createDataFrame(
+        [("https://a.com/p", "a.com",
+          [{"kind": "a", "text": "spark docs", "media_ref": "/g",
+            "offset": 0}])],
+        "doc_id string, host string, spans array<struct<"
+        "kind:string,text:string,media_ref:string,offset:int>>")
+    plan = plan_of(anchor_relevance(docs, {"spark": 2}))
+    assert "EvalPython" not in plan        # pure column exprs end-to-end
+    # exactly one explode node (formatted plans print a node twice: once
+    # in the tree, once in the numbered details)
+    assert plan.count("Generate") <= 2 and "Generate" in plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_hits_rescale_is_broadcast_not_driver(spark, sf_dir):
+    """hits_fixed_point: the per-iteration max rescale must appear as an
+    in-plan broadcast of a 1-row aggregate (BroadcastNestedLoopJoin over
+    the scalar), never a collect-based literal; joins stay hash joins."""
+    from smartcrawler_spark.operators.linkgraph import hits_fixed_point
+
+    e = spark.range(200).select(
+        (F.col("id") % 23).alias("src"), ((F.col("id") * 7) % 23).alias("dst")
+    )
+    plan = plan_of(hits_fixed_point(e, iters=2))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "EvalPython" not in plan
