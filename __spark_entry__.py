@@ -535,6 +535,29 @@ def q_pagerank(spark, sf_dir):
     return out.select("node", F.col("rank").alias("pr"))
 
 
+def q_robots_sitemap_discovery(spark, sf_dir):
+    """Sitemap discovery from robots.txt `Sitemap:` records
+    (sources.robots_txt.sitemap_urls_from_robots): case/space/CRLF
+    tolerant JVM regexp over synthesized robots files (one per source,
+    doc_id-derived sitemap URLs, one lowercase + indented variant, one
+    non-group Disallow line in between)."""
+    from smartcrawler_spark.sources.robots_txt import sitemap_urls_from_robots
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    line = F.concat(F.lit("Sitemap: https://"), F.col("source"),
+                    F.lit(".example.com/sm"),
+                    (F.col("doc_id") % 7).cast("string"), F.lit(".xml"))
+    robots = docs.groupBy("source").agg(
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /private\n"),
+            F.concat_ws("\n", F.array_sort(F.collect_set(line))),
+            F.lit("\n  sitemap:https://"), F.col("source"),
+            F.lit(".example.com/extra.xml\nCrawl-delay: 2\n"),
+        ).alias("robots_text")
+    ).select(F.col("source").alias("host"), "robots_text")
+    return sitemap_urls_from_robots(df=robots)
+
+
 def q_cluster_survivors(spark, sf_dir):
     """Quality-aware canonical selection over dedup clusters
     (operators.dedup.cluster_survivors): per cluster keep the
@@ -1296,6 +1319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolve": q_redirect_resolve,
         "pagerank": q_pagerank,
         "hits": q_hits,
+        "robots_sitemap_discovery": q_robots_sitemap_discovery,
         "cluster_survivors": q_cluster_survivors,
         "warc_ingest": q_warc_ingest,
         "anchor_relevance": q_anchor_relevance,
@@ -1778,6 +1802,19 @@ def oracle_sql() -> dict[str, str]:
                    FROM nodes CROSS JOIN p
                    LEFT JOIN a3 ON nodes.node = a3.dst)
             SELECT node, CAST(pr AS BIGINT) AS pr FROM r3
+        """,
+        "robots_sitemap_discovery": """
+            WITH d AS (
+              SELECT DISTINCT source,
+                     'https://' || source || '.example.com/sm'
+                       || (doc_id % 7) || '.xml' AS sitemap_url
+              FROM documents WHERE doc_id < 300
+            )
+            SELECT source AS host, sitemap_url FROM d
+            UNION ALL
+            SELECT DISTINCT source AS host,
+                   'https://' || source || '.example.com/extra.xml'
+            FROM documents WHERE doc_id < 300
         """,
         "cluster_survivors": """
             WITH c AS (

@@ -530,3 +530,21 @@ def boost_score_with_priority(cands: DataFrame, entries: DataFrame,
         )
         .drop("url", "_prio")
     )
+
+
+def sitemap_urls_from_robots(df: DataFrame, host_col: str = "host",
+                             text_col: str = "robots_text") -> DataFrame:
+    """Extract `Sitemap:` directive URLs from raw robots.txt — the
+    standard sitemap DISCOVERY channel (robots.txt is fetched first;
+    its Sitemap records, RFC 9309 §2.3 non-group lines, point at the
+    urlsets `sitemap_urls_from_xml` then ingests). Case-insensitive key,
+    any position in the file, tolerant of indentation and CRLF. Pure JVM
+    regexp (one extract_all + explode, no UDF); one row per (host,
+    sitemap_url)."""
+    urls = F.regexp_extract_all(
+        F.col(text_col),
+        F.lit(r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)"), F.lit(1))
+    return (
+        df.select(F.col(host_col).alias("host"), F.explode(urls).alias("sitemap_url"))
+        .filter(F.col("sitemap_url").rlike(r"^https?://"))
+    )

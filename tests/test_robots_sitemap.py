@@ -491,3 +491,22 @@ def test_feed_freshness_boost_is_deterministic_and_bounded(spark):
         < out1["https://news.example.com/a1"] < 2.0
     a1 = out1["https://news.example.com/a1"] - 1.0
     assert abs(a1 - 2.0 ** (-7.0 / 7.0)) < 0.01
+
+
+def test_sitemap_urls_from_robots(spark):
+    from smartcrawler_spark.sources.robots_txt import sitemap_urls_from_robots
+
+    txt = ("User-agent: *\r\n"
+           "Disallow: /private\r\n"
+           "Sitemap: https://a.com/sitemap.xml\r\n"   # CRLF: no trailing \r
+           "  sitemap:https://a.com/s2.xml\n"         # lowercase, indented
+           "SITEMAP  :  https://a.com/s3.xml\n"       # spaced key
+           "Sitemap: ftp://a.com/nope.xml\n"          # non-http scheme out
+           "NotSitemap: https://a.com/x.xml\n")       # other keys ignored
+    df = spark.createDataFrame([("a.com", txt), ("b.com", "User-agent: *")],
+                               "host string, robots_text string")
+    got = sorted((r["host"], r["sitemap_url"])
+                 for r in sitemap_urls_from_robots(df).collect())
+    assert got == [("a.com", "https://a.com/s2.xml"),
+                   ("a.com", "https://a.com/s3.xml"),
+                   ("a.com", "https://a.com/sitemap.xml")]
