@@ -535,6 +535,47 @@ def q_pagerank(spark, sf_dir):
     return out.select("node", F.col("rank").alias("pr"))
 
 
+# Mirrors tools/gen_golden.py _cdc_payload / CDC_REFS literally (payload
+# SYNTHESIS is shared input data; the chunking oracle there is the scalar
+# Gear recurrence, independent of the engine's vectorized kernel).
+def _cdc_payload(ref: str) -> bytes:
+    import hashlib
+
+    blocks = [hashlib.blake2b(f"cdc-block-{j}".encode(),
+                              digest_size=32).digest() * 8
+              for j in range(8)]
+    seq = [int(hashlib.md5(f"{ref}|{i}".encode()).hexdigest(), 16) % 8
+           for i in range(24)]
+    return b"".join(blocks[j] for j in seq)
+
+
+def _cdc_raw(spark):
+    rows = [(ref, bytearray(_cdc_payload(ref)))
+            for ref in [f"m{i:02d}" for i in range(12)]]
+    return spark.createDataFrame(rows, "media_ref string, payload binary")
+
+
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (operators.dedup.cdc_chunk_table): Gear
+    rolling hash, vectorized as a 64-term windowed sum; the golden oracle
+    recomputes every boundary with the textbook per-byte recurrence
+    (tools/gen_golden.py golden_cdc_chunks) over the same deterministic
+    block payloads — vectorization bugs cannot cancel."""
+    from smartcrawler_spark.operators.dedup import cdc_chunk_table
+
+    return cdc_chunk_table(_cdc_raw(spark))
+
+
+def q_cdc_stats(spark, sf_dir):
+    """Corpus CDC dedup ratio (operators.dedup.cdc_dedup_stats) over the
+    same chunk table; the oracle replays the two-level aggregation in SQL
+    over the golden chunk parquet. All-integer output."""
+    from smartcrawler_spark.operators.dedup import (cdc_chunk_table,
+                                                    cdc_dedup_stats)
+
+    return cdc_dedup_stats(cdc_chunk_table(_cdc_raw(spark)))
+
+
 def q_robots_sitemap_discovery(spark, sf_dir):
     """Sitemap discovery from robots.txt `Sitemap:` records
     (sources.robots_txt.sitemap_urls_from_robots): case/space/CRLF
@@ -1319,6 +1360,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolve": q_redirect_resolve,
         "pagerank": q_pagerank,
         "hits": q_hits,
+        "cdc_chunks": q_cdc_chunks,
+        "cdc_stats": q_cdc_stats,
         "robots_sitemap_discovery": q_robots_sitemap_discovery,
         "cluster_survivors": q_cluster_survivors,
         "warc_ingest": q_warc_ingest,
@@ -1802,6 +1845,23 @@ def oracle_sql() -> dict[str, str]:
                    FROM nodes CROSS JOIN p
                    LEFT JOIN a3 ON nodes.node = a3.dst)
             SELECT node, CAST(pr AS BIGINT) AS pr FROM r3
+        """,
+        "cdc_chunks": """
+            SELECT media_ref, chunk_idx, "offset", length, fp
+            FROM read_parquet('/root/repo/fixtures/golden/cdc_chunks.parquet')
+        """,
+        "cdc_stats": """
+            WITH per AS (
+              SELECT fp, max(length) AS l, sum(length) AS t
+              FROM read_parquet(
+                  '/root/repo/fixtures/golden/cdc_chunks.parquet')
+              GROUP BY fp
+            )
+            SELECT CAST(sum(t) AS BIGINT) AS total_bytes,
+                   CAST(sum(l) AS BIGINT) AS distinct_bytes,
+                   CAST((10000 * (sum(t) - sum(l))) // sum(t) AS BIGINT)
+                     AS dup_bp
+            FROM per
         """,
         "robots_sitemap_discovery": """
             WITH d AS (

@@ -47,6 +47,7 @@ def _table_rows(t, cols):
     ("embedding_near_dup_lsh", ["a", "b", "sim"]),
     ("audio_stream_info", ["media_ref", "codec", "sample_rate", "channels",
                            "duration_ms", "bitrate_kbps", "n_frames"]),
+    ("cdc_chunks", ["media_ref", "chunk_idx", "offset", "length", "fp"]),
 ])
 def test_generator_matches_kernel_on_other_sf(spark, sf_dir, name, cols):
     import __spark_entry__ as E

@@ -386,6 +386,71 @@ def golden_audio_stream_info(sf_dir: str) -> pa.Table:  # sf-independent
     return pa.table(arrays)
 
 
+
+
+# ---------------------------------------------------------------------------
+# cdc_chunks: content-defined chunking over deterministic block payloads.
+# The ORACLE here is the textbook per-byte Gear recurrence
+# h = ((h << 1) + G[b]) mod 2^64 — a different algorithm shape from the
+# engine's vectorized 64-term windowed-sum kernel (operators/dedup.py
+# _gear_hashes), so a vectorization bug cannot cancel out. Payload
+# synthesis (block sequences from md5) is mirrored literally in
+# __spark_entry__._cdc_payload; test_golden.py keeps them in lockstep.
+# ---------------------------------------------------------------------------
+
+CDC_REFS = [f"m{i:02d}" for i in range(12)]
+
+
+def _cdc_payload(ref: str) -> bytes:
+    blocks = [hashlib.blake2b(f"cdc-block-{j}".encode(),
+                              digest_size=32).digest() * 8
+              for j in range(8)]  # 8 shared 256-byte blocks
+    seq = [int(hashlib.md5(f"{ref}|{i}".encode()).hexdigest(), 16) % 8
+           for i in range(24)]
+    return b"".join(blocks[j] for j in seq)
+
+
+def golden_cdc_chunks(sf_dir: str, min_size=64, avg_bits=8,
+                      max_size=1024) -> pa.Table:  # sf-independent
+    import bisect
+
+    gear = [int.from_bytes(hashlib.blake2b(bytes([i]), digest_size=8).digest(),
+                           "big") for i in range(256)]
+    rows = []
+    for ref in CDC_REFS:
+        payload = _cdc_payload(ref)
+        n = len(payload)
+        mask = (1 << avg_bits) - 1
+        h = 0
+        cand = []
+        for i, b in enumerate(payload):
+            h = ((h << 1) + gear[b]) & ((1 << 64) - 1)
+            if (h & mask) == 0:
+                cand.append(i + 1)
+        s = 0
+        idx = 0
+        while s < n:
+            lo, hi = s + min_size, min(s + max_size, n)
+            if lo >= n:
+                e = n
+            else:
+                i = bisect.bisect_left(cand, lo)
+                e = cand[i] if i < len(cand) and cand[i] <= hi else hi
+            fp = int.from_bytes(
+                hashlib.blake2b(payload[s:e], digest_size=8).digest(),
+                "big", signed=True)
+            rows.append((ref, idx, s, e - s, fp))
+            idx += 1
+            s = e
+    return pa.table({
+        "media_ref": pa.array([r[0] for r in rows], pa.string()),
+        "chunk_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "offset": pa.array([r[2] for r in rows], pa.int64()),
+        "length": pa.array([r[3] for r in rows], pa.int32()),
+        "fp": pa.array([r[4] for r in rows], pa.int64()),
+    })
+
+
 GOLDENS = {
     "dedup_minhash": golden_dedup_minhash,
     "dedup_simhash": golden_dedup_simhash,
@@ -393,6 +458,7 @@ GOLDENS = {
     "ann_ivf": golden_ann_ivf,
     "embedding_near_dup_lsh": golden_embedding_near_dup_lsh,
     "audio_stream_info": golden_audio_stream_info,
+    "cdc_chunks": golden_cdc_chunks,
 }
 
 
