@@ -535,6 +535,64 @@ def q_pagerank(spark, sf_dir):
     return out.select("node", F.col("rank").alias("pr"))
 
 
+# Mirrors tools/gen_golden.py IMAGE_INFO_CASES literally — the golden
+# table is the synthesis parameters; the parser under test contributes
+# nothing to its own oracle.
+_IMAGE_INFO_CASES = [
+    ("i01.png", "png", 31, 24, False, 0),
+    ("i02.ppm", "ppm", 23, 17, False, 0),
+    ("i03.jpg", "jpeg", 16, 16, False, 0),
+    ("i04.jpg", "jpeg", 33, 20, True, 0),
+    ("i05.jpg", "jpeg", 24, 8, False, 6),
+    ("i06.jpg", "jpeg", 40, 9, True, 8),
+    ("i07.bin", "unknown", None, None, None, None),
+]
+
+
+def _exif_app1_segment(orientation: int) -> bytes:
+    import struct as _st
+
+    tiff = (b"II" + _st.pack("<H", 42) + _st.pack("<I", 8)
+            + _st.pack("<H", 1) + _st.pack("<HHI", 0x0112, 3, 1)
+            + _st.pack("<H", orientation) + b"\x00\x00" + _st.pack("<I", 0))
+    body = b"Exif\x00\x00" + tiff
+    return b"\xFF\xE1" + _st.pack(">H", len(body) + 2) + body
+
+
+def q_image_stream_info(spark, sf_dir):
+    """Header-only image metadata (multimodal.image_stream_info_table):
+    dims, bit depth, SOF2 progressive flag, EXIF IFD0 orientation, APNG/
+    GIF frame counts — no pixel decode. Inputs are REAL files produced by
+    the engine's own encoders (PNG/PPM/baseline+progressive JPEG, EXIF
+    APP1 spliced after SOI); the golden oracle is the encoder parameter
+    table (tools/gen_golden.py golden_image_stream_info)."""
+    import numpy as np
+
+    from smartcrawler_spark import multimodal as MM
+    from smartcrawler_spark.jpeg import (encode_jpeg_baseline,
+                                         encode_jpeg_progressive)
+
+    rows = []
+    for i, (ref, fmt, w, h, prog, orient) in enumerate(_IMAGE_INFO_CASES):
+        if fmt == "unknown":
+            payload = b"\x00\x01\x02 not an image"
+        else:
+            px = np.random.default_rng(i).integers(
+                0, 256, (h, w, 3), dtype=np.uint8)
+            if fmt == "png":
+                payload = MM.encode_png(px)
+            elif fmt == "ppm":
+                payload = MM.encode_ppm(px)
+            else:
+                enc = encode_jpeg_progressive if prog else encode_jpeg_baseline
+                payload = enc(px, quality=85)
+                if orient:
+                    payload = payload[:2] + _exif_app1_segment(orient) + payload[2:]
+        rows.append((ref, bytearray(payload)))
+    raw = spark.createDataFrame(rows, "media_ref string, payload binary")
+    return MM.image_stream_info_table(raw)
+
+
 # Mirrors tools/gen_golden.py _cdc_payload / CDC_REFS literally (payload
 # SYNTHESIS is shared input data; the chunking oracle there is the scalar
 # Gear recurrence, independent of the engine's vectorized kernel).
@@ -1360,6 +1418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolve": q_redirect_resolve,
         "pagerank": q_pagerank,
         "hits": q_hits,
+        "image_stream_info": q_image_stream_info,
         "cdc_chunks": q_cdc_chunks,
         "cdc_stats": q_cdc_stats,
         "robots_sitemap_discovery": q_robots_sitemap_discovery,
@@ -1845,6 +1904,12 @@ def oracle_sql() -> dict[str, str]:
                    FROM nodes CROSS JOIN p
                    LEFT JOIN a3 ON nodes.node = a3.dst)
             SELECT node, CAST(pr AS BIGINT) AS pr FROM r3
+        """,
+        "image_stream_info": """
+            SELECT media_ref, format, width, height, bit_depth, n_frames,
+                   progressive, orientation
+            FROM read_parquet(
+                '/root/repo/fixtures/golden/image_stream_info.parquet')
         """,
         "cdc_chunks": """
             SELECT media_ref, chunk_idx, "offset", length, fp

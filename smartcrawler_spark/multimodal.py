@@ -1769,3 +1769,218 @@ def sample_frames(assets: DataFrame, every_ms: int = 1000, decoder: str = "fake"
             yield pd.DataFrame(rows, columns=["media_ref", "frame_idx", "frame"])
 
     return assets.mapInPandas(frames, FRAME_SCHEMA)
+
+
+# -- Image stream info: header-only metadata (the image analog of ----------
+#    audio_stream_info — dims/format/progressive/EXIF without decode)
+
+
+def _jpeg_stream_info(payload: bytes):
+    if payload[:2] != b"\xFF\xD8":
+        return None
+    pos = 2
+    width = height = bit_depth = None
+    progressive = False
+    orientation = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9 or marker == 0xDA:
+            break  # EOI / start of entropy-coded data: headers are done
+        (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4:pos + 2 + seg_len]
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                      0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF) and len(body) >= 5:
+            bit_depth = body[0]
+            height, width = struct.unpack_from(">HH", body, 1)
+            progressive = marker in (0xC2, 0xC6, 0xCA, 0xCE)
+        elif marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+            orientation = _exif_orientation(body[6:])
+        pos += 2 + seg_len
+    if width is None:
+        return None
+    return {"format": "jpeg", "width": int(width), "height": int(height),
+            "bit_depth": int(bit_depth), "n_frames": 1,
+            "progressive": bool(progressive), "orientation": int(orientation)}
+
+
+def _exif_orientation(tiff: bytes) -> int:
+    """Minimal TIFF IFD0 walk for tag 0x0112 (Orientation); 0 if absent
+    or malformed."""
+    try:
+        if tiff[:2] == b"II":
+            end = "<"
+        elif tiff[:2] == b"MM":
+            end = ">"
+        else:
+            return 0
+        (magic,) = struct.unpack_from(end + "H", tiff, 2)
+        if magic != 42:
+            return 0
+        (ifd_off,) = struct.unpack_from(end + "I", tiff, 4)
+        (n_entries,) = struct.unpack_from(end + "H", tiff, ifd_off)
+        for i in range(n_entries):
+            e = ifd_off + 2 + 12 * i
+            tag, typ = struct.unpack_from(end + "HH", tiff, e)
+            if tag == 0x0112 and typ == 3:  # SHORT
+                (val,) = struct.unpack_from(end + "H", tiff, e + 8)
+                return val if 1 <= val <= 8 else 0
+        return 0
+    except (struct.error, IndexError):
+        return 0
+
+
+def _png_stream_info(payload: bytes):
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos = 8
+    width = height = bit_depth = None
+    n_frames = 1
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + clen]
+        if ctype == b"IHDR" and len(body) >= 13:
+            width, height = struct.unpack_from(">II", body, 0)
+            bit_depth = body[8]
+        elif ctype == b"acTL" and len(body) >= 4:  # APNG animation control
+            (n_frames,) = struct.unpack_from(">I", body, 0)
+        elif ctype == b"IDAT" or ctype == b"IEND":
+            break
+        pos += 12 + clen  # len + type + crc
+    if width is None:
+        return None
+    return {"format": "png", "width": int(width), "height": int(height),
+            "bit_depth": int(bit_depth), "n_frames": int(n_frames),
+            "progressive": False, "orientation": 0}
+
+
+def _gif_stream_info(payload: bytes):
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    if len(payload) < 13:
+        return None
+    width, height = struct.unpack_from("<HH", payload, 6)
+    flags = payload[10]
+    bit_depth = (flags & 7) + 1
+    pos = 13 + (3 * (2 << (flags & 7)) if flags & 0x80 else 0)
+    n_frames = 0
+
+    def skip_subblocks(p):
+        while p < len(payload) and payload[p] != 0:
+            p += 1 + payload[p]
+        return p + 1
+
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos = skip_subblocks(pos + 2)
+        elif b == 0x2C:  # image descriptor
+            n_frames += 1
+            if pos + 10 > len(payload):
+                break
+            lflags = payload[pos + 9]
+            pos += 10 + (3 * (2 << (lflags & 7)) if lflags & 0x80 else 0)
+            pos = skip_subblocks(pos + 1)  # LZW min code size + data
+        else:
+            break
+    return {"format": "gif", "width": int(width), "height": int(height),
+            "bit_depth": int(bit_depth), "n_frames": max(int(n_frames), 1),
+            "progressive": False, "orientation": 0}
+
+
+def _bmp_stream_info(payload: bytes):
+    if payload[:2] != b"BM" or len(payload) < 26:
+        return None
+    (hdr_size,) = struct.unpack_from("<I", payload, 14)
+    if hdr_size < 40 or len(payload) < 14 + 24:
+        return None
+    width, height = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    return {"format": "bmp", "width": int(abs(width)),
+            "height": int(abs(height)), "bit_depth": int(bpp),
+            "n_frames": 1, "progressive": False, "orientation": 0}
+
+
+def _ppm_stream_info(payload: bytes):
+    if payload[:2] != b"P6":
+        return None
+    toks = []
+    pos = 2
+    while len(toks) < 3 and pos < len(payload):
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        toks.append(payload[start:pos])
+    try:
+        w, h, maxval = (int(t) for t in toks)
+    except (ValueError, IndexError):
+        return None
+    return {"format": "ppm", "width": w, "height": h,
+            "bit_depth": 16 if maxval > 255 else 8, "n_frames": 1,
+            "progressive": False, "orientation": 0}
+
+
+def image_stream_info(payload: bytes) -> dict | None:
+    """Image payload bytes -> header-only metadata {format, width, height,
+    bit_depth, n_frames, progressive, orientation} for JPEG (SOF dims +
+    SOF2 progressive flag + EXIF IFD0 orientation), PNG (IHDR + APNG
+    acTL frame count), GIF (screen dims + image-descriptor count), BMP,
+    PPM — no pixel decode, so it runs at manifest speed over 100 TB of
+    media where full decode is the expensive tier. None for anything
+    unrecognizable; never raises on damaged bytes."""
+    try:
+        for probe in (_png_stream_info, _gif_stream_info, _bmp_stream_info,
+                      _ppm_stream_info, _jpeg_stream_info):
+            info = probe(payload)
+            if info is not None:
+                return info
+        return None
+    except Exception:
+        return None
+
+
+IMAGE_INFO_SCHEMA = ("media_ref string, format string, width int, "
+                     "height int, bit_depth int, n_frames int, "
+                     "progressive boolean, orientation int")
+
+
+def image_stream_info_table(raw: DataFrame, ref_col: str = "media_ref",
+                            payload_col: str = "payload") -> DataFrame:
+    """(media_ref, payload) -> per-asset header metadata via
+    `image_stream_info`; unrecognizable payloads keep their row with
+    format='unknown' and null metrics. Same Arrow-batched,
+    hash-repartitioned shape as the audio twin."""
+
+    def info(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_ref", "format", "width", "height", "bit_depth",
+                "n_frames", "progressive", "orientation"]
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                meta = image_stream_info(bytes(r[payload_col]))
+                if meta is None:
+                    rows.append({"media_ref": r[ref_col],
+                                 "format": "unknown", "width": None,
+                                 "height": None, "bit_depth": None,
+                                 "n_frames": None, "progressive": None,
+                                 "orientation": None})
+                else:
+                    rows.append({"media_ref": r[ref_col], **meta})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return raw.repartition(F.pmod(F.xxhash64(ref_col), F.lit(32))).mapInPandas(
+        info, IMAGE_INFO_SCHEMA)

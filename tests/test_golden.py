@@ -48,6 +48,9 @@ def _table_rows(t, cols):
     ("audio_stream_info", ["media_ref", "codec", "sample_rate", "channels",
                            "duration_ms", "bitrate_kbps", "n_frames"]),
     ("cdc_chunks", ["media_ref", "chunk_idx", "offset", "length", "fp"]),
+    ("image_stream_info", ["media_ref", "format", "width", "height",
+                           "bit_depth", "n_frames", "progressive",
+                           "orientation"]),
 ])
 def test_generator_matches_kernel_on_other_sf(spark, sf_dir, name, cols):
     import __spark_entry__ as E

@@ -1138,3 +1138,105 @@ def test_audio_stream_info_table(spark):
             assert {k: row[k] for k in want} == want
     assert got["e.bin"]["codec"] == "unknown"
     assert got["a.mp3"]["codec"] == "mp3"
+
+
+# ---------------------------------------------------------------------------
+# image stream info: header-only dims/format/progressive/EXIF metadata
+# ---------------------------------------------------------------------------
+
+
+def _exif_app1(orientation, endian="II"):
+    import struct as _st
+
+    e = "<" if endian == "II" else ">"
+    tiff = (endian.encode() + _st.pack(e + "H", 42) + _st.pack(e + "I", 8)
+            + _st.pack(e + "H", 1)
+            + _st.pack(e + "HHI", 0x0112, 3, 1)
+            + _st.pack(e + "H", orientation) + b"\x00\x00"
+            + _st.pack(e + "I", 0))
+    body = b"Exif\x00\x00" + tiff
+    return b"\xFF\xE1" + _st.pack(">H", len(body) + 2) + body
+
+
+def test_image_stream_info_formats_and_flags():
+    from smartcrawler_spark.jpeg import (encode_jpeg_baseline,
+                                         encode_jpeg_progressive)
+
+    rng = np.random.default_rng(2)
+    px = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+    cases = {
+        "png": MM.encode_png(px),
+        "ppm": MM.encode_ppm(px),
+        "jpeg": encode_jpeg_baseline(px, quality=85),
+        "bmp": _encode_bmp(px),
+    }
+    for fmt, payload in cases.items():
+        info = MM.image_stream_info(payload)
+        assert (info["format"], info["width"], info["height"]) == (fmt, 23, 17), fmt
+        assert info["progressive"] is False and info["n_frames"] == 1
+    prog = MM.image_stream_info(encode_jpeg_progressive(px, quality=85))
+    assert prog["progressive"] is True and (prog["width"], prog["height"]) == (23, 17)
+
+
+def test_image_stream_info_exif_orientation():
+    from smartcrawler_spark.jpeg import encode_jpeg_baseline
+
+    rng = np.random.default_rng(3)
+    base = encode_jpeg_baseline(rng.integers(0, 256, (8, 9, 3), dtype=np.uint8))
+    for endian in ("II", "MM"):
+        for o in (1, 6, 8):
+            j = base[:2] + _exif_app1(o, endian) + base[2:]
+            assert MM.image_stream_info(j)["orientation"] == o, (endian, o)
+    # invalid orientation value and malformed TIFF -> 0, never a crash
+    j = base[:2] + _exif_app1(55) + base[2:]
+    assert MM.image_stream_info(j)["orientation"] == 0
+    j2 = base[:2] + b"\xFF\xE1\x00\x0AExif\x00\x00ZZ" + base[2:]
+    assert MM.image_stream_info(j2)["orientation"] == 0
+
+
+def test_image_stream_info_gif_frames():
+    pal = _anim_palette()
+    specs = [(np.full((4, 5), 1, np.uint8), (0, 0), 10, 1, None)] * 5
+    anim = _ref_animated_gif(specs, pal, screen=(5, 4))
+    info = MM.image_stream_info(anim)
+    assert (info["format"], info["width"], info["height"],
+            info["n_frames"]) == ("gif", 5, 4, 5)
+    static = _ref_gif(np.full((3, 3), 1, np.uint8), pal)
+    assert MM.image_stream_info(static)["n_frames"] == 1
+
+
+def test_image_stream_info_apng_frame_count():
+    import struct as _st
+    import zlib as _zl
+
+    def chunk(ctype, body):
+        return (_st.pack(">I", len(body)) + ctype + body
+                + _st.pack(">I", _zl.crc32(ctype + body)))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", _st.pack(">IIBBBBB", 7, 5, 8, 2, 0, 0, 0))
+           + chunk(b"acTL", _st.pack(">II", 12, 0))
+           + chunk(b"IDAT", b"\x00") + chunk(b"IEND", b""))
+    info = MM.image_stream_info(png)
+    assert (info["width"], info["height"], info["n_frames"]) == (7, 5, 12)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_image_stream_info_never_raises(payload):
+    MM.image_stream_info(payload)
+
+
+def test_image_stream_info_table(spark):
+    rng = np.random.default_rng(4)
+    px = rng.integers(0, 256, (6, 8, 3), dtype=np.uint8)
+    rows = [("a.png", bytearray(MM.encode_png(px))),
+            ("b.ppm", bytearray(MM.encode_ppm(px))),
+            ("junk", bytearray(b"nope"))]
+    got = {r["media_ref"]: r.asDict()
+           for r in MM.image_stream_info_table(
+               spark.createDataFrame(rows, "media_ref string, payload binary")
+           ).collect()}
+    assert got["a.png"]["format"] == "png" and got["a.png"]["width"] == 8
+    assert got["b.ppm"]["format"] == "ppm"
+    assert got["junk"]["format"] == "unknown" and got["junk"]["width"] is None

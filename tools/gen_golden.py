@@ -451,6 +451,47 @@ def golden_cdc_chunks(sf_dir: str, min_size=64, avg_bits=8,
     })
 
 
+
+
+# ---------------------------------------------------------------------------
+# image_stream_info: header-only image metadata over engine-encoded files.
+# The truth table is the SYNTHESIS PARAMETERS (dims / progressive flag /
+# EXIF orientation the entry-side encoders are told to produce) — the
+# parser under test contributes nothing here. Mirrored literally in
+# __spark_entry__._IMAGE_INFO_CASES.
+# ---------------------------------------------------------------------------
+
+IMAGE_INFO_CASES = [
+    # (ref, format, width, height, progressive, orientation)
+    ("i01.png", "png", 31, 24, False, 0),
+    ("i02.ppm", "ppm", 23, 17, False, 0),
+    ("i03.jpg", "jpeg", 16, 16, False, 0),
+    ("i04.jpg", "jpeg", 33, 20, True, 0),
+    ("i05.jpg", "jpeg", 24, 8, False, 6),
+    ("i06.jpg", "jpeg", 40, 9, True, 8),
+    ("i07.bin", "unknown", None, None, None, None),
+]
+
+
+def golden_image_stream_info(sf_dir: str) -> pa.Table:  # sf-independent
+    rows = []
+    for ref, fmt, w, h, prog, orient in IMAGE_INFO_CASES:
+        if fmt == "unknown":
+            rows.append((ref, fmt, None, None, None, None, None, None))
+        else:
+            rows.append((ref, fmt, w, h, 8, 1, prog, orient))
+    return pa.table({
+        "media_ref": pa.array([r[0] for r in rows], pa.string()),
+        "format": pa.array([r[1] for r in rows], pa.string()),
+        "width": pa.array([r[2] for r in rows], pa.int32()),
+        "height": pa.array([r[3] for r in rows], pa.int32()),
+        "bit_depth": pa.array([r[4] for r in rows], pa.int32()),
+        "n_frames": pa.array([r[5] for r in rows], pa.int32()),
+        "progressive": pa.array([r[6] for r in rows], pa.bool_()),
+        "orientation": pa.array([r[7] for r in rows], pa.int32()),
+    })
+
+
 GOLDENS = {
     "dedup_minhash": golden_dedup_minhash,
     "dedup_simhash": golden_dedup_simhash,
@@ -459,6 +500,7 @@ GOLDENS = {
     "embedding_near_dup_lsh": golden_embedding_near_dup_lsh,
     "audio_stream_info": golden_audio_stream_info,
     "cdc_chunks": golden_cdc_chunks,
+    "image_stream_info": golden_image_stream_info,
 }
 
 
