@@ -535,6 +535,56 @@ def q_pagerank(spark, sf_dir):
     return out.select("node", F.col("rank").alias("pr"))
 
 
+def q_url_templates(spark, sf_dir):
+    """URL template mining (functions.urls.url_template_stats): digit
+    runs -> {n}, long hex runs -> {hex}, then a (template -> n_urls,
+    n_hosts) profile — the spider-trap / faceted-navigation signature.
+    URLs synthesized from `documents` with both digit and md5-hex
+    segments; the oracle replays the regexp chain in DuckDB."""
+    from smartcrawler_spark.functions.urls import url_template_stats
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 800)
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/sec"),
+        (d % 5).cast("string"), F.lit("/doc"), d.cast("string"),
+        F.when(d % 4 == 0,
+               F.concat(F.lit("/"),
+                        F.substring(F.md5(d.cast("string")), 1, 12)))
+        .otherwise(F.lit("")),
+    )
+    return url_template_stats(docs.select(url.alias("url_canon")))
+
+
+def q_host_graph(spark, sf_dir):
+    """Host-level link graph (operators.linkgraph.host_link_graph):
+    anchor spans aggregated to (src_host, dst_host, n_links, n_pages)
+    edges with self-loops dropped — the rollup host-centrality
+    (pagerank/HITS) runs on. Span docs synthesized from `documents`
+    (each doc links to two arithmetic-derived hosts, one of which may
+    collide with its own host and must then be dropped)."""
+    from smartcrawler_spark.operators.linkgraph import host_link_graph
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 600)
+    d = F.col("doc_id")
+
+    def link(expr):
+        return F.struct(
+            F.lit("a").alias("kind"), F.lit("x").alias("text"),
+            F.concat(F.lit("https://src"), expr.cast("string"),
+                     F.lit(".example.com/p"), d.cast("string")).alias("media_ref"),
+            F.lit(0).cast("int").alias("offset"),
+        )
+
+    span_docs = docs.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/p"),
+                 d.cast("string")).alias("doc_id"),
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        F.array(link((d * 3) % 20), link((d * 7 + 1) % 20)).alias("spans"),
+    )
+    return host_link_graph(span_docs)
+
+
 # Mirrors tools/gen_golden.py IMAGE_INFO_CASES literally — the golden
 # table is the synthesis parameters; the parser under test contributes
 # nothing to its own oracle.
@@ -1418,6 +1468,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolve": q_redirect_resolve,
         "pagerank": q_pagerank,
         "hits": q_hits,
+        "url_templates": q_url_templates,
+        "host_graph": q_host_graph,
         "image_stream_info": q_image_stream_info,
         "cdc_chunks": q_cdc_chunks,
         "cdc_stats": q_cdc_stats,
@@ -1904,6 +1956,44 @@ def oracle_sql() -> dict[str, str]:
                    FROM nodes CROSS JOIN p
                    LEFT JOIN a3 ON nodes.node = a3.dst)
             SELECT node, CAST(pr AS BIGINT) AS pr FROM r3
+        """,
+        "url_templates": """
+            WITH u AS (
+              SELECT 'https://' || source || '.example.com/sec'
+                     || (doc_id % 5) || '/doc' || doc_id
+                     || CASE WHEN doc_id % 4 = 0
+                             THEN '/' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                             ELSE '' END AS url,
+                     source || '.example.com' AS host
+              FROM documents WHERE doc_id < 800
+            ), t AS (
+              SELECT regexp_replace(
+                       regexp_replace(url, '[0-9a-f]{8,}', '{hex}', 'g'),
+                       '[0-9]+', '{n}', 'g') AS template,
+                     host
+              FROM u
+            )
+            SELECT template, count(*) AS n_urls,
+                   count(DISTINCT host) AS n_hosts
+            FROM t GROUP BY template
+        """,
+        "host_graph": """
+            WITH d AS (SELECT * FROM documents WHERE doc_id < 600),
+            a AS (
+              SELECT 'https://' || source || '.example.com/p' || doc_id AS doc_id,
+                     source || '.example.com' AS src_host,
+                     'src' || ((doc_id * 3) % 20) || '.example.com' AS dst_host
+              FROM d
+              UNION ALL
+              SELECT 'https://' || source || '.example.com/p' || doc_id,
+                     source || '.example.com',
+                     'src' || ((doc_id * 7 + 1) % 20) || '.example.com'
+              FROM d
+            )
+            SELECT src_host, dst_host, count(*) AS n_links,
+                   count(DISTINCT doc_id) AS n_pages
+            FROM a WHERE dst_host <> src_host
+            GROUP BY src_host, dst_host
         """,
         "image_stream_info": """
             SELECT media_ref, format, width, height, bit_depth, n_frames,

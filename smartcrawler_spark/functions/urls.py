@@ -30,7 +30,7 @@ from __future__ import annotations
 from urllib.parse import urlsplit
 
 import pandas as pd
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -297,4 +297,33 @@ def is_trap_url(
         | (dup_segment_count(url) > max_dup_segments)
         | (numeric_segment_count(url) > max_numeric_segments)
         | (query_param_count(url) > max_query_params)
+    )
+
+
+def url_template(url_canon: Column) -> Column:
+    """Collapse an already-canonical URL to its structural template: digit
+    runs in the path/query become `{n}`, long hex runs (ids/hashes, >= 8
+    chars) become `{hex}`. 'https://h/doc123?page=4' and
+    'https://h/doc999?page=7' collapse to the same
+    'https://h/doc{n}?page={n}' — the URL-space analog of the content
+    template detector (R1-R6). GroupBy on it measures how many distinct
+    pages each site pattern generates: crawl-budget facets, trap
+    detection (one template exploding into 10^6 URLs), and stratified
+    sampling keys. Pure JVM regexp chain."""
+    t = F.regexp_replace(url_canon, r"[0-9a-f]{8,}", "{hex}")
+    return F.regexp_replace(t, r"[0-9]+", "{n}")
+
+
+def url_template_stats(df: DataFrame, url_col: str = "url_canon") -> DataFrame:
+    """Per-template URL-space profile: (template, n_urls, n_hosts). One
+    hash agg; the n_urls >> n_hosts explosion is the classic spider-trap
+    / faceted-navigation signature at corpus scale."""
+    return (
+        df.select(
+            url_template(F.col(url_col)).alias("template"),
+            url_host(F.col(url_col)).alias("_h"),
+        )
+        .groupBy("template")
+        .agg(F.count("*").alias("n_urls"),
+             F.countDistinct("_h").alias("n_hosts"))
     )

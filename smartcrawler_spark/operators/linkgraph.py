@@ -224,3 +224,34 @@ def hits_fixed_point(
         )
     )
     return out
+
+
+def host_link_graph(docs: DataFrame, spans_col: str = "spans",
+                    host_col: str = "host") -> DataFrame:
+    """Aggregate the page-level anchor graph to HOST granularity:
+    (src_host, dst_host, n_links, n_pages) edges, self-loops dropped.
+    Host-level centrality (feed this into `pagerank_fixed_point` /
+    `hits_fixed_point`) is how crawl fleets allocate seed and politeness
+    budgets — 10^10 URLs collapse to ~10^8 hosts, small enough to rank
+    every round. Explode is map-side; the single shuffle is the groupBy
+    on the host pair with map-side partial agg."""
+    from ..functions import urls as U
+
+    s = F.col("s")
+    anchors = (
+        docs.select(F.col("doc_id"), F.col(host_col).alias("src_host"),
+                    F.explode(F.col(spans_col)).alias("s"))
+        .filter((s["kind"] == "a") & s["media_ref"].isNotNull()
+                & (s["media_ref"] != ""))
+        .select(
+            "doc_id", "src_host",
+            U.url_host(U.resolve_href(s["media_ref"],
+                                      F.col("src_host"))).alias("dst_host"),
+        )
+        .filter(F.col("dst_host") != F.col("src_host"))
+        .filter(F.col("dst_host").isNotNull() & (F.col("dst_host") != ""))
+    )
+    return anchors.groupBy("src_host", "dst_host").agg(
+        F.count("*").alias("n_links"),
+        F.countDistinct("doc_id").alias("n_pages"),
+    )

@@ -130,3 +130,28 @@ def test_hits_hub_authority_separation(spark):
     assert got[0][1] == 0          # pure hub: no authority
     assert got[5][0] == 0          # pure authority: no hub score
     assert max(got, key=lambda n: got[n][1]) == 5
+
+
+def test_host_link_graph(spark):
+    def span(kind, text=None, media_ref=None, offset=0):
+        return {"kind": kind, "text": text, "media_ref": media_ref,
+                "offset": offset}
+
+    rows = [
+        {"doc_id": "https://a.com/1", "host": "a.com", "spans": [
+            span("a", media_ref="https://b.com/x"),
+            span("a", media_ref="https://b.com/y"),
+            span("a", media_ref="/internal"),        # self-loop dropped
+            span("media", media_ref="img.png"),
+        ]},
+        {"doc_id": "https://a.com/2", "host": "a.com", "spans": [
+            span("a", media_ref="https://b.com/z"),
+            span("a", media_ref="https://c.com/"),
+        ]},
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id string, host string, spans array<struct<"
+        "kind:string,text:string,media_ref:string,offset:int>>")
+    got = {(r["src_host"], r["dst_host"]): (r["n_links"], r["n_pages"])
+           for r in LG.host_link_graph(docs).collect()}
+    assert got == {("a.com", "b.com"): (3, 2), ("a.com", "c.com"): (1, 1)}

@@ -164,3 +164,32 @@ def test_strip_tracking_params_edges(spark):
         U.strip_tracking_params(F.col("url")).alias("s")).collect()}
     for raw, want in cases:
         assert got[raw] == want, raw
+
+
+def test_url_template_collapse(spark):
+    from smartcrawler_spark.functions.urls import url_template
+
+    cases = [
+        ("https://h.com/doc123?page=4", "https://h.com/doc{n}?page={n}"),
+        ("https://h.com/doc999?page=77", "https://h.com/doc{n}?page={n}"),
+        ("https://h.com/item/deadbeef01", "https://h.com/item/{hex}"),
+        # short hex-ish runs stay; digit runs inside still collapse
+        ("https://h.com/cafe/42", "https://h.com/cafe/{n}"),
+        ("https://h.com/", "https://h.com/"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [r["t"] for r in df.select(
+        url_template(F.col("u")).alias("t")).collect()]
+    assert got == [w for _, w in cases]
+
+
+def test_url_template_stats_trap_signature(spark):
+    from smartcrawler_spark.functions.urls import url_template_stats
+
+    rows = [(f"https://h{i % 2}.com/p{i}",) for i in range(40)]
+    rows += [("https://h0.com/about",)]
+    df = spark.createDataFrame(rows, "url_canon string")
+    got = {r["template"]: (r["n_urls"], r["n_hosts"])
+           for r in url_template_stats(df).collect()}
+    assert got["https://h{n}.com/p{n}"] == (40, 2)
+    assert got["https://h{n}.com/about"] == (1, 1)
