@@ -306,6 +306,20 @@ def q_host_stats(spark, sf_dir):
     return host_report(_synthetic_frontier(spark, sf_dir))
 
 
+def q_crawl_progress(spark, sf_dir):
+    """Per-round crawl progress rollup (plans.analysis.crawl_progress):
+    admissions by round_added, fetch outcomes by round_fetched, full
+    outer merge, cumulative frontier size over rounds. round_added
+    synthesized from the url key (o_orderkey % 25). All-integer."""
+    from smartcrawler_spark.plans.analysis import crawl_progress
+
+    fr = _synthetic_frontier(spark, sf_dir).withColumn(
+        "round_added",
+        (F.regexp_extract("url_canon", r"/p(\d+)$", 1).cast("int") % 25),
+    )
+    return crawl_progress(fr)
+
+
 def q_adaptive_budget(spark, sf_dir):
     """Failure-aware politeness budgets (operators.frontier.
     adaptive_budgets): hosts whose FAILED share of attempted fetches
@@ -1488,6 +1502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refresh_due": q_refresh_due,
         "c4_filters": q_c4_filters,
         "host_stats": q_host_stats,
+        "crawl_progress": q_crawl_progress,
         "gopher_rules": q_gopher_rules,
         "explode_distinct": q_explode_distinct,
         "text_clean": q_text_clean,
@@ -1719,6 +1734,32 @@ def oracle_sql() -> dict[str, str]:
                                                THEN 1 ELSE 0 END))
                          ELSE 0 END AS INT) AS success_bp
             FROM f GROUP BY host
+        """,
+        "crawl_progress": f"""
+            WITH f AS ({_SYNTH_FRONTIER_SQL}),
+            fa AS (
+              SELECT CAST(regexp_extract(url_canon, '/p(\\d+)$', 1) AS INT) % 25
+                       AS round, count(*) AS n_admitted
+              FROM f GROUP BY 1
+            ),
+            ff AS (
+              SELECT round_fetched AS round, count(*) AS n_fetched,
+                     sum(CASE WHEN status = 'SUCCESS' THEN 1 ELSE 0 END)
+                       AS n_success
+              FROM f WHERE round_fetched IS NOT NULL GROUP BY 1
+            ),
+            m AS (
+              SELECT coalesce(fa.round, ff.round) AS round,
+                     coalesce(n_admitted, 0) AS n_admitted,
+                     coalesce(n_fetched, 0) AS n_fetched,
+                     coalesce(n_success, 0) AS n_success
+              FROM fa FULL OUTER JOIN ff ON fa.round = ff.round
+            )
+            SELECT round, n_admitted, n_fetched, n_success,
+                   sum(n_admitted) OVER (ORDER BY round
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum_frontier
+            FROM m
         """,
         "gopher_rules": rf"""
             WITH d AS (

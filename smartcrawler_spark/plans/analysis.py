@@ -101,3 +101,46 @@ def template_paths_json(spark: SparkSession, job, out_dir: str) -> DataFrame:
     paths = SP.extract_template_paths(_success_docs(spark, job))
     paths.write.mode("overwrite").json(f"{out_dir}/template_paths")
     return paths
+
+
+def crawl_progress(frontier: DataFrame) -> DataFrame:
+    """Per-round crawl progress rollup: URLs admitted and fetch outcomes
+    by `round_added` / `round_fetched`, plus the running frontier size —
+    the "is discovery saturating?" curve every crawl dashboard plots
+    (admission rate falling toward the politeness budget means the
+    reachable set is nearly exhausted).
+
+    Shape: two hash aggs over the frontier (one keyed by round_added,
+    one by round_fetched) merged with a full outer join on the round,
+    then a cumulative window over rounds — the window partitions by
+    nothing but rounds number in the low thousands, so the single-
+    partition tail is bounded metadata, not data. All-integer output:
+    (round, n_admitted, n_fetched, n_success, cum_frontier)."""
+    admitted = frontier.groupBy(
+        F.col("round_added").alias("round")
+    ).agg(F.count("*").alias("n_admitted"))
+    fetched = (
+        frontier.filter(F.col("round_fetched").isNotNull())
+        .groupBy(F.col("round_fetched").alias("round"))
+        .agg(
+            F.count("*").alias("n_fetched"),
+            F.sum(F.when(F.col("status") == "SUCCESS", 1).otherwise(0))
+            .alias("n_success"),
+        )
+    )
+    from pyspark.sql import Window
+
+    merged = (
+        admitted.join(fetched, "round", "full_outer")
+        .select(
+            "round",
+            F.coalesce("n_admitted", F.lit(0)).alias("n_admitted"),
+            F.coalesce("n_fetched", F.lit(0)).alias("n_fetched"),
+            F.coalesce("n_success", F.lit(0)).alias("n_success"),
+        )
+    )
+    w = Window.orderBy("round").rowsBetween(Window.unboundedPreceding, 0)
+    return merged.select(
+        "round", "n_admitted", "n_fetched", "n_success",
+        F.sum("n_admitted").over(w).alias("cum_frontier"),
+    )

@@ -209,3 +209,27 @@ def test_adaptive_budgets_matches_hand_oracle(spark):
             for r in FRmod.adaptive_budgets(fr, tiny, default_budget=1)
             .collect()}
     assert got2["dying.com"] == 1
+
+
+def test_crawl_progress_rollup(spark):
+    """crawl_progress: admissions by round_added, fetches by
+    round_fetched, cumulative frontier — vs a hand-computed oracle."""
+    from smartcrawler_spark.plans.analysis import crawl_progress
+
+    rows = [
+        # (url, round_added, status, round_fetched)
+        ("u1", 0, "SUCCESS", 0), ("u2", 0, "FAILED", 1),
+        ("u3", 1, "SUCCESS", 1), ("u4", 1, "PENDING", None),
+        ("u5", 3, "SUCCESS", 3),
+    ]
+    fr = spark.createDataFrame(
+        rows, "url_canon string, round_added int, status string, "
+              "round_fetched int")
+    got = {r["round"]: (r["n_admitted"], r["n_fetched"], r["n_success"],
+                        r["cum_frontier"])
+           for r in crawl_progress(fr).collect()}
+    assert got == {
+        0: (2, 1, 1, 2),
+        1: (2, 2, 1, 4),
+        3: (1, 1, 1, 5),
+    }
