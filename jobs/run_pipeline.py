@@ -1,0 +1,151 @@
+"""spark-submit entrypoint for the training-data corpus refinement pipeline.
+
+The batch companion to streaming/pipeline_stream.py — one job that takes a
+raw crawled document table to a training-ready corpus through the standard
+gauntlet, every stage an existing gated operator:
+
+    scrub (clean + PII redact) -> language ID -> quality gates
+    (Gopher rule bundle + C4 page gate + composite score floor) ->
+    exact dedup -> MinHash-LSH near-dedup -> benchmark decontamination
+    (vs an eval-set parquet) -> stable hash split -> optional per-language
+    token-budget pack -> parquet partitioned by split
+
+Cluster usage:
+
+    spark-submit --py-files dist/smartcrawler_spark.zip jobs/run_pipeline.py \\
+        --input /data/documents.parquet --output s3://bucket/refined \\
+        --eval /data/eval_benchmarks.parquet --minhash --budget 2000000
+
+Local sandbox:
+
+    python jobs/run_pipeline.py --input /root/testdata/sf0.001/documents.parquet \\
+        --output /tmp/refined
+
+Prints ONE JSON line of per-stage survivor counts (each count is one
+metadata-scale action on a cached stage boundary; drop --metrics to skip
+them and run a single write-only lineage).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description="corpus refinement pipeline")
+    ap.add_argument("--input", required=True, help="documents parquet (doc_id, text, ...)")
+    ap.add_argument("--output", required=True, help="output dir (parquet, partitioned by split)")
+    ap.add_argument("--eval", default=None,
+                    help="eval-set parquet for decontamination (doc_id, text)")
+    ap.add_argument("--minhash", action="store_true",
+                    help="enable MinHash-LSH near-dedup after exact dedup")
+    ap.add_argument("--gopher", action="store_true",
+                    help="enable the Gopher rule bundle (prose corpora; "
+                         "the rules legitimately reject non-prose text)")
+    ap.add_argument("--c4", action="store_true",
+                    help="enable the C4 line/page gate (prose corpora)")
+    ap.add_argument("--min-quality", type=float, default=0.05,
+                    help="composite quality_score floor (0 disables)")
+    ap.add_argument("--decontam-n", type=int, default=5,
+                    help="n-gram size for decontamination (13 at real scale)")
+    ap.add_argument("--budget", type=int, default=None,
+                    help="per-language token budget (greedy quality-first pack)")
+    ap.add_argument("--train-pct", type=int, default=80)
+    ap.add_argument("--val-pct", type=int, default=10)
+    ap.add_argument("--metrics", action="store_true", default=True)
+    ap.add_argument("--no-metrics", dest="metrics", action="store_false")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from smartcrawler_spark.functions import textops as T
+    from smartcrawler_spark.operators import dedup as DD
+    from smartcrawler_spark.operators import sampling as SA
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        from smartcrawler_spark.session import get_spark
+
+        spark = get_spark(app_name="smartcrawler-pipeline")
+
+    counts: dict[str, int] = {}
+
+    def stage(df, name):
+        if args.metrics:
+            df = df.persist()
+            counts[name] = df.count()
+        return df
+
+    raw = spark.read.parquet(args.input)
+    raw = stage(raw, "input")
+
+    # scrub + enrich (all whole-stage-codegen Column exprs)
+    scrubbed = T.redact_pii(T.clean_text(F.col("text")))
+    docs = raw.select(
+        "doc_id",
+        scrubbed.alias("text"),
+        T.detect_language(scrubbed).alias("lang"),
+        T.token_count(scrubbed).alias("n_tokens"),
+        T.quality_score(scrubbed).alias("quality"),
+    ).filter(F.length("text") > 0)
+
+    # quality gates operate on the RAW text (line structure matters for
+    # the Gopher/C4 line rules; clean_text collapses newlines)
+    gates = []
+    if args.gopher:
+        gates.append(T.gopher_rules(F.col("text"))["gopher_pass"])
+    if args.c4:
+        # crawl text often lost its line breaks to HTML stripping; re-line
+        # at sentence boundaries before the line rules (same normalization
+        # as the c4_filters/line_dedup gates)
+        relined = F.regexp_replace(F.col("text"), r"\. ", ".\n")
+        gates.append(T.c4_line_filters(relined)["page_keep"])
+    gated_ids = raw.select("doc_id", "text")
+    for g in gates:
+        gated_ids = gated_ids.filter(g)
+    docs = docs.join(gated_ids.select("doc_id"), "doc_id", "left_semi")
+    if args.min_quality > 0:
+        docs = docs.filter(F.col("quality") >= args.min_quality)
+    docs = stage(docs, "quality_gated")
+
+    # exact dedup: survivors (min id per normalized-text fingerprint)
+    survivors = DD.exact_dedup(docs).select("doc_id")
+    docs = docs.join(survivors, "doc_id", "left_semi")
+    docs = stage(docs, "exact_deduped")
+
+    if args.minhash:
+        docs = DD.minhash_dedup(docs)
+        docs = stage(docs, "minhash_deduped")
+
+    if args.eval:
+        eval_docs = spark.read.parquet(args.eval)
+        marks = DD.mark_contaminated(docs, eval_docs, n=args.decontam_n)
+        docs = docs.join(
+            marks.filter(~F.col("contaminated")).select("doc_id"),
+            "doc_id", "left_semi")
+        docs = stage(docs, "decontaminated")
+
+    docs = SA.hash_split(docs, train_pct=args.train_pct, val_pct=args.val_pct)
+
+    if args.budget:
+        packed = SA.token_budget_pack(
+            docs, args.budget, priority=F.col("quality"))
+        docs = docs.join(packed.select("doc_id"), "doc_id", "left_semi")
+        docs = stage(docs, "budget_packed")
+
+    if args.metrics:
+        docs = docs.persist()
+        counts["written"] = docs.count()
+    docs.write.mode("overwrite").partitionBy("split").parquet(args.output)
+    print(json.dumps({"stages": counts, "output": args.output}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

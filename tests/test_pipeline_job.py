@@ -1,0 +1,60 @@
+"""End-to-end test of the batch corpus-refinement job (jobs/run_pipeline.py):
+real CLI main() on real parquet, per-stage survivor counts, output layout."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+
+JOBS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "jobs")
+sys.path.insert(0, JOBS)
+
+
+def _run(capsys, argv):
+    import run_pipeline
+
+    old = sys.argv
+    sys.argv = ["run_pipeline.py"] + argv
+    try:
+        assert run_pipeline.main() == 0
+    finally:
+        sys.argv = old
+    out = [ln for ln in capsys.readouterr().out.splitlines() if ln.startswith("{")]
+    return json.loads(out[-1])
+
+
+def test_pipeline_job_end_to_end(spark, sf_dir, tmp_path, capsys):
+    out_dir = str(tmp_path / "refined")
+    res = _run(capsys, ["--input", f"{sf_dir}/documents.parquet",
+                        "--output", out_dir, "--minhash", "--budget", "50000"])
+    st = res["stages"]
+    # counts only ever shrink through the gauntlet
+    order = ["input", "quality_gated", "exact_deduped", "minhash_deduped",
+             "budget_packed", "written"]
+    vals = [st[k] for k in order]
+    assert vals == sorted(vals, reverse=True) and st["written"] > 0
+    refined = spark.read.parquet(out_dir)
+    assert set(refined.columns) >= {"doc_id", "text", "lang", "n_tokens",
+                                    "quality", "split", "bucket"}
+    assert refined.count() == st["written"]
+    splits = {r["split"] for r in refined.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"} and "train" in splits
+    # determinism: a second run reproduces every stage count
+    res2 = _run(capsys, ["--input", f"{sf_dir}/documents.parquet",
+                         "--output", str(tmp_path / "r2"),
+                         "--minhash", "--budget", "50000"])
+    assert res2["stages"] == st
+
+
+def test_pipeline_job_decontamination_removes_eval_overlap(
+        spark, sf_dir, tmp_path, capsys):
+    # eval set == the corpus itself -> every doc shares all its n-grams
+    res = _run(capsys, ["--input", f"{sf_dir}/documents.parquet",
+                        "--output", str(tmp_path / "out"),
+                        "--eval", f"{sf_dir}/documents.parquet"])
+    st = res["stages"]
+    assert st["exact_deduped"] > 0 and st["decontaminated"] == 0
