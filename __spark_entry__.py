@@ -549,6 +549,34 @@ def q_pagerank(spark, sf_dir):
     return out.select("node", F.col("rank").alias("pr"))
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental-ingestion dedup (operators.dedup.dedup_against_corpus,
+    exact tier): a 'new batch' (doc_id 200-699) anti-joined against the
+    existing corpus (doc_id < 400) on the normalized-text fingerprint —
+    the overlap region (200-399) must vanish. The oracle anti-joins on
+    the normalized text itself (the fingerprint is engine-internal)."""
+    from smartcrawler_spark.operators.dedup import dedup_against_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400).select("doc_id", "text")
+    new = docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 700)) \
+              .select("doc_id", "text")
+    out = dedup_against_corpus(new, corpus)
+    return out.select("doc_id", F.md5("text").alias("text_md5"))
+
+
+def q_uniform_sample(spark, sf_dir):
+    """Deterministic uniform k-per-group sampling (operators.sampling.
+    uniform_sample_k): k smallest md5(id|salt) draws per language — the
+    seeded, engine-portable reservoir; oracle replays the draw + window
+    rank in DuckDB."""
+    from smartcrawler_spark.operators.sampling import uniform_sample_k
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000) \
+        .select("doc_id", "lang")
+    return uniform_sample_k(docs, k=25, salt="gate")
+
+
 def q_url_templates(spark, sf_dir):
     """URL template mining (functions.urls.url_template_stats): digit
     runs -> {n}, long hex runs -> {hex}, then a (template -> n_urls,
@@ -1482,6 +1510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolve": q_redirect_resolve,
         "pagerank": q_pagerank,
         "hits": q_hits,
+        "incremental_dedup": q_incremental_dedup,
+        "uniform_sample": q_uniform_sample,
         "url_templates": q_url_templates,
         "host_graph": q_host_graph,
         "image_stream_info": q_image_stream_info,
@@ -1997,6 +2027,29 @@ def oracle_sql() -> dict[str, str]:
                    FROM nodes CROSS JOIN p
                    LEFT JOIN a3 ON nodes.node = a3.dst)
             SELECT node, CAST(pr AS BIGINT) AS pr FROM r3
+        """,
+        "incremental_dedup": f"""
+            WITH c AS (
+              SELECT lower({_CLEAN.format(col='text')}) AS norm
+              FROM documents WHERE doc_id < 400
+            )
+            SELECT doc_id, md5(text) AS text_md5
+            FROM documents
+            WHERE doc_id >= 200 AND doc_id < 700
+              AND lower({_CLEAN.format(col='text')}) NOT IN (SELECT norm FROM c)
+        """,
+        "uniform_sample": """
+            WITH d AS (
+              SELECT doc_id, lang,
+                     md5(CAST(doc_id AS VARCHAR) || '|gate') AS draw
+              FROM documents WHERE doc_id < 2000
+            ), r AS (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY draw ASC, doc_id ASC) AS rn
+              FROM d
+            )
+            SELECT doc_id, lang FROM r WHERE rn <= 25
         """,
         "url_templates": """
             WITH u AS (

@@ -1075,3 +1075,41 @@ def cdc_dedup_stats(chunks: DataFrame) -> DataFrame:
         F.expr("(10000 * (total_bytes - distinct_bytes)) div total_bytes")
         .alias("dup_bp"),
     )
+
+
+def dedup_against_corpus(new_docs: DataFrame, corpus: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         near: bool = False, num_perm: int = 64,
+                         bands: int = 16, shingle_n: int = 3) -> DataFrame:
+    """Incremental-ingestion dedup: keep only the rows of `new_docs` whose
+    content is NOT already in `corpus` — the batch analog of the
+    streaming pipeline's cross-run dedup, and the shape every append-only
+    corpus build runs each cycle (new crawl batch vs 10^9 existing docs).
+
+    Exact tier: anti-join on the normalized-text xxhash64 fingerprint —
+    the corpus side reduces to DISTINCT 8-byte keys, so at scale this is
+    a fingerprint-bucketed anti-join that never moves document text.
+    With `near=True`, an additional MinHash-band tier: new docs whose ANY
+    band bucket collides with an existing corpus bucket are dropped too
+    (same single-linkage semantics as `minhash_dedup`, applied across
+    the corpus boundary). Both tiers are anti-joins on small keys; the
+    new batch is typically orders of magnitude smaller than the corpus,
+    and only keys shuffle."""
+    fp = F.xxhash64(F.lower(clean_text(F.col(text_col))))
+    corpus_fps = corpus.select(fp.alias("_fp")).distinct()
+    out = (
+        new_docs.withColumn("_fp", fp)
+        .join(corpus_fps, "_fp", "left_anti")
+        .drop("_fp")
+    )
+    if near:
+        nb = minhash_band_buckets(
+            minhash_signatures(out, text_col, id_col, num_perm, shingle_n),
+            num_perm, bands, id_col)
+        cb = minhash_band_buckets(
+            minhash_signatures(corpus, text_col, id_col, num_perm, shingle_n),
+            num_perm, bands, id_col).select("band", "bucket").distinct()
+        hit = nb.join(cb, ["band", "bucket"], "left_semi") \
+                .select(id_col).distinct()
+        out = out.join(hit, id_col, "left_anti")
+    return out

@@ -210,3 +210,22 @@ def temperature_mix_sqrt(df: DataFrame, total_target: int,
     )
     joined = df.join(F.broadcast(dim), group_col)
     return weighted_sample(joined, F.col("p24"), id_col=id_col, salt=salt)
+
+
+def uniform_sample_k(df: DataFrame, k: int, group_col: str = "lang",
+                     id_col: str = "doc_id", salt: str = "") -> DataFrame:
+    """Deterministic uniform k-per-group sample: rank rows inside each
+    group by the md5 draw of (id, salt) and keep the k smallest — a
+    seeded reservoir sample that is reproducible across engines and
+    stable under partitioning. Changing `salt` redraws independently;
+    appending rows can only displace ranks, never reshuffle survivors
+    arbitrarily. Uses the skew-safe two-phase salted top-k, so one giant
+    group cannot pin a task. The eval-set construction primitive."""
+    from .frontier import top_k_per_group
+
+    draw = F.md5(F.concat(F.col(id_col).cast("string"), F.lit("|"),
+                          F.lit(salt)))
+    return top_k_per_group(
+        df.withColumn("_draw", draw), [group_col],
+        [F.col("_draw").asc(), F.col(id_col).asc()], k=k,
+    ).drop("_draw")

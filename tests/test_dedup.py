@@ -396,3 +396,25 @@ def test_cdc_chunk_table_and_stats(spark):
     # chunk straddling the shared/unique boundary in `a` cannot dedup)
     assert stats["distinct_bytes"] < 10000 + 1200
     assert stats["dup_bp"] == (10000 * (15000 - stats["distinct_bytes"])) // 15000
+
+
+def test_dedup_against_corpus_exact_and_near(spark):
+    from smartcrawler_spark.operators.dedup import dedup_against_corpus
+
+    corpus = spark.createDataFrame(
+        [(0, BASE), (1, "totally different text about rivers and banks")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, BASE),                                # exact dup of corpus 0
+         (11, "  THE   quick brown fox jumps over the lazy dog near "
+              "the river bank today "),            # exact after normalize
+         (12, BASE.replace("dog", "cat")),         # near-dup of corpus 0
+         (13, "entirely novel content neither corpus doc resembles at all"
+              " with many fresh words to shingle")],
+        "doc_id long, text string")
+    exact = {r["doc_id"] for r in
+             dedup_against_corpus(new, corpus).collect()}
+    assert exact == {12, 13}
+    near = {r["doc_id"] for r in
+            dedup_against_corpus(new, corpus, near=True).collect()}
+    assert near == {13}

@@ -185,3 +185,39 @@ def test_temperature_mix_sqrt_superset_under_bigger_target(spark):
            for r in S.temperature_mix_sqrt(df, total_target=150).collect()}
     assert small <= big
     assert len(small) < len(big)
+
+
+def test_uniform_sample_k_deterministic_and_stable(spark):
+    from smartcrawler_spark.operators.sampling import uniform_sample_k
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(90)], "doc_id long, lang string")
+    s1 = {(r["lang"], r["doc_id"]) for r in uniform_sample_k(df, 5).collect()}
+    s2 = {(r["lang"], r["doc_id"]) for r in uniform_sample_k(df, 5).collect()}
+    assert s1 == s2 and len(s1) == 15
+    for g in ("g0", "g1", "g2"):
+        assert sum(1 for x in s1 if x[0] == g) == 5
+    # independent redraw under a different salt
+    s3 = {(r["lang"], r["doc_id"]) for r in
+          uniform_sample_k(df, 5, salt="v2").collect()}
+    assert s3 != s1
+    # python oracle: k smallest md5 draws per group
+    import hashlib
+
+    want = set()
+    for g in ("g0", "g1", "g2"):
+        members = [i for i in range(90) if "g%d" % (i % 3) == g]
+        ranked = sorted(members,
+                        key=lambda i: (hashlib.md5(f"{i}|".encode()).hexdigest(), i))
+        want |= {(g, i) for i in ranked[:5]}
+    assert s1 == want
+    # append-stability: adding rows can only displace, never reshuffle —
+    # survivors of the superset that existed before are ranked the same
+    df2 = spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(120)], "doc_id long, lang string")
+    s_big = {(r["lang"], r["doc_id"]) for r in uniform_sample_k(df2, 5).collect()}
+    # every survivor in the bigger draw that is < 90 must also have been
+    # a survivor before OR be displaced only by new (>= 90) rows
+    for g, i in s_big:
+        if i < 90 and (g, i) not in s1:
+            raise AssertionError((g, i))
