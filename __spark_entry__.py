@@ -549,6 +549,21 @@ def q_pagerank(spark, sf_dir):
     return out.select("node", F.col("rank").alias("pr"))
 
 
+def q_datacard(spark, sf_dir):
+    """Corpus datacard rollup (plans.analysis.corpus_datacard): per
+    (split, lang) doc counts, token totals and length spread — split
+    assigned by the engine's md5 hash_split, token counts by the engine
+    tokenizer; the oracle replays both (the md5-bucket arithmetic and
+    the token regexp) in DuckDB. All-integer."""
+    from smartcrawler_spark.functions.textops import token_count
+    from smartcrawler_spark.operators.sampling import hash_split
+    from smartcrawler_spark.plans.analysis import corpus_datacard
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    d = hash_split(docs).withColumn("n_tokens", token_count(F.col("text")))
+    return corpus_datacard(d)
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Incremental-ingestion dedup (operators.dedup.dedup_against_corpus,
     exact tier): a 'new batch' (doc_id 200-699) anti-joined against the
@@ -1510,6 +1525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolve": q_redirect_resolve,
         "pagerank": q_pagerank,
         "hits": q_hits,
+        "datacard": q_datacard,
         "incremental_dedup": q_incremental_dedup,
         "uniform_sample": q_uniform_sample,
         "url_templates": q_url_templates,
@@ -2027,6 +2043,36 @@ def oracle_sql() -> dict[str, str]:
                    FROM nodes CROSS JOIN p
                    LEFT JOIN a3 ON nodes.node = a3.dst)
             SELECT node, CAST(pr AS BIGINT) AS pr FROM r3
+        """,
+        "datacard": """
+            WITH h AS (
+              SELECT doc_id, lang, text,
+                     substr(md5(doc_id::VARCHAR), 1, 1) AS c1,
+                     substr(md5(doc_id::VARCHAR), 2, 1) AS c2
+              FROM documents WHERE doc_id < 2000
+            ), b AS (
+              SELECT doc_id, lang, text,
+                     ((CASE WHEN ascii(c1) <= 57 THEN ascii(c1) - 48
+                            ELSE ascii(c1) - 87 END) * 16
+                      + (CASE WHEN ascii(c2) <= 57 THEN ascii(c2) - 48
+                              ELSE ascii(c2) - 87 END)) % 100 AS bucket
+              FROM h
+            ), s AS (
+              SELECT lang,
+                     CASE WHEN bucket < 80 THEN 'train'
+                          WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+                     len(regexp_extract_all(text,
+                         '[A-Za-z]+|\\d+|[^\\sA-Za-z\\d]')) AS n_tokens,
+                     len(text) AS n_chars
+              FROM b
+            )
+            SELECT split, lang, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+                   CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(sum(n_tokens) // count(*) AS BIGINT) AS mean_tokens
+            FROM s GROUP BY split, lang
         """,
         "incremental_dedup": f"""
             WITH c AS (

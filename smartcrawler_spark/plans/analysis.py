@@ -144,3 +144,26 @@ def crawl_progress(frontier: DataFrame) -> DataFrame:
         "round", "n_admitted", "n_fetched", "n_success",
         F.sum("n_admitted").over(w).alias("cum_frontier"),
     )
+
+
+def corpus_datacard(df: DataFrame,
+                    group_cols: tuple[str, ...] = ("split", "lang"),
+                    tokens_col: str = "n_tokens",
+                    text_col: str = "text") -> DataFrame:
+    """Per-(split, lang) corpus datacard: the release-notes table every
+    dataset ships with — doc counts, token totals, document-length
+    spread. One hash aggregation with map-side partials; all-integer
+    output so the numbers are identical on any engine:
+
+        (group..., n_docs, total_tokens, min_tokens, max_tokens,
+         total_chars, mean_tokens = total div n_docs)
+    """
+    toks = F.col(tokens_col).cast("long")
+    return df.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(toks).alias("total_tokens"),
+        F.min(toks).alias("min_tokens"),
+        F.max(toks).alias("max_tokens"),
+        F.sum(F.length(text_col).cast("long")).alias("total_chars"),
+    ).withColumn("mean_tokens",
+                 F.expr("total_tokens div n_docs"))

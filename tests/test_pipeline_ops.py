@@ -524,3 +524,24 @@ def test_corpus_diff_custom_fingerprint(spark):
                          fingerprint=F.length("text").cast("string")
                          ).collect()
     assert got[0]["change"] == "unchanged"
+
+
+def test_corpus_datacard_hand_oracle(spark):
+    from smartcrawler_spark.plans.analysis import corpus_datacard
+
+    rows = [
+        ("a", "train", "en", 10), ("b", "train", "en", 20),
+        ("c", "val", "en", 7), ("d", "train", "fr", 5),
+    ]
+    df = spark.createDataFrame(
+        [(i, s, l, "x" * (t * 2), t) for (i, s, l, t) in rows],
+        "doc_id string, split string, lang string, text string, n_tokens int")
+    got = {(r["split"], r["lang"]): (r["n_docs"], r["total_tokens"],
+                                     r["min_tokens"], r["max_tokens"],
+                                     r["total_chars"], r["mean_tokens"])
+           for r in corpus_datacard(df).collect()}
+    assert got == {
+        ("train", "en"): (2, 30, 10, 20, 60, 15),
+        ("val", "en"): (1, 7, 7, 7, 14, 7),
+        ("train", "fr"): (1, 5, 5, 5, 10, 5),
+    }
