@@ -5,10 +5,12 @@ raw crawled document table to a training-ready corpus through the standard
 gauntlet, every stage an existing gated operator:
 
     scrub (clean + PII redact) -> language ID -> quality gates
-    (Gopher rule bundle + C4 page gate + composite score floor) ->
-    exact dedup -> MinHash-LSH near-dedup -> benchmark decontamination
+    (composite score floor; Gopher/C4 prose bundles opt-in) ->
+    incremental dedup vs an existing corpus (--existing [, --existing-near])
+    -> exact dedup -> MinHash-LSH near-dedup -> benchmark decontamination
     (vs an eval-set parquet) -> stable hash split -> optional per-language
-    token-budget pack -> parquet partitioned by split
+    token-budget pack -> parquet partitioned by split (+ optional
+    per-(split, lang) datacard parquet)
 
 Cluster usage:
 
@@ -42,6 +44,14 @@ def main() -> int:
     ap.add_argument("--output", required=True, help="output dir (parquet, partitioned by split)")
     ap.add_argument("--eval", default=None,
                     help="eval-set parquet for decontamination (doc_id, text)")
+    ap.add_argument("--existing", default=None,
+                    help="existing-corpus parquet: drop new docs whose "
+                         "content is already there (incremental ingestion)")
+    ap.add_argument("--existing-near", action="store_true",
+                    help="also drop MinHash-band collisions vs --existing")
+    ap.add_argument("--datacard", action="store_true",
+                    help="write a per-(split, lang) datacard parquet next "
+                         "to the output")
     ap.add_argument("--minhash", action="store_true",
                     help="enable MinHash-LSH near-dedup after exact dedup")
     ap.add_argument("--gopher", action="store_true",
@@ -114,6 +124,12 @@ def main() -> int:
         docs = docs.filter(F.col("quality") >= args.min_quality)
     docs = stage(docs, "quality_gated")
 
+    if args.existing:
+        existing = spark.read.parquet(args.existing)
+        docs = DD.dedup_against_corpus(docs, existing,
+                                       near=args.existing_near)
+        docs = stage(docs, "vs_existing")
+
     # exact dedup: survivors (min id per normalized-text fingerprint)
     survivors = DD.exact_dedup(docs).select("doc_id")
     docs = docs.join(survivors, "doc_id", "left_semi")
@@ -143,6 +159,11 @@ def main() -> int:
         docs = docs.persist()
         counts["written"] = docs.count()
     docs.write.mode("overwrite").partitionBy("split").parquet(args.output)
+    if args.datacard:
+        from smartcrawler_spark.plans.analysis import corpus_datacard
+
+        corpus_datacard(docs).write.mode("overwrite").parquet(
+            args.output.rstrip("/") + "_datacard")
     print(json.dumps({"stages": counts, "output": args.output}))
     return 0
 

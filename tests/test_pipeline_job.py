@@ -58,3 +58,25 @@ def test_pipeline_job_decontamination_removes_eval_overlap(
                         "--eval", f"{sf_dir}/documents.parquet"])
     st = res["stages"]
     assert st["exact_deduped"] > 0 and st["decontaminated"] == 0
+
+
+def test_pipeline_job_incremental_and_datacard(spark, sf_dir, tmp_path, capsys):
+    first = str(tmp_path / "first")
+    r1 = _run(capsys, ["--input", f"{sf_dir}/documents.parquet",
+                       "--output", first, "--minhash"])
+    # second run against the first output: only content the refined corpus
+    # does NOT already contain survives the vs_existing stage
+    r2 = _run(capsys, ["--input", f"{sf_dir}/documents.parquet",
+                       "--output", str(tmp_path / "second"),
+                       "--existing", first, "--datacard"])
+    st = r2["stages"]
+    assert st["vs_existing"] < st["quality_gated"]
+    # everything the first run kept is 'already there'; what survives is
+    # exactly the set the first run's near-dedup removed
+    assert st["vs_existing"] == r1["stages"]["exact_deduped"] - \
+        r1["stages"]["minhash_deduped"]
+    card = spark.read.parquet(str(tmp_path / "second") + "_datacard")
+    assert set(card.columns) == {"split", "lang", "n_docs", "total_tokens",
+                                 "min_tokens", "max_tokens", "total_chars",
+                                 "mean_tokens"}
+    assert card.agg({"n_docs": "sum"}).collect()[0][0] == st["written"]
