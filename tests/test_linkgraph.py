@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import random
 
+from pyspark.sql import functions as F
+
 from smartcrawler_spark.operators import linkgraph as LG
 
 
@@ -155,3 +157,41 @@ def test_host_link_graph(spark):
     got = {(r["src_host"], r["dst_host"]): (r["n_links"], r["n_pages"])
            for r in LG.host_link_graph(docs).collect()}
     assert got == {("a.com", "b.com"): (3, 2), ("a.com", "c.com"): (1, 1)}
+
+
+def test_rank_hosts_job_end_to_end(spark, tmp_path, capsys):
+    """jobs/run_rank_hosts.py on a generated corpus: real CLI main(),
+    output schema, degree cross-check vs host_link_graph."""
+    import json
+    import os
+    import sys
+
+    from smartcrawler_spark.sources.corpus import CorpusConfig, generate_corpus
+
+    jobs = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "jobs")
+    sys.path.insert(0, jobs)
+    import run_rank_hosts
+
+    corpus = str(tmp_path / "corpus")
+    generate_corpus(corpus, CorpusConfig(n_hosts=3, pages_per_host=4))
+    out = str(tmp_path / "ranks")
+    old = sys.argv
+    sys.argv = ["run_rank_hosts.py", "--corpus", corpus, "--output", out]
+    try:
+        assert run_rank_hosts.main() == 0
+    finally:
+        sys.argv = old
+    res = json.loads([ln for ln in capsys.readouterr().out.splitlines()
+                      if ln.startswith("{")][-1])
+    ranks = spark.read.parquet(out)
+    assert set(ranks.columns) == {"host", "pagerank", "hub", "auth",
+                                  "out_links", "in_links"}
+    assert ranks.count() == res["hosts_ranked"] > 0
+    docs = spark.read.parquet(f"{corpus}/documents.parquet")
+    edges = LG.host_link_graph(docs)
+    want_out = {r["src_host"]: r["s"] for r in edges.groupBy("src_host")
+                .agg(F.sum("n_links").alias("s")).collect()}
+    got = {r["host"]: r["out_links"] for r in ranks.collect()}
+    for h, n in want_out.items():
+        assert got[h] == n
