@@ -31,6 +31,7 @@ from smartcrawler_spark.functions import textops as T
 from smartcrawler_spark.functions import urls as U
 from smartcrawler_spark.operators import dedup as DD
 from smartcrawler_spark.operators import frontier as FR
+from smartcrawler_spark.operators import invindex as IX
 from smartcrawler_spark.operators import similarity as SIM
 from smartcrawler_spark.operators import sketches as SK
 
@@ -1361,6 +1362,44 @@ def q_top_terms(spark, sf_dir):
     return T.top_terms(docs, k=3)
 
 
+def q_inverted_index(spark, sf_dir):
+    """Positional inverted index (operators/invindex.inverted_index),
+    flattened for the gate: explode each term's posting list back to
+    (term, doc_freq, total_tf, doc_id, tf, first_pos). Executes the full
+    production plan — posexplode -> (term,doc) partial agg -> min_df
+    band -> term agg with sorted postings — then unnests the result."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    idx = IX.inverted_index(docs, min_df=2)
+    return idx.select(
+        "term", "doc_freq", "total_tf", F.explode("postings").alias("p")
+    ).select(
+        "term",
+        "doc_freq",
+        "total_tf",
+        F.col("p.doc_id").alias("doc_id"),
+        F.col("p.tf").alias("tf"),
+        F.element_at("p.positions", 1).alias("first_pos"),
+    )
+
+
+def q_conjunctive_hits(spark, sf_dir):
+    """AND retrieval over the inverted index: doc_ids containing all of
+    three query terms, via posting-list intersection (invindex.
+    conjunctive_docs) — the index is built and queried in one plan."""
+    docs = _t(spark, sf_dir, "documents")
+    idx = IX.inverted_index(docs)
+    return IX.conjunctive_docs(idx, ["spark", "merge", "window"])
+
+
+def q_phrase_hits(spark, sf_dir):
+    """Adjacent-bigram phrase query 'spark merge' answered from posting
+    positions alone (shift-by-one arrays_overlap), never re-reading the
+    text. The oracle re-derives the same set from the token stream."""
+    docs = _t(spark, sf_dir, "documents")
+    idx = IX.inverted_index(docs)
+    return IX.phrase_docs(idx, "spark", "merge")
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard pairs (threshold 0.05) on a doc subset —
     parameters chosen to yield non-trivial pairs at both sf0.01 and sf0.1."""
@@ -1573,6 +1612,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_profile": q_repetition_profile,
         "pii_redaction": q_pii_redaction,
         "top_terms": q_top_terms,
+        "inverted_index": q_inverted_index,
+        "conjunctive_hits": q_conjunctive_hits,
+        "phrase_hits": q_phrase_hits,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh": q_ann_lsh,
@@ -2783,6 +2825,35 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY tf.tf DESC, dfreq.doc_freq ASC, tf.term ASC) AS rank
               FROM tf JOIN dfreq USING (term)
             ) WHERE rank <= 3
+        """,
+        "inverted_index": rf"""
+            WITH d AS (
+              SELECT doc_id, {words} AS w FROM documents WHERE doc_id < 200
+            ), tf AS (
+              SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, unnest(w) AS term FROM d)
+              GROUP BY term, doc_id
+            ), agg AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS doc_freq,
+                     CAST(sum(tf) AS BIGINT) AS total_tf
+              FROM tf GROUP BY term HAVING count(*) >= 2
+            )
+            SELECT tf.term, agg.doc_freq, agg.total_tf, tf.doc_id, tf.tf,
+                   CAST(list_position(d.w, tf.term) - 1 AS INT) AS first_pos
+            FROM tf
+            JOIN agg USING (term)
+            JOIN d USING (doc_id)
+        """,
+        "conjunctive_hits": rf"""
+            SELECT doc_id
+            FROM (SELECT doc_id, {words} AS w FROM documents)
+            WHERE list_contains(w, 'spark') AND list_contains(w, 'merge')
+              AND list_contains(w, 'window')
+        """,
+        "phrase_hits": rf"""
+            SELECT doc_id
+            FROM (SELECT doc_id, {words} AS w FROM documents)
+            WHERE ' ' || array_to_string(w, ' ') || ' ' LIKE '% spark merge %'
         """,
         "ann_lsh_portable": """
             WITH e AS (

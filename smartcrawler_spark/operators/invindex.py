@@ -1,0 +1,131 @@
+"""Inverted index over the corpus: positional posting lists + query ops.
+
+The retrieval-side complement of functions/textops.top_terms: instead of
+ranking terms per document, materialize the term -> documents map a
+search / retrieval-augmented pipeline consumes.  Output row per term:
+
+    (term, doc_freq, total_tf,
+     postings: array<struct<doc_id, tf, positions: array<int>>>)
+
+postings sorted by doc_id, positions sorted ascending (0-based token
+offsets from the same whitespace tokenizer every text operator here
+uses, textops.word_tokens — one tokenizer, one vocabulary).
+
+Plan shape / 100 TB design:
+* posexplode -> (term, doc) partial agg -> term agg: two shuffles, both
+  with map-side combine; the first keys on (term, doc_id) so it spreads
+  a hot term across all docs' reducers, the second keys on term alone.
+* the term-keyed shuffle is where Zipf skew lives: stopword-grade terms
+  own posting lists the size of the corpus.  ``max_df`` drops them at
+  the (term, doc) stage — BEFORE the term shuffle — which is both the
+  standard IR stoplist and the skew control (same discipline as the
+  df_cap in operators/dedup.ngram_jaccard_pairs).  With max_df bounded,
+  per-term state is bounded and no reducer can be handed an unbounded
+  collect_list.
+* queries never re-touch the corpus: conjunctive_docs / phrase_docs run
+  on the index alone, exploding only the k requested terms' postings
+  (an index-partition-pruned read when the index is stored partitioned
+  by a term hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import textops as T
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Build the positional inverted index.
+
+    ``min_df`` / ``max_df`` bound document frequency inclusively; terms
+    outside the band are dropped (max_df is the stoplist/skew cap —
+    enforced before the term-level shuffle, see module docstring).
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(T.word_tokens(F.col(text_col))).alias("pos", "term"),
+    )
+    per_doc = tok.groupBy("term", "doc_id").agg(
+        F.count("*").alias("tf"),
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+    )
+    if max_df is not None or min_df > 1:
+        # document frequency is countable from the (term, doc) rows with a
+        # vocabulary-sized agg; filtering here keeps capped terms out of
+        # the term-keyed shuffle entirely
+        dfreq = per_doc.groupBy("term").agg(F.count("*").alias("_df"))
+        if min_df > 1:
+            dfreq = dfreq.filter(F.col("_df") >= min_df)
+        if max_df is not None:
+            dfreq = dfreq.filter(F.col("_df") <= max_df)
+        per_doc = per_doc.join(dfreq.select("term"), "term")
+    return (
+        per_doc.groupBy("term")
+        .agg(
+            F.count("*").alias("doc_freq"),
+            F.sum("tf").alias("total_tf"),
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "tf", "positions"))
+            ).alias("postings"),
+        )
+    )
+
+
+def postings_of(index: DataFrame, terms: list[str]) -> DataFrame:
+    """Explode the requested terms' posting lists to flat match rows:
+    (term, doc_id, tf, positions)."""
+    return (
+        index.filter(F.col("term").isin(list(terms)))
+        .select("term", F.explode("postings").alias("p"))
+        .select(
+            "term",
+            F.col("p.doc_id").alias("doc_id"),
+            F.col("p.tf").alias("tf"),
+            F.col("p.positions").alias("positions"),
+        )
+    )
+
+
+def conjunctive_docs(index: DataFrame, terms: list[str]) -> DataFrame:
+    """AND query: doc_ids containing ALL of ``terms`` (posting-list
+    intersection as a group-count over the k exploded lists)."""
+    uniq = sorted(set(terms))
+    return (
+        postings_of(index, uniq)
+        .groupBy("doc_id")
+        .agg(F.count_distinct("term").alias("_n"))
+        .filter(F.col("_n") == len(uniq))
+        .select("doc_id")
+    )
+
+
+def phrase_docs(index: DataFrame, first: str, second: str) -> DataFrame:
+    """Adjacent-bigram phrase query from positions alone: doc_ids where
+    ``first`` is immediately followed by ``second``.
+
+    JVM-side adjacency test: shift the first term's positions by +1 and
+    intersect with the second's (arrays_overlap) — no re-scan of text.
+    """
+    a = postings_of(index, [first]).select(
+        "doc_id", F.col("positions").alias("pa")
+    )
+    b = postings_of(index, [second]).select(
+        "doc_id", F.col("positions").alias("pb")
+    )
+    return (
+        a.join(b, "doc_id")
+        .filter(
+            F.arrays_overlap(
+                F.transform("pa", lambda p: p + F.lit(1)), F.col("pb")
+            )
+        )
+        .select("doc_id")
+    )
