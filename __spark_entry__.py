@@ -1418,6 +1418,16 @@ def q_host_triangles(spark, sf_dir):
     return host_triangles(edges)
 
 
+def q_budget_apportion(spark, sf_dir):
+    """Largest-remainder integer apportionment of a global fetch budget
+    (frontier.apportion_budget): per-source doc counts as weights, prime
+    total so the leftover-distribution path always executes; quotas sum
+    to the budget exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.groupBy("source").agg(F.count("*").alias("weight"))
+    return FR.apportion_budget(w, 9973, key_col="source")
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard pairs (threshold 0.05) on a doc subset —
     parameters chosen to yield non-trivial pairs at both sf0.01 and sf0.1."""
@@ -1635,6 +1645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_hits": q_phrase_hits,
         "cooccurrence": q_cooccurrence,
         "host_triangles": q_host_triangles,
+        "budget_apportion": q_budget_apportion,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh": q_ann_lsh,
@@ -2890,6 +2901,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs
             FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.term < b.term
             GROUP BY a.term, b.term HAVING count(*) >= 2
+        """,
+        "budget_apportion": """
+            WITH w AS (
+              SELECT source AS key, CAST(count(*) AS BIGINT) AS wt
+              FROM documents GROUP BY source
+            ), tot AS (SELECT CAST(sum(wt) AS BIGINT) AS W FROM w),
+            b AS (
+              SELECT key, (9973 * wt) // W AS base, (9973 * wt) % W AS rem
+              FROM w, tot
+            ),
+            l AS (SELECT 9973 - CAST(sum(base) AS BIGINT) AS L FROM b),
+            r AS (
+              SELECT key, base,
+                     row_number() OVER (ORDER BY rem DESC, key ASC) AS rk
+              FROM b
+            )
+            SELECT key,
+                   CAST(base + CASE WHEN rk <= (SELECT L FROM l)
+                                    THEN 1 ELSE 0 END AS BIGINT) AS quota
+            FROM r
         """,
         "host_triangles": """
             WITH d AS (SELECT * FROM documents WHERE doc_id < 600),

@@ -765,3 +765,72 @@ def anchor_relevance(docs: DataFrame, keywords: dict[str, int],
         F.countDistinct("doc_id").alias("n_referrers"),
         F.sum("_hits").alias("anchor_score"),
     )
+
+
+def apportion_budget(weights: DataFrame, total: int,
+                     key_col: str = "host",
+                     weight_col: str = "weight",
+                     n_partitions: int | None = None) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of an integer fetch
+    budget across hosts: (key, weight) -> (key, quota) with
+    sum(quota) == total exactly, quotas proportional to weight.
+
+    This is the allocator between centrality and scheduling: feed it
+    pagerank/HITS host scores (integer fixed-point, operators/linkgraph)
+    and the round's global fetch budget, and the quotas drive
+    politeness_topk's per-host budgets. All arithmetic is integer
+    (base = total*w div W; the L = total - sum(base) leftover units go
+    to the L largest remainders, ties broken by key asc) so the split
+    is deterministic and oracle-exact — no float shares that could
+    apportion 9999 or 10001 of a 10000 budget.
+
+    Scale shape: two vocabulary-sized apportionment scans (sum W, then
+    sum of bases) and ONE global ranking of remainders — done with the
+    same range-partition + per-partition rank + offset technique as
+    emit ordering (no SinglePartition stage; the only driver traffic is
+    n_partitions partition counts). Hosts are ~10^8 at the 10^10-URL
+    design point: trivially rankable this way every round.
+
+    Weights must be non-negative; total*max(weight) must fit in int64
+    (with 10^8 hosts and int32-ish centrality scores that leaves 10^2
+    headroom — rescale weights first if feeding raw 64-bit scores).
+    """
+    spark = weights.sparkSession
+    w_sum = weights.agg(F.sum(F.col(weight_col).cast("long"))).collect()[0][0]
+    if not w_sum:  # empty input or all-zero weights: nothing to divide
+        return weights.select(F.col(key_col).alias("key"),
+                              F.lit(0).cast("long").alias("quota"))
+    based = weights.select(
+        F.col(key_col).alias("key"),
+        (F.lit(int(total)).cast("long")
+         * F.col(weight_col).cast("long")).alias("_prod"),
+    ).select(
+        "key",
+        # integer `div`, not `/`: float division would round through a
+        # double and lose exactness past 2^53
+        F.expr(f"_prod div {int(w_sum)}").alias("base"),
+        F.expr(f"_prod % {int(w_sum)}").alias("rem"),
+    )
+    leftover = total - based.agg(F.sum("base")).collect()[0][0]
+    n = n_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    order = [F.col("rem").desc(), F.col("key").asc()]
+    parts = (
+        based.repartitionByRange(n, *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    cnts = {r["_pid"]: r["n"]
+            for r in parts.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(cnts):
+        offsets[pid] = acc
+        acc += cnts[pid]
+    off_map = F.create_map(
+        *[x for pid in sorted(cnts) for x in (F.lit(pid), F.lit(offsets[pid]))]
+    ) if cnts else None
+    offset = F.coalesce(off_map[F.col("_pid")], F.lit(0)) if cnts else F.lit(0)
+    rank = F.row_number().over(Window.partitionBy("_pid").orderBy(*order)) + offset
+    return parts.select(
+        "key",
+        (F.col("base") + (rank <= F.lit(leftover)).cast("long")).alias("quota"),
+    )

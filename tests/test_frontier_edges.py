@@ -233,3 +233,56 @@ def test_crawl_progress_rollup(spark):
         1: (2, 2, 1, 4),
         3: (1, 1, 1, 5),
     }
+
+
+class TestApportionBudget:
+    def _run(self, spark, rows, total):
+        from smartcrawler_spark.operators import frontier as FR
+
+        df = spark.createDataFrame(rows, "host string, weight long")
+        return {
+            r["key"]: r["quota"]
+            for r in FR.apportion_budget(df, total).collect()
+        }
+
+    @staticmethod
+    def _oracle(rows, total):
+        W = sum(w for _, w in rows)
+        if not W:
+            return {h: 0 for h, _ in rows}
+        base = {h: total * w // W for h, w in rows}
+        rem = sorted(rows, key=lambda hw: (-(total * hw[1] % W), hw[0]))
+        left = total - sum(base.values())
+        for h, _ in rem[:left]:
+            base[h] += 1
+        return base
+
+    def test_exact_sum_and_proportionality(self, spark):
+        rows = [("a", 5), ("b", 3), ("c", 2)]
+        got = self._run(spark, rows, 100)
+        assert got == self._oracle(rows, 100) == {"a": 50, "b": 30, "c": 20}
+
+    def test_leftover_goes_to_largest_remainders(self, spark):
+        # total=10, W=6: base a=3 b=3 c=1 (sum 7), remainders a=2,b=2,c=4
+        # -> c gets +1 then tie a<b gives a the next: a=4 b=3 c=2? L=3
+        rows = [("a", 2), ("b", 2), ("c", 1), ("d", 1)]
+        total = 10
+        got = self._run(spark, rows, total)
+        assert got == self._oracle(rows, total)
+        assert sum(got.values()) == total
+
+    def test_zero_weights_and_empty(self, spark):
+        assert self._run(spark, [("a", 0), ("b", 0)], 7) == {"a": 0, "b": 0}
+        assert self._run(spark, [], 7) == {}
+
+    def test_sum_invariant_fuzz(self, spark):
+        import hashlib
+
+        rows = [
+            (f"h{i}", int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 97)
+            for i in range(50)
+        ]
+        for total in (1, 17, 997):
+            got = self._run(spark, rows, total)
+            assert sum(got.values()) == total
+            assert got == self._oracle(rows, total)
