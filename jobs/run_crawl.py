@@ -50,6 +50,10 @@ def main() -> int:
                     help="strip tracking/session query params before dedup")
     ap.add_argument("--adaptive-budget", action="store_true",
                     help="failure-aware per-host politeness budgets")
+    ap.add_argument("--apportion-total", type=int, default=None,
+                    help="global per-round fetch budget, split across hosts "
+                         "by pending demand (largest-remainder integer "
+                         "apportionment; overrides --adaptive-budget)")
     ap.add_argument("--raw-artifacts", action="store_true",
                     help="parse raw robots.txt/sitemap.xml artifacts "
                          "instead of the pre-built rule tables")
@@ -95,6 +99,7 @@ def main() -> int:
         trap_filters=args.trap_filters,
         strip_tracking=args.strip_tracking,
         adaptive_budget=args.adaptive_budget,
+        apportion_total=args.apportion_total,
         raw_artifacts=args.raw_artifacts,
         rfc_robots=args.rfc_robots,
         table_backend=args.table_backend,

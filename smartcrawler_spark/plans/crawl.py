@@ -98,6 +98,14 @@ class EngineConfig:
     # from observed fetch outcomes (operators.frontier.adaptive_budgets)
     # — hosts failing >= half their attempts get budget halved (floor 1).
     # Default off = reference-parity static budgets.
+    apportion_total: int | None = None
+    # ^ global-budget mode: instead of static/adaptive per-host budgets,
+    # apportion ONE round-wide fetch budget across hosts proportional to
+    # their pending demand (operators.frontier.apportion_budget,
+    # largest-remainder integer split — quotas sum to the total exactly).
+    # The fleet-level knob: "this cluster fetches N pages per round" vs
+    # per-host caps. Overrides adaptive_budget when both are set.
+    # Default off = reference-parity static budgets.
     trap_filters: bool = False
     # ^ spider-trap hygiene at admission: candidates whose canonical URL
     # trips a trap heuristic (depth / repeated-segment / calendar /
@@ -465,7 +473,17 @@ class CrawlJob:
             pool = pool.unionByName(due.select(*sched_cols))
 
         budgets = self.budgets
-        if self.cfg.adaptive_budget:
+        if self.cfg.apportion_total:
+            # global-budget mode: split one round-wide total across hosts
+            # by pending demand (integer largest-remainder; exact sum)
+            demand = pool.groupBy("host").agg(F.count("*").alias("weight"))
+            budgets = FR.apportion_budget(
+                demand, self.cfg.apportion_total, key_col="host"
+            ).select(
+                F.col("key").alias("host"),
+                F.col("quota").cast("int").alias("budget"),
+            )
+        elif self.cfg.adaptive_budget:
             # backoff: per-host budgets derived from this frontier's
             # observed fetch outcomes (one agg + broadcast dim join)
             budgets = FR.adaptive_budgets(

