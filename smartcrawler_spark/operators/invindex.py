@@ -171,3 +171,100 @@ def cooccurrence_pairs(
     if min_pair_count > 1:
         out = out.filter(F.col("n_docs") >= min_pair_count)
     return out
+
+
+def doc_lengths(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(doc_id, dl) token counts from the shared tokenizer — the length
+    normalization BM25 needs. One map-side pass, one tiny agg."""
+    # null text -> 0 tokens, not a null/-1 size: N and avgdl must count
+    # every document or idf drifts from the corpus it describes
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.greatest(
+            F.coalesce(F.size(T.word_tokens(F.col(text_col))), F.lit(0)),
+            F.lit(0),
+        ).alias("dl"),
+    )
+
+
+def bm25_topk(
+    index: DataFrame,
+    lengths: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25-ranked top-k documents for a bag-of-terms query, computed
+    from the inverted index + a (doc_id, dl) lengths table — the corpus
+    text is never re-read.
+
+    Uses the Lucene/standard formulation:
+        idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+        score(d)    = sum_t idf(t) * tf * (k1+1)
+                              / (tf + k1 * (1 - b + b * dl / avgdl))
+    N and avgdl come from the lengths table (one scalar agg). Ties break
+    by doc_id asc so the output is deterministic.
+
+    Plan: explode only the |query| requested terms' postings (partition-
+    prunable on a term-bucketed index), join the (doc_id, dl) dim on
+    doc_id, one groupBy(doc_id) sum, TakeOrdered k. Float scores are for
+    RANKING only — gates/oracles should compare the returned doc set /
+    order, not the raw score column (float cross-engine hashes diverge;
+    same policy as top_terms' integer-exact ordering).
+    """
+    stats = lengths.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = stats["n"], stats["avgdl"]
+    if not n_docs:
+        return lengths.select(
+            F.col("doc_id"), F.lit(0.0).alias("score")
+        ).limit(0)
+    matches = postings_of(index, list(dict.fromkeys(terms)))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("doc_freq") + F.lit(0.5))
+        / (F.col("doc_freq") + F.lit(0.5))
+    )
+    # matches (the |query| terms' postings) is the SMALL side — broadcast
+    # it against the corpus-sized lengths dim, never the reverse
+    with_df = lengths.join(
+        F.broadcast(matches.join(index.select("term", "doc_freq"), "term")),
+        "doc_id",
+    )
+    contrib = (
+        idf
+        * (F.col("tf") * (F.lit(k1) + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(float(avgdl)))
+        )
+    )
+    return (
+        with_df.select("doc_id", contrib.alias("_c"))
+        .groupBy("doc_id")
+        .agg(F.sum("_c").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def merge_index(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge two inverted indexes over DISJOINT document sets (the
+    incremental-ingestion shape: yesterday's index + today's batch's
+    index). Posting lists concatenate and re-sort; doc_freq/total_tf
+    add. One union + one term-keyed agg — the corpus is never re-read.
+
+    Disjointness is the caller's contract (dedup the delta against the
+    base corpus first — operators/dedup.dedup_against_corpus); if a
+    doc_id appears on both sides its postings would double-count.
+    """
+    both = base.unionByName(delta)
+    return both.groupBy("term").agg(
+        F.sum("doc_freq").alias("doc_freq"),
+        F.sum("total_tf").alias("total_tf"),
+        F.sort_array(F.flatten(F.collect_list("postings"))).alias("postings"),
+    )

@@ -142,3 +142,105 @@ def test_cooccurrence_max_df_drops_hot_terms(spark, docs_df):
     }
     assert all("solo" not in p and "window" in p or True for p in got3)
     assert ("merge", "spark") in got3 and got3[("merge", "spark")] == 3
+
+
+def test_bm25_matches_numpy_oracle(spark, docs_df):
+    import math
+
+    idx = IX.inverted_index(docs_df)
+    lens = IX.doc_lengths(docs_df)
+    got = [(r["doc_id"], r["score"])
+           for r in IX.bm25_topk(idx, lens, ["spark", "merge"], k=10).collect()]
+
+    # oracle
+    toks = {d: (t or "").split() for d, t in DOCS}
+    N = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / N
+    dfreq = {
+        t: sum(1 for v in toks.values() if t in v)
+        for t in {"spark", "merge"}
+    }
+    k1, b = 1.2, 0.75
+
+    def score(d):
+        s = 0.0
+        for t in ("spark", "merge"):
+            tf = toks[d].count(t)
+            if not tf:
+                continue
+            idf = math.log(1 + (N - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(toks[d]) / avgdl))
+        return s
+
+    want = sorted(
+        ((d, score(d)) for d in toks if score(d) > 0),
+        key=lambda x: (-x[1], x[0]),
+    )
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9
+
+
+def test_bm25_empty_query_and_unknown_terms(spark, docs_df):
+    idx = IX.inverted_index(docs_df)
+    lens = IX.doc_lengths(docs_df)
+    assert IX.bm25_topk(idx, lens, ["nonexistent"], k=5).count() == 0
+    assert IX.bm25_topk(idx, lens, [], k=5).count() == 0
+
+
+def test_merge_index_equals_full_rebuild(spark):
+    old = [(i, t) for i, t in DOCS[:3]]
+    new = [(i, t) for i, t in DOCS[3:]]
+    a = IX.inverted_index(spark.createDataFrame(old, "doc_id long, text string"))
+    b = IX.inverted_index(spark.createDataFrame(new, "doc_id long, text string"))
+    full = IX.inverted_index(spark.createDataFrame(DOCS, "doc_id long, text string"))
+    assert collect_index(IX.merge_index(a, b)) == collect_index(full)
+
+
+def test_search_job_end_to_end(spark, tmp_path, capsys, sf_dir):
+    """jobs/run_search.py: build index from the sf corpus, answer and/
+    phrase/bm25 queries through the real CLI main(); hits must equal the
+    operators called directly."""
+    import json
+    import os
+    import sys
+
+    jobs = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "jobs")
+    sys.path.insert(0, jobs)
+    import run_search
+
+    idx_dir = str(tmp_path / "idx")
+
+    def run(argv):
+        old = sys.argv
+        sys.argv = ["run_search.py"] + argv
+        try:
+            assert run_search.main() == 0
+        finally:
+            sys.argv = old
+        return json.loads([ln for ln in capsys.readouterr().out.splitlines()
+                           if ln.startswith("{")][-1])
+
+    built = run(["--corpus", sf_dir, "--index", idx_dir, "--build",
+                 "--query", "spark merge", "--mode", "and"])
+    assert built["terms"] > 0 and built["docs"] > 0
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = IX.inverted_index(docs)
+    want_and = sorted(r["doc_id"] for r in
+                      IX.conjunctive_docs(idx, ["spark", "merge"]).collect())
+    assert built["hits"] == want_and
+
+    ph = run(["--index", idx_dir, "--query", "spark merge",
+              "--mode", "phrase"])
+    want_ph = sorted(r["doc_id"] for r in
+                     IX.phrase_docs(idx, "spark", "merge").collect())
+    assert ph["hits"] == want_ph
+
+    bm = run(["--index", idx_dir, "--query", "spark merge",
+              "--mode", "bm25", "--k", "5"])
+    lens = IX.doc_lengths(docs)
+    want_bm = [r["doc_id"] for r in
+               IX.bm25_topk(idx, lens, ["spark", "merge"], k=5).collect()]
+    assert [h["doc_id"] for h in bm["hits"]] == want_bm
