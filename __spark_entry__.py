@@ -1408,6 +1408,40 @@ def q_cooccurrence(spark, sf_dir):
     return IX.cooccurrence_pairs(docs, max_df=78, min_pair_count=2)
 
 
+def q_bm25_components(spark, sf_dir):
+    """Every input the BM25 formula consumes, for a 3-term query, as
+    integer columns: (term, doc_id, tf, dl, doc_freq, n_docs, sum_dl).
+    Executes the production plan — invindex.inverted_index +
+    invindex.doc_lengths + postings_of — so a green cell certifies the
+    index, the length dim, and the corpus stats BM25 ranks with; the
+    float score itself is pytest-gated against a numpy oracle
+    (tests/test_invindex.py) per the repo's no-float-gates policy."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    idx = IX.inverted_index(docs)
+    lens = IX.doc_lengths(docs)
+    terms = ["spark", "merge", "window"]
+    m = IX.postings_of(idx, terms).select("term", "doc_id", "tf")
+    dfreq = idx.filter(F.col("term").isin(terms)).select("term", "doc_freq")
+    stats = lens.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    return (
+        m.join(lens, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            "doc_id",
+            "tf",
+            F.col("dl").cast("long").alias("dl"),
+            "doc_freq",
+            "n_docs",
+            "sum_dl",
+        )
+    )
+
+
 def q_host_triangles(spark, sf_dir):
     """Undirected triangle enumeration over the synthesized host link
     graph (linkgraph.host_triangles on the same edges as the host_graph
@@ -1644,6 +1678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conjunctive_hits": q_conjunctive_hits,
         "phrase_hits": q_phrase_hits,
         "cooccurrence": q_cooccurrence,
+        "bm25_components": q_bm25_components,
         "host_triangles": q_host_triangles,
         "budget_apportion": q_budget_apportion,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2901,6 +2936,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs
             FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.term < b.term
             GROUP BY a.term, b.term HAVING count(*) >= 2
+        """,
+        "bm25_components": rf"""
+            WITH d AS (
+              SELECT doc_id, {words} AS w FROM documents WHERE doc_id < 200
+            ), lens AS (
+              SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM d
+            ), tf AS (
+              SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, unnest(w) AS term FROM d)
+              GROUP BY term, doc_id
+            ), q AS (
+              SELECT * FROM tf WHERE term IN ('spark', 'merge', 'window')
+            ), dfreq AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS doc_freq
+              FROM q GROUP BY term
+            ), s AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) AS sum_dl
+              FROM lens
+            )
+            SELECT q.term, q.doc_id, q.tf, lens.dl, dfreq.doc_freq,
+                   s.n_docs, s.sum_dl
+            FROM q JOIN lens USING (doc_id) JOIN dfreq USING (term)
+            CROSS JOIN s
         """,
         "budget_apportion": """
             WITH w AS (
