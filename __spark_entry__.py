@@ -1442,6 +1442,36 @@ def q_bm25_components(spark, sf_dir):
     )
 
 
+def q_change_rate(spark, sf_dir):
+    """Per-host change-rate estimation + adaptive recrawl intervals
+    (plans.analysis.change_rate_ppm / recrawl_intervals): a synthesized
+    5-round revisit history over documents (changed = integer hash of
+    (doc_id, round)) rolls up to Laplace-smoothed ppm rates and clamped
+    revisit intervals — every column integral by construction."""
+    from smartcrawler_spark.plans.analysis import (change_rate_ppm,
+                                                   recrawl_intervals)
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    hist = (
+        docs.select(
+            F.col("source").alias("host"),
+            F.col("doc_id"),
+            F.explode(F.sequence(F.lit(0), F.lit(4))).alias("r"),
+        )
+        .select(
+            "host",
+            ((F.col("doc_id") * 37 + F.col("r") * 17) % 5 < 2)
+            .cast("int")
+            .alias("changed"),
+        )
+    )
+    rates = change_rate_ppm(hist)
+    ivs = recrawl_intervals(rates, base_interval=4, max_interval=20)
+    return rates.join(ivs.select("key", "interval"), "key").select(
+        "key", "n_obs", "n_changed", "rate_ppm", "interval"
+    )
+
+
 def q_host_triangles(spark, sf_dir):
     """Undirected triangle enumeration over the synthesized host link
     graph (linkgraph.host_triangles on the same edges as the host_graph
@@ -1679,6 +1709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_hits": q_phrase_hits,
         "cooccurrence": q_cooccurrence,
         "bm25_components": q_bm25_components,
+        "change_rate": q_change_rate,
         "host_triangles": q_host_triangles,
         "budget_apportion": q_budget_apportion,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2960,6 +2991,28 @@ def oracle_sql() -> dict[str, str]:
                    s.n_docs, s.sum_dl
             FROM q JOIN lens USING (doc_id) JOIN dfreq USING (term)
             CROSS JOIN s
+        """,
+        "change_rate": """
+            WITH h AS (
+              SELECT source AS host,
+                     CASE WHEN (doc_id * 37 + r * 17) % 5 < 2
+                          THEN 1 ELSE 0 END AS changed
+              FROM documents, (SELECT unnest(range(5)) AS r)
+              WHERE doc_id < 200
+            ), agg AS (
+              SELECT host AS key, CAST(count(*) AS BIGINT) AS n_obs,
+                     CAST(sum(changed) AS BIGINT) AS n_changed
+              FROM h GROUP BY host
+            ), rated AS (
+              SELECT key, n_obs, n_changed,
+                     CAST((n_changed + 1) * 1000000 // (n_obs + 2) AS BIGINT)
+                       AS rate_ppm
+              FROM agg
+            )
+            SELECT key, n_obs, n_changed, rate_ppm,
+                   CAST(least(greatest(4 * 1000000 // rate_ppm, 1), 20)
+                        AS INT) AS interval
+            FROM rated
         """,
         "budget_apportion": """
             WITH w AS (

@@ -665,6 +665,47 @@ def refresh_due(frontier: DataFrame, round_no: int, interval: int,
     ).drop("_g")
 
 
+def refresh_due_adaptive(frontier: DataFrame, round_no: int,
+                         intervals: DataFrame, default_interval: int,
+                         statuses: tuple[str, ...] = ("SUCCESS",),
+                         max_per_round: int | None = None) -> DataFrame:
+    """`refresh_due` with a PER-HOST interval dim instead of one global
+    interval: `intervals` is (key, interval) from
+    `plans.analysis.recrawl_intervals` — hosts whose content was observed
+    to change often get short revisit intervals, static hosts long ones
+    (the adaptive revisit policy; Cho & Garcia-Molina 2003 uniform
+    allocation over estimated change rates). Hosts with no estimate yet
+    fall back to `default_interval`.
+
+    Scale shape: the interval dim is host-cardinality (tiny vs the
+    frontier) → broadcast left join, then the same pushdown-reaching
+    staleness filter and optional two-phase top-k cap as `refresh_due`.
+    The frontier is never shuffled unless the cap ranks."""
+    iv = intervals.select(
+        F.col("key").alias("host"), F.col("interval").alias("_iv")
+    )
+    stale = F.lit(round_no) - F.col("round_fetched")
+    due = (
+        frontier.filter(
+            F.col("status").isin(list(statuses))
+            & F.col("round_fetched").isNotNull()
+        )
+        .join(F.broadcast(iv), "host", "left")
+        .filter(stale >= F.coalesce(F.col("_iv"), F.lit(default_interval)))
+        .select("url_canon", "url_hash", "host", "is_root", "score",
+                stale.cast("int").alias("rounds_stale"))
+    )
+    if max_per_round is None:
+        return due
+    return top_k_per_group(
+        due.withColumn("_g", F.lit(1)),
+        ["_g"],
+        [F.col("rounds_stale").desc(), *_order()],
+        max_per_round,
+        salt_on="url_canon",
+    ).drop("_g")
+
+
 def global_crawl_order(scheduled: DataFrame, round_no: int,
                        n_partitions: int | None = None) -> DataFrame:
     """crawl_log rows (round, seq, url_canon): the deterministic total order

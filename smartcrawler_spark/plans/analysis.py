@@ -95,6 +95,64 @@ def corpus_diff_summary(diff: DataFrame) -> DataFrame:
     return diff.groupBy("change").agg(F.count(F.lit(1)).alias("n"))
 
 
+def change_rate_ppm(history: DataFrame, key_col: str = "host",
+                    changed_col: str = "changed",
+                    alpha: int = 1, beta: int = 1) -> DataFrame:
+    """Per-key change-rate estimate from revisit observations, as integer
+    parts-per-million: rows of `history` are one observation each
+    ((key, changed ∈ {0,1}) — e.g. `corpus_diff` outputs rolled up to
+    hosts, one row per recrawled doc per round), and
+
+        rate_ppm = floor(10^6 * (n_changed + alpha) / (n_obs + alpha + beta))
+
+    — the Laplace-smoothed empirical change frequency (the prior keeps
+    never-observed-changing hosts from freezing at 0 and always-changing
+    hosts from saturating at 10^6, so intervals stay finite both ways).
+    All-integer output: (key, n_obs, n_changed, rate_ppm).
+
+    This is the X/n frequency estimator; Cho & Garcia-Molina (TOIT 2003)
+    show the Poisson-corrected -ln(1 - X/n) is less biased when changes
+    can happen more than once between visits — consumers wanting λ can
+    apply it to these integer counts driver-side (it's a monotone map of
+    rate_ppm, so interval ORDERING is identical either way; we keep the
+    stored form integral so gates/hashes never float-diverge).
+
+    Scale shape: one hash agg on the key — map-side partial combine, no
+    joins; at 10^10 observation rows this is the canonical groupBy."""
+    ch = F.sum(F.col(changed_col).cast("long"))
+    n = F.count(F.lit(1))
+    return (
+        history.groupBy(F.col(key_col).alias("key"))
+        .agg(n.alias("n_obs"), ch.alias("n_changed"))
+        .select(
+            "key",
+            "n_obs",
+            "n_changed",
+            F.floor(
+                (F.col("n_changed") + F.lit(alpha)) * F.lit(1_000_000)
+                / (F.col("n_obs") + F.lit(alpha + beta))
+            ).cast("long").alias("rate_ppm"),
+        )
+    )
+
+
+def recrawl_intervals(rates: DataFrame, base_interval: int,
+                      min_interval: int = 1,
+                      max_interval: int | None = None) -> DataFrame:
+    """Turn `change_rate_ppm` output into per-key revisit intervals (in
+    rounds): interval = clamp(floor(base_interval * 10^6 / rate_ppm),
+    min_interval, max_interval). A host that changed on every revisit
+    (rate_ppm ≈ 10^6) is re-fetched every `base_interval` rounds; one
+    that changed a tenth of the time waits 10× longer — the
+    uniform-allocation revisit policy, integer-exact.  Output
+    (key, rate_ppm, interval); feed to `frontier.refresh_due_adaptive`."""
+    iv = F.floor(F.lit(base_interval) * F.lit(1_000_000) / F.col("rate_ppm"))
+    iv = F.greatest(iv, F.lit(min_interval))
+    if max_interval is not None:
+        iv = F.least(iv, F.lit(max_interval))
+    return rates.select("key", "rate_ppm", iv.cast("int").alias("interval"))
+
+
 def template_paths_json(spark: SparkSession, job, out_dir: str) -> DataFrame:
     """S6: template paths as pretty-ish JSON lines (df.write.json), the
     engine form of TemplatePathStore.to_serialized_string()."""

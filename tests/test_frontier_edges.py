@@ -165,6 +165,75 @@ def test_refresh_due_staleness_and_cap(spark):
     assert [r["url_canon"] for r in capped] == ["https://a.com/old1"]
 
 
+def test_change_rate_and_intervals_hand_oracle(spark):
+    from smartcrawler_spark.plans.analysis import (change_rate_ppm,
+                                                   recrawl_intervals)
+
+    # a.com: 4 obs, 3 changed -> (3+1)e6 // (4+2) = 666666 ppm
+    # b.com: 3 obs, 0 changed -> (0+1)e6 // (3+2) = 200000 ppm
+    # c.com: 2 obs, 2 changed -> (2+1)e6 // (2+2) = 750000 ppm
+    rows = [("a.com", 1), ("a.com", 1), ("a.com", 1), ("a.com", 0),
+            ("b.com", 0), ("b.com", 0), ("b.com", 0),
+            ("c.com", 1), ("c.com", 1)]
+    hist = spark.createDataFrame(rows, "host string, changed int")
+    rates = change_rate_ppm(hist)
+    got = {r["key"]: (r["n_obs"], r["n_changed"], r["rate_ppm"])
+           for r in rates.collect()}
+    assert got == {"a.com": (4, 3, 666666), "b.com": (3, 0, 200000),
+                   "c.com": (2, 2, 750000)}
+    # base=3: a -> floor(3e6/666666)=4, b -> 15 (clamped to max 10),
+    # c -> 4; min clamp exercised with base=0 -> all 1
+    ivs = {r["key"]: r["interval"]
+           for r in recrawl_intervals(rates, base_interval=3,
+                                      max_interval=10).collect()}
+    assert ivs == {"a.com": 4, "b.com": 10, "c.com": 4}
+    ivs0 = {r["key"]: r["interval"]
+            for r in recrawl_intervals(rates, base_interval=0).collect()}
+    assert ivs0 == {"a.com": 1, "b.com": 1, "c.com": 1}
+
+
+def test_refresh_due_adaptive_per_host_intervals(spark):
+    from smartcrawler_spark.plans.analysis import (change_rate_ppm,
+                                                   recrawl_intervals)
+
+    rows = [
+        ("https://a.com/x", 1, "a.com", False, 1.0, "SUCCESS", 14),
+        ("https://a.com/y", 2, "a.com", False, 2.0, "SUCCESS", 17),
+        ("https://b.com/x", 3, "b.com", False, 3.0, "SUCCESS", 14),
+        ("https://c.com/x", 4, "c.com", False, 4.0, "SUCCESS", 12),
+        ("https://c.com/y", 5, "c.com", False, 4.0, "SUCCESS", 16),
+    ]
+    fr = spark.createDataFrame(
+        rows, "url_canon string, url_hash long, host string, is_root boolean,"
+              " score double, status string, round_fetched int")
+    # a.com changes often (interval 2), b.com rarely (interval 10);
+    # c.com has no estimate -> default 5
+    ivs = spark.createDataFrame(
+        [("a.com", 1_000_000, 2), ("b.com", 100_000, 10)],
+        "key string, rate_ppm long, interval int")
+    due = {r["url_canon"]: r["rounds_stale"]
+           for r in FR.refresh_due_adaptive(fr, round_no=20, intervals=ivs,
+                                            default_interval=5).collect()}
+    # a/x stale 6 >= 2 yes; a/y stale 3 >= 2 yes; b/x stale 6 >= 10 no;
+    # c/x stale 8 >= 5 yes; c/y stale 4 >= 5 no
+    assert due == {"https://a.com/x": 6, "https://a.com/y": 3,
+                   "https://c.com/x": 8}
+    # end-to-end: rates estimated from history drive the same operator
+    hist = spark.createDataFrame(
+        [("a.com", 1), ("a.com", 1), ("b.com", 0), ("b.com", 0)],
+        "host string, changed int")
+    est = recrawl_intervals(change_rate_ppm(hist), base_interval=2,
+                            max_interval=10)
+    due2 = {r["url_canon"]
+            for r in FR.refresh_due_adaptive(fr, 20, est, 5).collect()}
+    # a.com ppm=750000 -> iv 2; b.com ppm=250000 -> iv 8; c default 5
+    assert due2 == {"https://a.com/x", "https://a.com/y",
+                    "https://c.com/x"}
+    # cap keeps the stalest
+    capped = FR.refresh_due_adaptive(fr, 20, ivs, 5, max_per_round=1).collect()
+    assert [r["url_canon"] for r in capped] == ["https://c.com/x"]
+
+
 def test_host_report_rollup(spark):
     from smartcrawler_spark.plans.analysis import host_report
 
