@@ -1442,6 +1442,22 @@ def q_bm25_components(spark, sf_dir):
     )
 
 
+def q_lm_score(spark, sf_dir):
+    """CCNet-style bigram LM scoring (operators/lm.py): train unigram +
+    bigram counts on documents doc_id < 300, score doc_id < 100 with
+    add-one-smoothed floor-log2 surprisal — (doc_id, n_bigrams, bits,
+    mbits), every column integral (the no-float-gates policy: log2 is
+    computed as bit-length, never a transcendental)."""
+    from smartcrawler_spark.operators import lm
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") < 300)
+    score = docs.filter(F.col("doc_id") < 100)
+    uni = lm.unigram_counts(train)
+    big = lm.bigram_counts(train)
+    return lm.lm_score_bits(score, uni, big, uni.count())
+
+
 def q_change_rate(spark, sf_dir):
     """Per-host change-rate estimation + adaptive recrawl intervals
     (plans.analysis.change_rate_ppm / recrawl_intervals): a synthesized
@@ -1710,6 +1726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooccurrence": q_cooccurrence,
         "bm25_components": q_bm25_components,
         "change_rate": q_change_rate,
+        "lm_score": q_lm_score,
         "host_triangles": q_host_triangles,
         "budget_apportion": q_budget_apportion,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2991,6 +3008,48 @@ def oracle_sql() -> dict[str, str]:
                    s.n_docs, s.sum_dl
             FROM q JOIN lens USING (doc_id) JOIN dfreq USING (term)
             CROSS JOIN s
+        """,
+        "lm_score": rf"""
+            WITH d AS (
+              SELECT doc_id, {words} AS w FROM documents
+            ), tr AS (
+              SELECT w FROM d WHERE doc_id < 300
+            ), uni AS (
+              SELECT u AS w1, CAST(count(*) AS BIGINT) AS c1
+              FROM (SELECT unnest(w) AS u FROM tr) GROUP BY u
+            ), big AS (
+              SELECT p[1] AS w1, p[2] AS w2, CAST(count(*) AS BIGINT) AS c12
+              FROM (SELECT unnest(list_zip(w[1:len(w) - 1], w[2:len(w)])) AS p
+                    FROM tr)
+              GROUP BY 1, 2
+            ), sc AS (
+              SELECT doc_id, w FROM d WHERE doc_id < 100
+            ), pairs AS (
+              SELECT doc_id, p[1] AS w1, p[2] AS w2
+              FROM (SELECT doc_id,
+                           unnest(list_zip(w[1:len(w) - 1], w[2:len(w)])) AS p
+                    FROM sc)
+            ), bits AS (
+              SELECT doc_id,
+                     (length(bin(COALESCE(uni.c1, 0)
+                                 + (SELECT count(*) FROM uni))) - 1)
+                     - (length(bin(COALESCE(big.c12, 0) + 1)) - 1) AS b
+              FROM pairs
+              LEFT JOIN big USING (w1, w2)
+              LEFT JOIN uni USING (w1)
+            ), agg AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                     CAST(sum(b) AS BIGINT) AS bits
+              FROM bits GROUP BY doc_id
+            )
+            SELECT sc.doc_id,
+                   COALESCE(agg.n_bigrams, 0) AS n_bigrams,
+                   COALESCE(agg.bits, 0) AS bits,
+                   CASE WHEN agg.n_bigrams > 0
+                        THEN CAST(agg.bits * 1000 // agg.n_bigrams AS BIGINT)
+                        ELSE NULL END AS mbits
+            FROM (SELECT DISTINCT doc_id FROM sc) sc
+            LEFT JOIN agg USING (doc_id)
         """,
         "change_rate": """
             WITH h AS (
