@@ -390,15 +390,27 @@ def _ima_adpcm_decode(data: bytes, n_ch: int, block_align: int) -> np.ndarray:
 
 
 def decode_audio(payload: bytes):
-    """RIFF/WAVE bytes -> (mono float64 samples in [-1, 1], sample_rate).
-    Supports PCM (format 1) at 8/16/24/32 bits, IEEE float (format 3) at
-    32/64 bits, A-law (6) / mu-law (7) G.711 companding, IMA ADPCM (0x11),
-    and WAVE_FORMAT_EXTENSIBLE (0xFFFE, resolved via the SubFormat GUID);
-    any channel count (downmixed by mean). Returns None for anything else
-    (MP3/OGG/AAC need a real audio stack)."""
+    """RIFF/WAVE or FLAC bytes -> (mono float64 samples in [-1, 1],
+    sample_rate).  WAV: PCM (format 1) at 8/16/24/32 bits, IEEE float
+    (format 3) at 32/64 bits, A-law (6) / mu-law (7) G.711 companding,
+    IMA ADPCM (0x11), and WAVE_FORMAT_EXTENSIBLE (0xFFFE, resolved via
+    the SubFormat GUID).  FLAC: full lossless decode via the in-repo
+    from-spec decoder (flac.decode_flac — CONSTANT/VERBATIM/FIXED/LPC
+    subframes, Rice residuals, all stereo decorrelations, CRC-checked).
+    Any channel count (downmixed by mean). Returns None for anything
+    else (MP3/OGG/AAC need a real audio stack)."""
     import struct
 
     try:
+        if payload[:4] == b"fLaC":
+            from . import flac as _flac
+
+            dec = _flac.decode_flac(payload)
+            if dec is None:
+                return None
+            samples, rate, bps = dec
+            mono = samples.astype(np.float64).mean(axis=1)
+            return mono / float(1 << (bps - 1)), int(rate)
         if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
             return None
         pos = 12
@@ -662,7 +674,7 @@ def extract_audio_features(assets: DataFrame, n_bands: int = 16) -> DataFrame:
                 dec = decode_audio(bytes(r["payload"]))
                 if dec is None:
                     raise NotImplementedError(
-                        "payload is not RIFF/WAV; plug ffmpeg here for "
+                        "payload is not RIFF/WAV or FLAC; plug ffmpeg here for "
                         "MP3/OGG/AAC")
                 refs.append(r["media_ref"])
                 feats.append(audio_features_from_samples(*dec, n_bands=n_bands))
