@@ -1442,6 +1442,25 @@ def q_bm25_components(spark, sf_dir):
     )
 
 
+def q_content_blocks(spark, sf_dir):
+    """Main-content block classification (operators/content.block_profile)
+    on the synthesized span/node trees: innermost-block selection, subtree
+    word counts, anchor-path link density (integer ppt), chrome-path
+    boilerplate flag and the jusText-style is_content verdict — the full
+    production HOF plan, gated with tag sets drawn from the synth
+    vocabulary ('spark'... as block tags, 'the'/'of' as chrome)."""
+    from smartcrawler_spark.operators import content as C
+
+    synth = _synth_tree_docs(spark, sf_dir)
+    return C.block_profile(
+        synth,
+        block_tags=("spark", "merge", "window", "data", "query"),
+        boiler_tags=("the", "of"),
+        min_words=2,
+        max_link_ppt=500,
+    )
+
+
 def q_lm_score(spark, sf_dir):
     """CCNet-style bigram LM scoring (operators/lm.py): train unigram +
     bigram counts on documents doc_id < 300, score doc_id < 100 with
@@ -1727,6 +1746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_components": q_bm25_components,
         "change_rate": q_change_rate,
         "lm_score": q_lm_score,
+        "content_blocks": q_content_blocks,
         "host_triangles": q_host_triangles,
         "budget_apportion": q_budget_apportion,
         "ngram_jaccard": q_ngram_jaccard,
@@ -3008,6 +3028,51 @@ def oracle_sql() -> dict[str, str]:
                    s.n_docs, s.sum_dl
             FROM q JOIN lens USING (doc_id) JOIN dfreq USING (term)
             CROSS JOIN s
+        """,
+        "content_blocks": rf"""
+            WITH toks AS (
+              SELECT doc_id, ({words})[1:20] AS w
+              FROM documents WHERE doc_id < 500
+            ), d AS (
+              SELECT doc_id, w, len(w) AS n FROM toks WHERE len(w) >= 1
+            ), nodes AS (
+              SELECT doc_id, n, i, w[i] AS tag,
+                     least(1 + length(w[i]) % 3, n - i + 1) AS sz
+              FROM (SELECT doc_id, n, w, unnest(range(1, n + 1)) AS i FROM d)
+            ), marks AS (
+              SELECT doc_id,
+                     min(CASE WHEN split_part(tag, '.', 1) = 'a'
+                              THEN i END) AS apos,
+                     min(CASE WHEN split_part(tag, '.', 1) IN ('the', 'of')
+                              THEN i END) AS bpos
+              FROM nodes GROUP BY doc_id
+            ), blocks AS (
+              SELECT b.doc_id, b.i, b.tag, b.sz
+              FROM nodes b
+              WHERE b.tag IN ('spark', 'merge', 'window', 'data', 'query')
+                AND NOT EXISTS (
+                  SELECT 1 FROM nodes k
+                  WHERE k.doc_id = b.doc_id AND k.i > b.i
+                    AND k.i < b.i + b.sz
+                    AND k.tag IN ('spark', 'merge', 'window', 'data', 'query')
+                )
+            ), stat AS (
+              SELECT b.doc_id, b.i, b.tag, b.sz,
+                     CASE WHEN m.apos IS NULL THEN 0
+                          ELSE greatest(0, b.i + b.sz
+                                           - greatest(b.i, m.apos)) END
+                       AS lw,
+                     (m.bpos IS NOT NULL AND m.bpos <= b.i) AS boiler
+              FROM blocks b JOIN marks m USING (doc_id)
+            )
+            SELECT doc_id, CAST(i AS INT) AS offset, tag,
+                   CAST(sz AS INT) AS n_words,
+                   CAST(lw AS INT) AS n_link_words,
+                   CAST(lw * 1000 // sz AS INT) AS link_ppt,
+                   boiler,
+                   (NOT boiler AND sz >= 2 AND lw * 1000 // sz <= 500)
+                     AS is_content
+            FROM stat
         """,
         "lm_score": rf"""
             WITH d AS (
