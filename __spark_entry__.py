@@ -1442,6 +1442,18 @@ def q_bm25_components(spark, sf_dir):
     )
 
 
+def q_bpe_pairs(spark, sf_dir):
+    """BPE training iteration-0 pair statistics (operators/bpe.
+    initial_pair_counts): corpus -> (word, n) counts -> weighted adjacent
+    character-pair counts over char+</w> symbol arrays — the exact
+    aggregation each merge step of train_bpe argmaxes over (the loop
+    itself is pytest-gated against a sequential reference trainer)."""
+    from smartcrawler_spark.operators import bpe
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return bpe.initial_pair_counts(bpe.word_counts(docs))
+
+
 def q_content_blocks(spark, sf_dir):
     """Main-content block classification (operators/content.block_profile)
     on the synthesized span/node trees: innermost-block selection, subtree
@@ -1747,6 +1759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "change_rate": q_change_rate,
         "lm_score": q_lm_score,
         "content_blocks": q_content_blocks,
+        "bpe_pairs": q_bpe_pairs,
         "host_triangles": q_host_triangles,
         "budget_apportion": q_budget_apportion,
         "ngram_jaccard": q_ngram_jaccard,
@@ -3028,6 +3041,26 @@ def oracle_sql() -> dict[str, str]:
                    s.n_docs, s.sum_dl
             FROM q JOIN lens USING (doc_id) JOIN dfreq USING (term)
             CROSS JOIN s
+        """,
+        "bpe_pairs": rf"""
+            WITH wc AS (
+              SELECT u AS word, CAST(count(*) AS BIGINT) AS n
+              FROM (SELECT unnest({words}) AS u
+                    FROM documents WHERE doc_id < 100)
+              GROUP BY u
+            ), syms AS (
+              SELECT n,
+                     list_append(
+                       list_transform(range(1, length(word) + 1),
+                                      i -> word[i]),
+                       '</w>') AS s
+              FROM wc
+            ), pr AS (
+              SELECT n, unnest(list_zip(s[1:len(s) - 1], s[2:len(s)])) AS p
+              FROM syms
+            )
+            SELECT p[1] AS a, p[2] AS b, CAST(sum(n) AS BIGINT) AS cnt
+            FROM pr GROUP BY 1, 2
         """,
         "content_blocks": rf"""
             WITH toks AS (
