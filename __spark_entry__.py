@@ -1442,6 +1442,25 @@ def q_bm25_components(spark, sf_dir):
     )
 
 
+def q_mirror_hosts(spark, sf_dir):
+    """Mirror-host detection (sketches.mirror_hosts): KMV content
+    sketches per host -> bottom-m LSH candidates with the hot-hash cap
+    -> k-min-union Jaccard verify; all-integer (k_used, n_common,
+    jaccard_ppm, is_mirror)."""
+    from smartcrawler_spark.operators import sketches as SK
+
+    base = _t(spark, sf_dir, "documents")
+    real = base.select(F.col("source").alias("host"), "text")
+    # planted partial mirrors: every even doc also served from
+    # '<source>-m' — those synthetic hosts MUST surface as candidates
+    # and score ~0.5 Jaccard vs their originals
+    mirrored = base.filter(F.col("doc_id") % 2 == 0).select(
+        F.concat(F.col("source"), F.lit("-m")).alias("host"), "text"
+    )
+    return SK.mirror_hosts(real.unionByName(mirrored), k=32, m=8,
+                           max_bucket=64)
+
+
 def q_bpe_pairs(spark, sf_dir):
     """BPE training iteration-0 pair statistics (operators/bpe.
     initial_pair_counts): corpus -> (word, n) counts -> weighted adjacent
@@ -1760,6 +1779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "content_blocks": q_content_blocks,
         "bpe_pairs": q_bpe_pairs,
+        "mirror_hosts": q_mirror_hosts,
         "host_triangles": q_host_triangles,
         "budget_apportion": q_budget_apportion,
         "ngram_jaccard": q_ngram_jaccard,
@@ -3041,6 +3061,58 @@ def oracle_sql() -> dict[str, str]:
                    s.n_docs, s.sum_dl
             FROM q JOIN lens USING (doc_id) JOIN dfreq USING (term)
             CROSS JOIN s
+        """,
+        "mirror_hosts": r"""
+            WITH u AS (
+              SELECT source, text FROM documents
+              UNION ALL
+              SELECT source || '-m' AS source, text
+              FROM documents WHERE doc_id % 2 = 0
+            ), h AS (
+              SELECT DISTINCT source,
+                     CAST(('0x' || substr(md5(md5(text) || '|kmv'), 1, 12))
+                          AS BIGINT) AS hash
+              FROM u WHERE text IS NOT NULL
+            ), r AS (
+              SELECT source, hash,
+                     row_number() OVER (PARTITION BY source ORDER BY hash)
+                       AS pos
+              FROM h
+            ), regs AS (
+              SELECT source, hash, pos FROM r WHERE pos <= 32
+            ), small AS (
+              SELECT source, hash FROM regs WHERE pos <= 8
+            ), ok AS (
+              SELECT hash FROM small GROUP BY hash HAVING count(*) <= 64
+            ), cand AS (
+              SELECT DISTINCT x.source AS a, y.source AS b
+              FROM small x
+              JOIN ok USING (hash)
+              JOIN small y USING (hash)
+              WHERE x.source < y.source
+            ), memb AS (
+              SELECT c.a, c.b, g.hash, 1 AS in_a, 0 AS in_b
+              FROM cand c JOIN regs g ON g.source = c.a
+              UNION ALL
+              SELECT c.a, c.b, g.hash, 0 AS in_a, 1 AS in_b
+              FROM cand c JOIN regs g ON g.source = c.b
+            ), uni AS (
+              SELECT a, b, hash, max(in_a) AS in_a, max(in_b) AS in_b
+              FROM memb GROUP BY a, b, hash
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY a, b ORDER BY hash)
+                          AS rn
+              FROM uni
+            ), agg AS (
+              SELECT a, b, CAST(count(*) AS BIGINT) AS k_used,
+                     CAST(sum(in_a * in_b) AS BIGINT) AS n_common
+              FROM ranked WHERE rn <= 32 GROUP BY a, b
+            )
+            SELECT a, b, k_used, n_common,
+                   CAST(n_common * 1000000 // k_used AS BIGINT)
+                     AS jaccard_ppm,
+                   (n_common * 1000000 // k_used >= 500000) AS is_mirror
+            FROM agg
         """,
         "bpe_pairs": rf"""
             WITH wc AS (

@@ -368,3 +368,91 @@ def log2_quantile_py(hist: dict[int, int], q: float) -> int:
         if run >= target:
             return 0 if b < 0 else (3 * (1 << b)) // 2
     return 0 if b < 0 else (3 * (1 << b)) // 2
+
+
+def kmv_candidate_pairs(regs: DataFrame, key_col: str, m: int = 8,
+                        max_bucket: int = 64) -> DataFrame:
+    """Bottom-m sketch LSH: candidate key pairs sharing ANY of their m
+    smallest KMV register hashes — near-identical value sets almost
+    surely collide on their minimum hashes (bottom-k minwise sampling),
+    so this finds mirror-grade overlap WITHOUT kmv_overlap_pairs' S^2
+    pair enumeration.  A register hash held by more than `max_bucket`
+    keys is dropped from pairing (a fingerprint shared that widely is
+    boilerplate, and an uncapped bucket self-join is the quadratic
+    blowup — the df-cap discipline of dedup.ngram_jaccard_pairs).
+
+    Scale: one bucket self-join on 8-byte hashes over m rows per key;
+    output pairs bounded by m * max_bucket^2 per hash, never S^2."""
+    small = regs.filter(F.col("pos") <= m).select(
+        F.col(key_col).alias("_key"), "hash")
+    ok = (
+        small.groupBy("hash")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_bucket)
+        .select("hash")
+    )
+    small = small.join(ok, "hash")
+    a = small.select(F.col("_key").alias("a"), "hash")
+    b = small.select(F.col("_key").alias("b"), "hash")
+    return (
+        a.join(b, "hash")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def kmv_overlap_for_pairs(regs: DataFrame, pairs: DataFrame, key_col: str,
+                          k: int = 64) -> DataFrame:
+    """`kmv_overlap_pairs` semantics restricted to the given candidate
+    (a, b) pairs: k smallest hashes of sketch(a) UNION sketch(b), count
+    those present in both. All-integer (a, b, k_used, n_common); the
+    per-pair window sees at most 2k register rows — bounded state."""
+    ra = regs.select(F.col(key_col).alias("a"), "hash")
+    rb = regs.select(F.col(key_col).alias("b"), "hash")
+    left = pairs.join(ra, "a").select(
+        "a", "b", "hash", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    right = pairs.join(rb, "b").select(
+        "a", "b", "hash", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    uni = (
+        left.unionByName(right)
+        .groupBy("a", "b", "hash")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("a", "b").orderBy("hash")
+    ranked = uni.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k)
+    return ranked.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_common"),
+    )
+
+
+def mirror_hosts(docs: DataFrame, host_col: str = "host",
+                 fingerprint: Column | None = None, k: int = 64,
+                 m: int = 8, max_bucket: int = 64, nbits: int = 48,
+                 salt: str = "kmv", n_salts: int = 32,
+                 min_jaccard_ppm: int = 500_000) -> DataFrame:
+    """Mirror / heavily-syndicated host detection: sketch every host's
+    content-fingerprint set (KMV over `fingerprint`, default md5(text)),
+    find candidates via bottom-m LSH, verify with the k-min-union
+    Jaccard estimate.  Output (a, b, k_used, n_common, jaccard_ppm,
+    is_mirror) — all columns integral; jaccard_ppm = 10^6 * n_common //
+    k_used estimates J(A, B), is_mirror applies `min_jaccard_ppm`
+    (default 0.5).  A crawl scheduler drops or deprioritizes the b side
+    of confirmed mirrors before spending fetch budget on them.
+
+    Scale: corpus -> k registers per host (kmv_registers' salted
+    two-phase top-k), then everything downstream is register-sized."""
+    fp = fingerprint if fingerprint is not None else F.md5(F.col("text"))
+    src = docs.select(F.col(host_col).alias("_host"), fp.alias("_fp"))
+    regs = kmv_registers(src, ["_host"], "_fp", k=k, nbits=nbits,
+                         salt=salt, n_salts=n_salts)
+    cands = kmv_candidate_pairs(regs, "_host", m=m, max_bucket=max_bucket)
+    ov = kmv_overlap_for_pairs(regs, cands, "_host", k=k)
+    jac = F.floor(F.col("n_common") * F.lit(1_000_000) / F.col("k_used"))
+    return ov.select(
+        "a", "b", "k_used", "n_common",
+        jac.cast("long").alias("jaccard_ppm"),
+        (jac >= min_jaccard_ppm).alias("is_mirror"),
+    )

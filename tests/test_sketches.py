@@ -239,3 +239,74 @@ def test_log2_quantile(spark):
         est = SK.log2_quantile_py(hist, q)
         true = vals[int(q * len(vals)) - 1]
         assert true / 2 <= est <= true * 2, (q, est, true)
+
+
+# ---------------------------------------------------------------------------
+# mirror-host detection (bottom-m LSH candidates + k-min-union verify)
+# ---------------------------------------------------------------------------
+
+def _py_mirror_oracle(host_docs, k=16, m=4, max_bucket=64,
+                      min_ppm=500_000):
+    """Full-spec python re-derivation: KMV per host over md5(text),
+    bottom-m bucket candidates with the hot-hash cap, k-min-union
+    overlap, integer jaccard ppm."""
+    regs = {h: _py_kmv([hashlib.md5(t.encode()).hexdigest() for t in docs],
+                       k=k) for h, docs in host_docs.items()}
+    owners = {}
+    for h, hs in regs.items():
+        for v in hs[:m]:
+            owners.setdefault(v, set()).add(h)
+    cands = set()
+    for v, hosts in owners.items():
+        if len(hosts) > max_bucket:
+            continue
+        for a in hosts:
+            for b in hosts:
+                if a < b:
+                    cands.add((a, b))
+    out = {}
+    for a, b in cands:
+        uni = sorted(set(regs[a]) | set(regs[b]))[:k]
+        common = sum(1 for v in uni if v in set(regs[a]) and v in set(regs[b]))
+        ppm = 1_000_000 * common // len(uni)
+        out[(a, b)] = (len(uni), common, ppm, ppm >= min_ppm)
+    return out
+
+
+def test_mirror_hosts_matches_python_oracle(spark):
+    base = [f"document body number {i} with unique content" for i in range(40)]
+    host_docs = {
+        "h1.com": base,
+        "h2.com": list(base),               # exact mirror
+        "h3.com": base[:20] + [f"own text {i}" for i in range(20)],  # half
+        "h4.com": [f"disjoint {i}" for i in range(40)],              # none
+    }
+    rows = [(h, t) for h, docs in host_docs.items() for t in docs]
+    df = spark.createDataFrame(rows, "host string, text string")
+    got = {(r["a"], r["b"]): (r["k_used"], r["n_common"], r["jaccard_ppm"],
+                              r["is_mirror"])
+           for r in SK.mirror_hosts(df, k=16, m=4).collect()}
+    want = _py_mirror_oracle(host_docs, k=16, m=4)
+    assert got == want
+    # the planted structure: exact mirror found and flagged, half-overlap
+    # found but below 0.5, disjoint host never paired
+    assert got[("h1.com", "h2.com")][3] is True
+    assert got[("h1.com", "h2.com")][1] == 16  # every union hash common
+    if ("h1.com", "h3.com") in got:
+        assert got[("h1.com", "h3.com")][3] is False
+    assert not any("h4.com" in p for p in got)
+
+
+def test_mirror_hosts_hot_hash_cap_drops_boilerplate_bucket(spark):
+    # one document shared by EVERY host (the classic shared boilerplate
+    # page): with max_bucket below the host count that hash cannot pair
+    # anyone, so otherwise-disjoint hosts yield no candidates
+    rows = [(f"h{i}.com", "identical boilerplate everywhere") for i in range(6)]
+    rows += [(f"h{i}.com", f"unique {i} {j}") for i in range(6)
+             for j in range(10)]
+    df = spark.createDataFrame(rows, "host string, text string")
+    none = SK.mirror_hosts(df, k=16, m=16, max_bucket=5).collect()
+    assert none == []
+    # raising the cap re-admits the bucket -> all 15 pairs appear
+    some = SK.mirror_hosts(df, k=16, m=16, max_bucket=6).collect()
+    assert len(some) == 15 and all(not r["is_mirror"] for r in some)
