@@ -38,6 +38,11 @@ def main() -> int:
                          "(default: crawl to exhaustion, no recrawl)")
     ap.add_argument("--refresh-max-per-round", type=int, default=None,
                     help="cap refresh candidates per round")
+    ap.add_argument("--refresh-intervals", default=None,
+                    help="(key, interval) parquet dim from "
+                         "jobs/run_freshness.py — per-host adaptive "
+                         "recrawl intervals (--refresh-interval becomes "
+                         "the fallback for unestimated hosts)")
     ap.add_argument("--bloom-min-frontier-rows", type=int, default=None,
                     help="adaptive seen-prefilter floor (default 50M; "
                          "0 forces the bloom path on)")
@@ -94,6 +99,7 @@ def main() -> int:
         default_budget=args.default_budget,
         refresh_interval=args.refresh_interval,
         refresh_max_per_round=args.refresh_max_per_round,
+        refresh_intervals_path=args.refresh_intervals,
         anchor_keywords=(json.loads(args.anchor_keywords)
                          if args.anchor_keywords else None),
         trap_filters=args.trap_filters,

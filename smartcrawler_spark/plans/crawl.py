@@ -93,6 +93,13 @@ class EngineConfig:
     # exhaustion, the reference-parity mode; enabled crawls run until
     # max_rounds (the pool never drains).
     refresh_max_per_round: int | None = None  # cap refresh load per round
+    refresh_intervals_path: str | None = None
+    # ^ adaptive freshness: path to a (key, interval) parquet dim — the
+    # artifact jobs/run_freshness.py derives from two corpus snapshots
+    # (corpus_diff -> change_rate_ppm -> recrawl_intervals). When set
+    # (requires refresh_interval, which becomes the fallback for hosts
+    # with no estimate), stale-row selection runs refresh_due_adaptive:
+    # frequently-changing hosts recrawl sooner, static hosts later.
     adaptive_budget: bool = False
     # ^ failure-aware politeness: recompute per-host budgets each round
     # from observed fetch outcomes (operators.frontier.adaptive_budgets)
@@ -466,10 +473,18 @@ class CrawlJob:
             # recrawl: stale SUCCESS rows rejoin the pool and compete with
             # new URLs inside the same per-host politeness budget; the
             # fetch MERGE then stamps them with this round's round_fetched
-            due = FR.refresh_due(
-                frontier, round_no, self.cfg.refresh_interval,
-                max_per_round=self.cfg.refresh_max_per_round,
-            )
+            if self.cfg.refresh_intervals_path:
+                ivs = self.spark.read.parquet(
+                    self.cfg.refresh_intervals_path)
+                due = FR.refresh_due_adaptive(
+                    frontier, round_no, ivs, self.cfg.refresh_interval,
+                    max_per_round=self.cfg.refresh_max_per_round,
+                )
+            else:
+                due = FR.refresh_due(
+                    frontier, round_no, self.cfg.refresh_interval,
+                    max_per_round=self.cfg.refresh_max_per_round,
+                )
             pool = pool.unionByName(due.select(*sched_cols))
 
         budgets = self.budgets

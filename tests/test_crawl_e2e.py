@@ -517,3 +517,42 @@ def test_apportion_total_enforces_global_round_budget(spark, corpus, tmp_path):
         .agg(F.count("*").alias("n")).collect()
     }
     assert max(static_rounds.values()) > total
+
+
+def test_refresh_intervals_path_adaptive(spark, corpus, tmp_path):
+    """refresh_intervals_path wires refresh_due_adaptive into the loop:
+    hosts in the dim recrawl on THEIR interval, hosts absent fall back
+    to refresh_interval, and a huge interval suppresses recrawl."""
+    d, manifest = corpus
+    base = _run_engine(spark, d, manifest["seeds"], tmp_path / "ckpt_ab",
+                       _engine_cfg(refresh_interval=3, max_rounds=8))
+    hosts = sorted(r["host"] for r in
+                   base.frontier().select("host").distinct().collect())
+    assert len(hosts) >= 2
+    fast, slow = hosts[0], hosts[1]
+    ivs_path = str(tmp_path / "ivs")
+    spark.createDataFrame(
+        [(fast, 1_000_000, 2), (slow, 1_000, 100)],
+        "key string, rate_ppm long, interval int",
+    ).write.parquet(ivs_path)
+    cfg = _engine_cfg(refresh_interval=3, max_rounds=8,
+                      refresh_intervals_path=ivs_path)
+    job = _run_engine(spark, d, manifest["seeds"], tmp_path / "ckpt_ad", cfg)
+    from pyspark.sql import functions as F
+
+    host_of = {r["url_canon"]: r["host"]
+               for r in job.frontier().select("url_canon", "host").collect()}
+    rounds = {}
+    for r in job.crawl_log().collect():
+        rounds.setdefault(r["url_canon"], []).append(r["round"])
+    refetched = {u: sorted(rs) for u, rs in rounds.items() if len(rs) > 1}
+    assert refetched, "no URL was ever recrawled"
+    for u, rs in refetched.items():
+        h = host_of[u]
+        min_gap = 2 if h == fast else (100 if h == slow else 3)
+        assert all(b - a >= min_gap for a, b in zip(rs, rs[1:])), (u, h, rs)
+    # the slow host's interval (100 >> max_rounds) suppresses its recrawl
+    assert not any(host_of[u] == slow for u in refetched)
+    # determinism with the dim in place
+    job2 = _run_engine(spark, d, manifest["seeds"], tmp_path / "ckpt_ad2", cfg)
+    assert _log_tuples(job) == _log_tuples(job2)
