@@ -299,6 +299,34 @@ def q_refresh_due(spark, sf_dir):
     )
 
 
+def q_retry_backoff(spark, sf_dir):
+    """Failure retry with exponential backoff (operators/frontier.
+    retry_due): FAILED rows re-enter after base*2^(attempts-1) rounds,
+    capped at max_retries; attempt counts synthesized from the url key
+    (the production source is attempts_from_log over the crawl log)."""
+    fr = _synthetic_frontier(spark, sf_dir)
+    att = fr.select(
+        "url_canon",
+        (1 + F.regexp_extract("url_canon", r"/p(\d+)$", 1).cast("int") % 4)
+        .cast("long")
+        .alias("n_attempts"),
+    )
+    return FR.retry_due(fr, att, round_no=40, base_backoff=2,
+                        max_retries=3).select(
+        "url_canon", "host", "n_attempts", "rounds_waited"
+    )
+
+
+def q_shard_assign(spark, sf_dir):
+    """Rendezvous-hash shard assignment (operators/frontier.
+    assign_shards): every distinct host pinned to the argmax-weight
+    shard of 8 — the consistent placement a politeness-sharded fetch
+    fleet uses (ties break to the higher shard, md5 arithmetic
+    engine-replayable)."""
+    hosts = _synthetic_frontier(spark, sf_dir).select("host").distinct()
+    return FR.assign_shards(hosts, 8)
+
+
 def q_host_stats(spark, sf_dir):
     """Per-host crawl health rollup (plans.analysis.host_report): lifecycle
     counts + success rate over attempted fetches; one hash aggregation."""
@@ -1780,6 +1808,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_blocks": q_content_blocks,
         "bpe_pairs": q_bpe_pairs,
         "mirror_hosts": q_mirror_hosts,
+        "retry_backoff": q_retry_backoff,
+        "shard_assign": q_shard_assign,
         "host_triangles": q_host_triangles,
         "budget_apportion": q_budget_apportion,
         "ngram_jaccard": q_ngram_jaccard,
@@ -3061,6 +3091,39 @@ def oracle_sql() -> dict[str, str]:
                    s.n_docs, s.sum_dl
             FROM q JOIN lens USING (doc_id) JOIN dfreq USING (term)
             CROSS JOIN s
+        """,
+        "retry_backoff": f"""
+            WITH f AS ({_SYNTH_FRONTIER_SQL}),
+            a AS (
+              SELECT url_canon,
+                     1 + CAST(regexp_extract(url_canon, '/p(\\d+)$', 1)
+                              AS INT) % 4 AS n_attempts
+              FROM f
+            )
+            SELECT f.url_canon, f.host,
+                   CAST(a.n_attempts AS INT) AS n_attempts,
+                   CAST(40 - f.round_fetched AS INT) AS rounds_waited
+            FROM f JOIN a USING (url_canon)
+            WHERE f.status = 'FAILED' AND f.round_fetched IS NOT NULL
+              AND a.n_attempts <= 3
+              AND 40 - f.round_fetched >= (2 << (a.n_attempts - 1))
+        """,
+        "shard_assign": f"""
+            WITH f AS ({_SYNTH_FRONTIER_SQL}),
+            hosts AS (SELECT DISTINCT host AS key FROM f),
+            w AS (
+              SELECT key, i,
+                     CAST(('0x' || substr(md5(key || '|'
+                            || CAST(i AS VARCHAR) || '|shard'), 1, 12))
+                          AS BIGINT) AS wt
+              FROM hosts, (SELECT unnest(range(8)) AS i)
+            ),
+            r AS (
+              SELECT key, i, row_number() OVER (
+                       PARTITION BY key ORDER BY wt DESC, i DESC) AS rn
+              FROM w
+            )
+            SELECT key, CAST(i AS INT) AS shard FROM r WHERE rn = 1
         """,
         "mirror_hosts": r"""
             WITH u AS (

@@ -665,6 +665,88 @@ def refresh_due(frontier: DataFrame, round_no: int, interval: int,
     ).drop("_g")
 
 
+def retry_due(frontier: DataFrame, attempts: DataFrame, round_no: int,
+              base_backoff: int = 1, max_retries: int = 3,
+              max_per_round: int | None = None) -> DataFrame:
+    """Failure retry with exponential backoff: FAILED frontier rows
+    re-enter the schedule pool once `base_backoff * 2^(n_attempts - 1)`
+    rounds have passed since the last attempt, up to `max_retries`
+    attempts total.  `attempts` is (url_canon, n_attempts) — derivable
+    from the crawl log (one count agg: every emission is an attempt) so
+    no frontier schema change is needed.
+
+    All integer arithmetic (shiftleft, never pow-float); emits the
+    standard schedule columns + n_attempts + rounds_waited, ordered most-
+    overdue first under the optional skew-safe cap.
+
+    Scale shape: status+round pushdown filter on the bucketed frontier,
+    one broadcast-or-shuffled join against the (bounded, FAILED-only)
+    attempts dim, then the same two-phase top-k cap as refresh_due."""
+    # SQL shiftleft takes a column bit count; the python wrapper insists
+    # on a literal int, so go through expr
+    backoff = F.expr(
+        f"shiftleft({int(base_backoff)}L, CAST(n_attempts - 1 AS INT))"
+    )
+    waited = F.lit(round_no) - F.col("round_fetched")
+    due = (
+        frontier.filter(
+            (F.col("status") == "FAILED") & F.col("round_fetched").isNotNull()
+        )
+        .join(attempts.select("url_canon", "n_attempts"), "url_canon")
+        .filter((F.col("n_attempts") <= max_retries) & (waited >= backoff))
+        .select("url_canon", "url_hash", "host", "is_root", "score",
+                F.col("n_attempts").cast("int").alias("n_attempts"),
+                waited.cast("int").alias("rounds_waited"))
+    )
+    if max_per_round is None:
+        return due
+    return top_k_per_group(
+        due.withColumn("_g", F.lit(1)),
+        ["_g"],
+        [F.col("rounds_waited").desc(), *_order()],
+        max_per_round,
+        salt_on="url_canon",
+    ).drop("_g")
+
+
+def attempts_from_log(crawl_log: DataFrame) -> DataFrame:
+    """(url_canon, n_attempts) from the crawl log — every log emission is
+    one fetch attempt. One hash agg; feed to `retry_due`."""
+    return crawl_log.groupBy("url_canon").agg(
+        F.count(F.lit(1)).alias("n_attempts")
+    )
+
+
+def assign_shards(hosts: DataFrame, n_shards: int, key_col: str = "host",
+                  salt: str = "shard") -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment: each key goes
+    to argmax over shards of md5(key|shard_i|salt) — the consistent-
+    placement scheme a politeness-sharded fetch fleet uses to pin every
+    host to ONE worker (per-host rate limits need a single owner), while
+    resizing from n to n+1 shards moves only ~1/(n+1) of the keys
+    (plain hash-mod would reshuffle almost all of them).
+
+    Deterministic, engine-replayable (md5 + hex arithmetic, same recipe
+    as sampling.md5_uniform_bits), map-only: output (key, shard)."""
+    from .sampling import md5_uniform_bits
+
+    scores = F.array(*[
+        F.struct(
+            md5_uniform_bits(
+                F.concat(F.col(key_col).cast("string"),
+                         F.lit(f"|{i}")), salt=salt, nbits=48,
+            ).alias("w"),
+            F.lit(i).alias("shard"),
+        )
+        for i in range(n_shards)
+    ])
+    best = F.array_max(scores)  # struct order: w first -> max weight wins,
+    # shard index breaks exact-weight ties deterministically
+    return hosts.select(
+        F.col(key_col).alias("key"), best["shard"].alias("shard")
+    )
+
+
 def refresh_due_adaptive(frontier: DataFrame, round_no: int,
                          intervals: DataFrame, default_interval: int,
                          statuses: tuple[str, ...] = ("SUCCESS",),

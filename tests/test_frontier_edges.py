@@ -355,3 +355,66 @@ class TestApportionBudget:
             got = self._run(spark, rows, total)
             assert sum(got.values()) == total
             assert got == self._oracle(rows, total)
+
+
+def test_retry_due_exponential_backoff(spark):
+    fr = spark.createDataFrame(
+        [
+            ("https://a.com/f1", 1, "a.com", False, 1.0, "FAILED", 18),
+            ("https://a.com/f2", 2, "a.com", False, 2.0, "FAILED", 15),
+            ("https://a.com/f3", 3, "a.com", False, 3.0, "FAILED", 18),
+            ("https://a.com/f4", 4, "a.com", False, 4.0, "FAILED", 10),
+            ("https://a.com/ok", 5, "a.com", False, 5.0, "SUCCESS", 1),
+        ],
+        "url_canon string, url_hash long, host string, is_root boolean,"
+        " score double, status string, round_fetched int")
+    att = spark.createDataFrame(
+        [("https://a.com/f1", 1), ("https://a.com/f2", 2),
+         ("https://a.com/f3", 3), ("https://a.com/f4", 4),
+         ("https://a.com/ok", 1)],
+        "url_canon string, n_attempts long")
+    # round 20, base 2: backoff = 2<<(n-1) -> f1: 2 (waited 2, due),
+    # f2: 4 (waited 5, due), f3: 8 (waited 2, not due),
+    # f4: attempts 4 > max_retries 3 -> never; SUCCESS rows never retry
+    due = {r["url_canon"]: (r["n_attempts"], r["rounds_waited"])
+           for r in FR.retry_due(fr, att, round_no=20,
+                                 base_backoff=2).collect()}
+    assert due == {"https://a.com/f1": (1, 2), "https://a.com/f2": (2, 5)}
+    # cap keeps the most-overdue
+    capped = FR.retry_due(fr, att, 20, 2, max_per_round=1).collect()
+    assert [r["url_canon"] for r in capped] == ["https://a.com/f2"]
+
+
+def test_attempts_from_log_counts_emissions(spark):
+    log = spark.createDataFrame(
+        [(0, 1, "u1"), (3, 1, "u1"), (5, 2, "u1"), (0, 2, "u2")],
+        "round int, seq int, url_canon string")
+    got = {r["url_canon"]: r["n_attempts"]
+           for r in FR.attempts_from_log(log).collect()}
+    assert got == {"u1": 3, "u2": 1}
+
+
+def test_assign_shards_oracle_and_rendezvous_stability(spark):
+    import hashlib
+
+    hosts = spark.createDataFrame(
+        [(f"h{i}.example.com",) for i in range(200)], "host string")
+
+    def py_assign(key, n):
+        def w(i):
+            return int(hashlib.md5(f"{key}|{i}|shard".encode())
+                       .hexdigest()[:12], 16)
+        return max(range(n), key=lambda i: (w(i), i))
+
+    got4 = {r["key"]: r["shard"]
+            for r in FR.assign_shards(hosts, 4).collect()}
+    assert got4 == {f"h{i}.example.com": py_assign(f"h{i}.example.com", 4)
+                    for i in range(200)}
+    assert set(got4.values()) == {0, 1, 2, 3}  # all shards populated
+    # rendezvous property: growing 4 -> 5 only moves keys TO the new shard
+    got5 = {r["key"]: r["shard"]
+            for r in FR.assign_shards(hosts, 5).collect()}
+    moved = {k for k in got4 if got4[k] != got5[k]}
+    assert moved and all(got5[k] == 4 for k in moved)
+    # and roughly 1/5 of keys moved, never most of them
+    assert len(moved) < 200 // 2
