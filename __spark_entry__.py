@@ -299,6 +299,37 @@ def q_refresh_due(spark, sf_dir):
     )
 
 
+def q_update_intervals(spark, sf_dir):
+    """Publish-cadence revisit intervals (plans.analysis.
+    intervals_from_updates): events as a per-host update log -> mean
+    inter-update spacing in epoch seconds -> clamped rounds. All
+    integral; keys with one update emit nothing."""
+    from smartcrawler_spark.plans.analysis import intervals_from_updates
+
+    ev = _t(spark, sf_dir, "events")
+    ups = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string"))
+        .alias("host"),
+        "ts",
+    )
+    return intervals_from_updates(ups, seconds_per_round=3600,
+                                  max_interval=48)
+
+
+def q_revalidate_robots(spark, sf_dir):
+    """Robots rule-change revalidation (operators/frontier.
+    revalidate_pending): PENDING frontier rows re-gated against a new
+    prefix rule set; output = the now-disallowed queue entries."""
+    fr = _synthetic_frontier(spark, sf_dir)
+    robots = spark.createDataFrame(
+        [(f"h{i}.example.com", "/p1") for i in range(10)],
+        "host string, disallow_prefix string",
+    )
+    return FR.revalidate_pending(fr, robots=robots).select(
+        "url_canon", "host"
+    )
+
+
 def q_retry_backoff(spark, sf_dir):
     """Failure retry with exponential backoff (operators/frontier.
     retry_due): FAILED rows re-enter after base*2^(attempts-1) rounds,
@@ -1809,6 +1840,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": q_bpe_pairs,
         "mirror_hosts": q_mirror_hosts,
         "retry_backoff": q_retry_backoff,
+        "update_intervals": q_update_intervals,
+        "revalidate_robots": q_revalidate_robots,
         "shard_assign": q_shard_assign,
         "host_triangles": q_host_triangles,
         "budget_apportion": q_budget_apportion,
@@ -3091,6 +3124,35 @@ def oracle_sql() -> dict[str, str]:
                    s.n_docs, s.sum_dl
             FROM q JOIN lens USING (doc_id) JOIN dfreq USING (term)
             CROSS JOIN s
+        """,
+        "update_intervals": """
+            WITH u AS (
+              SELECT 'h' || CAST(user_id % 20 AS VARCHAR) AS key,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS s
+              FROM events WHERE ts IS NOT NULL
+            ), a AS (
+              SELECT key, CAST(count(*) AS BIGINT) AS n_updates,
+                     min(s) AS mn, max(s) AS mx
+              FROM u GROUP BY key
+            )
+            SELECT key, n_updates,
+                   CAST((mx - mn) // (n_updates - 1) AS BIGINT) AS spacing_s,
+                   CAST(least(greatest(
+                          (mx - mn) // (n_updates - 1) // 3600, 1), 48)
+                        AS INT) AS interval
+            FROM a WHERE n_updates >= 2
+        """,
+        "revalidate_robots": f"""
+            WITH f AS ({_SYNTH_FRONTIER_SQL})
+            SELECT url_canon, host FROM f
+            WHERE status = 'PENDING'
+              AND host IN ('h0.example.com', 'h1.example.com',
+                           'h2.example.com', 'h3.example.com',
+                           'h4.example.com', 'h5.example.com',
+                           'h6.example.com', 'h7.example.com',
+                           'h8.example.com', 'h9.example.com')
+              AND regexp_extract(url_canon, 'example\\.com(/.*)$', 1)
+                    LIKE '/p1%'
         """,
         "retry_backoff": f"""
             WITH f AS ({_SYNTH_FRONTIER_SQL}),

@@ -665,6 +665,30 @@ def refresh_due(frontier: DataFrame, round_no: int, interval: int,
     ).drop("_g")
 
 
+def revalidate_pending(frontier: DataFrame, robots: DataFrame | None = None,
+                       rfc_rules: DataFrame | None = None) -> DataFrame:
+    """Rule-change hygiene: PENDING rows were admitted under the robots
+    rules of THEIR round; when a host's robots.txt is refetched and the
+    rules tightened, those queued URLs may now be disallowed. Re-apply
+    the gate to the pending pool and return the rows now blocked —
+    callers MERGE them to a terminal status (or drop them) before the
+    next schedule, so the crawler never fetches against current rules.
+
+    Pass `robots` (host, disallow_prefix) for the conservative prefix
+    gate or `rfc_rules` (robots_rules_rfc_from_text output) for full
+    RFC 9309 resolution — the same broadcast gates the admission path
+    uses (robots_gate / robots_gate_rfc), on a status-pushdown scan of
+    the bucketed frontier."""
+    pend = frontier.filter(F.col("status") == "PENDING")
+    if rfc_rules is not None:
+        gated = robots_gate_rfc(pend, rfc_rules)
+    elif robots is not None:
+        gated = robots_gate(pend, robots)
+    else:
+        raise ValueError("pass robots or rfc_rules")
+    return gated.filter(F.col("robots_blocked")).drop("robots_blocked")
+
+
 def retry_due(frontier: DataFrame, attempts: DataFrame, round_no: int,
               base_backoff: int = 1, max_retries: int = 3,
               max_per_round: int | None = None) -> DataFrame:

@@ -153,6 +153,48 @@ def recrawl_intervals(rates: DataFrame, base_interval: int,
     return rates.select("key", "rate_ppm", iv.cast("int").alias("interval"))
 
 
+def intervals_from_updates(updates: DataFrame, key_col: str = "host",
+                           ts_col: str = "ts",
+                           seconds_per_round: int = 86400,
+                           min_interval: int = 1,
+                           max_interval: int | None = None) -> DataFrame:
+    """Per-key revisit intervals from an observed UPDATE LOG — sitemap
+    <lastmod> entries, feed pubDates, or detected content changes: the
+    mean inter-update spacing (max_ts - min_ts) // (n - 1) in epoch
+    seconds, integer-exact, mapped to rounds via `seconds_per_round` and
+    clamped. The third producer of the (key, interval) artifact the
+    adaptive refresh loop consumes (with `recrawl_intervals` from change
+    rates, or hand-curated dims) — publish cadence IS the revisit
+    cadence a crawler should match.
+
+    Keys with fewer than 2 updates emit no row (no cadence evidence —
+    the loop's default_interval covers them). Output (key, n_updates,
+    spacing_s, interval), all integral; one hash agg on the key."""
+    u = F.unix_timestamp(F.col(ts_col))
+    per = (
+        updates.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.col(key_col).alias("key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_updates"),
+            F.min(u).alias("_min"),
+            F.max(u).alias("_max"),
+        )
+        .filter(F.col("n_updates") >= 2)
+    )
+    spacing = F.floor(
+        (F.col("_max") - F.col("_min")) / (F.col("n_updates") - 1)
+    ).cast("long")
+    per = per.select("key", "n_updates", spacing.alias("spacing_s"))
+    iv = F.greatest(
+        F.floor(F.col("spacing_s") / F.lit(seconds_per_round)),
+        F.lit(min_interval),
+    )
+    if max_interval is not None:
+        iv = F.least(iv, F.lit(max_interval))
+    return per.select("key", "n_updates", "spacing_s",
+                      iv.cast("int").alias("interval"))
+
+
 def template_paths_json(spark: SparkSession, job, out_dir: str) -> DataFrame:
     """S6: template paths as pretty-ish JSON lines (df.write.json), the
     engine form of TemplatePathStore.to_serialized_string()."""

@@ -418,3 +418,48 @@ def test_assign_shards_oracle_and_rendezvous_stability(spark):
     assert moved and all(got5[k] == 4 for k in moved)
     # and roughly 1/5 of keys moved, never most of them
     assert len(moved) < 200 // 2
+
+
+def test_intervals_from_updates_hand_oracle(spark):
+    from datetime import datetime
+
+    from smartcrawler_spark.plans.analysis import intervals_from_updates
+
+    rows = [
+        # a.com: updates at day 0, 2, 4 -> spacing 2 days -> interval 2
+        ("a.com", datetime(2024, 1, 1)), ("a.com", datetime(2024, 1, 3)),
+        ("a.com", datetime(2024, 1, 5)),
+        # b.com: 10-day gap -> clamped to max 7
+        ("b.com", datetime(2024, 1, 1)), ("b.com", datetime(2024, 1, 11)),
+        # c.com: single update -> no cadence evidence, no row
+        ("c.com", datetime(2024, 1, 1)),
+        # d.com: two updates 1 hour apart -> spacing 3600 s -> min clamp 1
+        ("d.com", datetime(2024, 1, 1, 0)), ("d.com", datetime(2024, 1, 1, 1)),
+    ]
+    ups = spark.createDataFrame(rows, "host string, ts timestamp")
+    got = {r["key"]: (r["n_updates"], r["spacing_s"], r["interval"])
+           for r in intervals_from_updates(ups, max_interval=7).collect()}
+    assert got == {"a.com": (3, 2 * 86400, 2), "b.com": (2, 10 * 86400, 7),
+                   "d.com": (2, 3600, 1)}
+
+
+def test_revalidate_pending_marks_newly_blocked(spark):
+    fr = spark.createDataFrame(
+        [
+            ("https://a.com/private/x", 1, "a.com", False, 1.0, "PENDING"),
+            ("https://a.com/public/y", 2, "a.com", False, 2.0, "PENDING"),
+            ("https://a.com/private/done", 3, "a.com", False, 3.0, "SUCCESS"),
+            ("https://b.com/private/z", 4, "b.com", False, 4.0, "PENDING"),
+        ],
+        "url_canon string, url_hash long, host string, is_root boolean,"
+        " score double, status string")
+    robots = spark.createDataFrame(
+        [("a.com", "/private")], "host string, disallow_prefix string")
+    got = sorted(r["url_canon"]
+                 for r in FR.revalidate_pending(fr, robots=robots).collect())
+    # only the PENDING row under a NOW-disallowed prefix on the ruled host
+    assert got == ["https://a.com/private/x"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        FR.revalidate_pending(fr)
