@@ -213,6 +213,9 @@ def headline_queries():
         "pii_redaction", "top_terms",
         "ann_cosine_topk", "embedding_near_dup", "embedding_near_dup_lsh",
         "lang_id", "token_count", "fingerprint_groups",
+        # round-4 additions: retrieval ranking inputs, LM quality scoring,
+        # boilerplate extraction, sketch-LSH mirror detection
+        "bm25_components", "lm_score", "content_blocks", "mirror_hosts",
     ]
     return {k: qs[k] for k in names}
 
