@@ -299,6 +299,17 @@ def q_refresh_due(spark, sf_dir):
     )
 
 
+def q_export_manifest(spark, sf_dir):
+    """Deterministic export manifest (sources/export.export_manifest):
+    md5-mod shard assignment + order-independent per-shard content
+    checksums (sum of md5-int60 row serializations mod 2^63) over
+    (doc_id, text) — the integrity artifact export_dataset writes."""
+    from smartcrawler_spark.sources import export as EX
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return EX.export_manifest(docs, "doc_id", 8)
+
+
 def q_update_intervals(spark, sf_dir):
     """Publish-cadence revisit intervals (plans.analysis.
     intervals_from_updates): events as a per-host update log -> mean
@@ -1841,6 +1852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_hosts": q_mirror_hosts,
         "retry_backoff": q_retry_backoff,
         "update_intervals": q_update_intervals,
+        "export_manifest": q_export_manifest,
         "revalidate_robots": q_revalidate_robots,
         "shard_assign": q_shard_assign,
         "host_triangles": q_host_triangles,
@@ -3124,6 +3136,22 @@ def oracle_sql() -> dict[str, str]:
                    s.n_docs, s.sum_dl
             FROM q JOIN lens USING (doc_id) JOIN dfreq USING (term)
             CROSS JOIN s
+        """,
+        "export_manifest": r"""
+            WITH p AS (
+              SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                             || '|export'), 1, 12)) AS BIGINT) % 8 AS shard,
+                     CAST(('0x' || substr(md5('{"doc_id":'
+                             || CAST(doc_id AS VARCHAR) || ',"text":'
+                             || to_json(text) || '}' || '|cksum'),
+                           1, 15)) AS BIGINT) AS ck
+              FROM documents
+            )
+            SELECT CAST(shard AS INT) AS shard,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(ck AS HUGEINT)) % 9223372036854775808
+                        AS BIGINT) AS checksum
+            FROM p GROUP BY shard
         """,
         "update_intervals": """
             WITH u AS (
