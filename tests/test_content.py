@@ -154,3 +154,46 @@ def test_configurable_tag_sets(spark):
     rows = C.block_profile(df, block_tags=("div",),
                            boiler_tags=("section",)).collect()
     assert rows[0]["boiler"] and not rows[0]["is_content"]
+
+
+def test_block_profile_fuzz_random_trees(spark):
+    """Seeded structured-random trees (nested blocks, chrome wrappers,
+    anchors, empty/whitespace content, classed tags): the JVM HOF plan
+    must equal the python oracle on every block of every doc — one Spark
+    job for the whole corpus, test_fuzz.py style."""
+    import random
+
+    rng = random.Random(20260818)
+    TAGS = ["p", "li", "td", "div", "span", "nav", "footer", "a", "ul",
+            "section", "h2", "pre"]
+    WORDS = ["alpha", "beta", "gamma", "delta", "link", "text", "words"]
+
+    def rand_tree(depth=0):
+        tag = rng.choice(TAGS)
+        n_children = 0 if depth >= 4 else rng.randrange(0, 4)
+        children = [rand_tree(depth + 1) for _ in range(n_children)]
+        content = ""
+        if not children and rng.random() < 0.8:
+            content = " ".join(rng.choices(WORDS, k=rng.randrange(0, 9)))
+            if rng.random() < 0.1:
+                content = "   "  # whitespace-only
+        classes = rng.choices(["c1", "c2"], k=rng.randrange(0, 2))
+        return Node(tag, classes=classes, content=content, children=children)
+
+    pages = []
+    for i in range(60):
+        tree = Node("html", children=[Node("body", children=[rand_tree()])])
+        spans, nodes = flatten(tree)
+        pages.append({"doc_id": f"f{i:03d}", "spans": spans, "nodes": nodes})
+    df = spark.createDataFrame(pages, SPAN_SCHEMA)
+    got = sorted(
+        (r["doc_id"], r["offset"], r["tag"], r["n_words"], r["n_link_words"],
+         r["link_ppt"], r["boiler"], r["is_content"])
+        for r in C.block_profile(df).collect()
+    )
+    want = sorted(
+        (p["doc_id"], o["offset"], o["tag"], o["n_words"], o["n_link_words"],
+         o["link_ppt"], o["boiler"], o["is_content"])
+        for p in pages for o in _oracle(p["nodes"])
+    )
+    assert got == want and len(want) > 50
