@@ -299,6 +299,18 @@ def q_refresh_due(spark, sf_dir):
     )
 
 
+def q_embedding_quantize(spark, sf_dir):
+    """Scalar (SQ8) embedding quantization (operators/similarity.
+    quantize_embeddings): per-vector min/max range + clamped floor codes,
+    computed in double precision on both engines so the integer codes
+    hash identically; exploded to (vec_id, pos, code)."""
+    from smartcrawler_spark.operators import similarity as SIM
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = SIM.quantize_embeddings(emb)
+    return q.select("vec_id", F.posexplode("codes").alias("pos", "code"))
+
+
 def q_export_manifest(spark, sf_dir):
     """Deterministic export manifest (sources/export.export_manifest):
     md5-mod shard assignment + order-independent per-shard content
@@ -1853,6 +1865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retry_backoff": q_retry_backoff,
         "update_intervals": q_update_intervals,
         "export_manifest": q_export_manifest,
+        "embedding_quantize": q_embedding_quantize,
         "revalidate_robots": q_revalidate_robots,
         "shard_assign": q_shard_assign,
         "host_triangles": q_host_triangles,
@@ -3136,6 +3149,27 @@ def oracle_sql() -> dict[str, str]:
                    s.n_docs, s.sum_dl
             FROM q JOIN lens USING (doc_id) JOIN dfreq USING (term)
             CROSS JOIN s
+        """,
+        "embedding_quantize": """
+            WITH v AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                                    x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings
+            ), s AS (
+              SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx FROM v
+            ), z AS (
+              SELECT vec_id, mn, mx,
+                     unnest(list_zip(e, range(len(e)))) AS p
+              FROM s
+            )
+            SELECT vec_id, CAST(p[2] AS INT) AS pos,
+                   CAST(CASE WHEN mx > mn
+                        THEN least(greatest(
+                               floor(((p[1] - mn) * 255) / (mx - mn)), 0),
+                             255)
+                        ELSE 0 END AS INT) AS code
+            FROM z
         """,
         "export_manifest": r"""
             WITH p AS (

@@ -429,3 +429,76 @@ def embedding_near_dup_pairs(
         .select("a", "b", "sim")
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# scalar quantization (int8-style codes) — the ANN memory/bandwidth lever
+# ---------------------------------------------------------------------------
+
+
+def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        bits: int = 8) -> DataFrame:
+    """Per-vector scalar quantization: codes[i] = clamp(floor(
+    (v[i] - min) * (2^bits - 1) / (max - min)), 0, 2^bits - 1), with the
+    per-vector (qmin, qmax) range kept alongside — the standard SQ8
+    layout that cuts a float32 ANN corpus 4x in memory/shuffle bytes
+    (at 10^10 x 1024-dim that is the difference between vectors fitting
+    executor memory or not). Constant vectors emit all-zero codes.
+
+    Pure JVM higher-order functions over the array — map-only, no
+    Python, no shuffle; every element is cast to double BEFORE the
+    arithmetic so the computation is identical IEEE-754 on any engine
+    (the codes column is integer and cross-engine gate-safe). Output
+    (id, qmin, qmax, codes: array<int>)."""
+    levels = (1 << bits) - 1
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    mn, mx = F.array_min(vec), F.array_max(vec)
+    code = lambda v: F.least(  # noqa: E731
+        F.greatest(
+            F.floor(((v - mn) * F.lit(float(levels))) / (mx - mn)),
+            F.lit(0),
+        ),
+        F.lit(levels),
+    ).cast("int")
+    codes = F.transform(
+        vec, lambda v: F.when(mx > mn, code(v)).otherwise(F.lit(0))
+    )
+    return df.select(
+        F.col(id_col),
+        mn.alias("qmin"),
+        mx.alias("qmax"),
+        codes.alias("codes"),
+    )
+
+
+def dequantize_expr(codes: Column, qmin: Column, qmax: Column,
+                    bits: int = 8) -> Column:
+    """array<double> reconstruction: qmin + code * (qmax - qmin) /
+    (2^bits - 1) — max reconstruction error (qmax - qmin) / (2^bits - 1)
+    per element."""
+    levels = float((1 << bits) - 1)
+    return F.transform(
+        codes,
+        lambda c: qmin + (c.cast("double") * (qmax - qmin)) / F.lit(levels),
+    )
+
+
+def cosine_topk_quantized(quant: DataFrame, query: list[float], k: int = 10,
+                          id_col: str = "vec_id",
+                          bits: int = 8) -> DataFrame:
+    """Exact-shape top-k over the QUANTIZED corpus: dequantize in the
+    scan projection (no materialized float vectors) and rank by cosine
+    vs the constant query — the brute-force baseline at a quarter of the
+    scan bytes; compose with the LSH/IVF candidate pruning for the full
+    scale path. Same output contract as cosine_topk_bruteforce (sim
+    rounded to 6dp, ties by id)."""
+    vec = dequantize_expr(F.col("codes"), F.col("qmin"), F.col("qmax"),
+                          bits=bits)
+    q = F.array(*[F.lit(float(x)) for x in query])
+    sim = F.round(cosine(vec, q), 6)
+    return (
+        quant.select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -127,3 +127,75 @@ def test_kmeans_iterations_are_deterministic(spark, emb):
     a = SIM.kmeans_centroids(df, dim, n_centroids=16, n_iter=2)
     b = SIM.kmeans_centroids(df, dim, n_centroids=16, n_iter=2)
     np.testing.assert_array_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# scalar quantization
+# ---------------------------------------------------------------------------
+
+
+def _numpy_quantize(mat, bits=8):
+    levels = (1 << bits) - 1
+    mn = mat.min(axis=1)
+    mx = mat.max(axis=1)
+    rng = mx - mn
+    codes = np.zeros(mat.shape, dtype=np.int64)
+    nz = rng > 0
+    codes[nz] = np.clip(
+        np.floor((mat[nz] - mn[nz, None]) * levels / rng[nz, None]),
+        0, levels).astype(np.int64)
+    return mn, mx, codes
+
+
+def test_quantize_matches_numpy_oracle(spark):
+    rng = np.random.default_rng(11)
+    mat = rng.standard_normal((50, 16)).astype(np.float32)
+    mat[7] = 0.25  # constant vector
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(50)],
+        "vec_id int, embedding array<float>")
+    got = {r["vec_id"]: (r["qmin"], r["qmax"], list(r["codes"]))
+           for r in SIM.quantize_embeddings(df).collect()}
+    mn, mx, codes = _numpy_quantize(mat.astype(np.float64))
+    for i in range(50):
+        g_mn, g_mx, g_codes = got[i]
+        assert g_mn == pytest.approx(float(mn[i]), abs=0)
+        assert g_mx == pytest.approx(float(mx[i]), abs=0)
+        assert g_codes == codes[i].tolist(), i
+    assert got[7][2] == [0] * 16  # constant vector -> zero codes
+
+
+def test_quantized_reconstruction_error_bound(spark):
+    rng = np.random.default_rng(3)
+    mat = rng.standard_normal((30, 24)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(30)],
+        "vec_id int, embedding array<float>")
+    q = SIM.quantize_embeddings(df)
+    rec = q.select(
+        "vec_id",
+        SIM.dequantize_expr(F.col("codes"), F.col("qmin"),
+                            F.col("qmax")).alias("rec"),
+    ).collect()
+    for r in rec:
+        i = r["vec_id"]
+        err = np.abs(np.array(r["rec"]) - mat[i].astype(np.float64))
+        bound = (mat[i].max() - mat[i].min()) / 255 + 1e-12
+        assert err.max() <= bound, i
+
+
+def test_quantized_topk_tracks_exact(spark):
+    rng = np.random.default_rng(7)
+    mat = rng.standard_normal((300, 32)).astype(np.float32)
+    query = rng.standard_normal(32).tolist()
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(300)],
+        "vec_id int, embedding array<float>")
+    exact = [r["vec_id"]
+             for r in SIM.cosine_topk_bruteforce(df, query, k=10).collect()]
+    quant = SIM.quantize_embeddings(df)
+    approx = [r["vec_id"]
+              for r in SIM.cosine_topk_quantized(quant, query, k=10).collect()]
+    # 8-bit SQ keeps ranking almost intact: recall@10 >= 0.8 on gaussians
+    assert len(set(exact) & set(approx)) >= 8
+    assert approx[0] == exact[0]  # the top hit survives quantization
