@@ -248,3 +248,54 @@ def test_hits_rescale_is_broadcast_not_driver(spark, sf_dir):
     plan = plan_of(hits_fixed_point(e, iters=2))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "EvalPython" not in plan
+
+
+def test_content_blocks_plan_has_zero_exchanges(spark, sf_dir):
+    """Main-content extraction must stay map-only at ANY corpus size —
+    the classifier runs inside the row via HOFs, so its physical plan
+    carries no Exchange and no join nodes at all."""
+    from smartcrawler_spark.operators import content as C
+
+    docs = spark.createDataFrame(
+        [("d", [{"offset": 0, "tag": "p", "classes": [], "id": None,
+                 "content": "five words right here now", "size": 1,
+                 "path": ["html", "body", "p"]}])],
+        "doc_id string, nodes array<struct<offset:int,tag:string,"
+        "classes:array<string>,id:string,content:string,size:int,"
+        "path:array<string>>>")
+    for q in (C.block_profile(docs), C.main_text(docs)):
+        plan = plan_of(q)
+        assert "Exchange" not in plan, plan
+        assert "Join" not in plan
+
+
+def test_lm_score_model_joins_are_broadcast(spark, sf_dir):
+    """The LM count tables are the model dim — scoring must broadcast
+    them (default), never sort-merge the corpus against the vocab."""
+    from smartcrawler_spark.operators import lm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    uni, big = lm.unigram_counts(docs), lm.bigram_counts(docs)
+    plan = plan_of(lm.lm_score_bits(docs, uni, big, 100))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_quantize_plan_is_map_only(spark, sf_dir):
+    from smartcrawler_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = plan_of(SIM.quantize_embeddings(emb))
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_mirror_hosts_has_no_cartesian_and_caps_buckets(spark, sf_dir):
+    """Candidate generation must be a hash-equality bucket join (never a
+    cross/theta join), with the hot-hash cap aggregated BEFORE pairing."""
+    from smartcrawler_spark.operators import sketches as SK
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("source").alias("host"), "text")
+    plan = plan_of(SK.mirror_hosts(docs, k=8, m=4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
