@@ -43,6 +43,13 @@ def main() -> int:
                          "jobs/run_freshness.py — per-host adaptive "
                          "recrawl intervals (--refresh-interval becomes "
                          "the fallback for unestimated hosts)")
+    ap.add_argument("--retry-base-backoff", type=int, default=None,
+                    help="retry FAILED URLs after base*2^(attempts-1) "
+                         "rounds (default: a failed fetch is terminal)")
+    ap.add_argument("--retry-max", type=int, default=3,
+                    help="attempts ceiling when --retry-base-backoff is on")
+    ap.add_argument("--retry-max-per-round", type=int, default=None,
+                    help="cap retry candidates per round")
     ap.add_argument("--bloom-min-frontier-rows", type=int, default=None,
                     help="adaptive seen-prefilter floor (default 50M; "
                          "0 forces the bloom path on)")
@@ -100,6 +107,9 @@ def main() -> int:
         refresh_interval=args.refresh_interval,
         refresh_max_per_round=args.refresh_max_per_round,
         refresh_intervals_path=args.refresh_intervals,
+        retry_base_backoff=args.retry_base_backoff,
+        retry_max=args.retry_max,
+        retry_max_per_round=args.retry_max_per_round,
         anchor_keywords=(json.loads(args.anchor_keywords)
                          if args.anchor_keywords else None),
         trap_filters=args.trap_filters,

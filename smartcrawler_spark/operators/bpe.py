@@ -28,8 +28,6 @@ the same plan at sf0.001 and at 100 TB.
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

@@ -100,6 +100,14 @@ class EngineConfig:
     # (requires refresh_interval, which becomes the fallback for hosts
     # with no estimate), stale-row selection runs refresh_due_adaptive:
     # frequently-changing hosts recrawl sooner, static hosts later.
+    retry_base_backoff: int | None = None
+    # ^ failure retry: FAILED rows re-enter the schedule pool once
+    # base*2^(attempts-1) rounds have passed since their last attempt
+    # (operators.frontier.retry_due; attempt counts derived from the
+    # crawl log — every emission is one attempt). None (default) =
+    # reference-parity: a failed fetch is terminal.
+    retry_max: int = 3            # attempts ceiling when retry is on
+    retry_max_per_round: int | None = None  # cap retry load per round
     adaptive_budget: bool = False
     # ^ failure-aware politeness: recompute per-host budgets each round
     # from observed fetch outcomes (operators.frontier.adaptive_budgets)
@@ -486,6 +494,19 @@ class CrawlJob:
                     max_per_round=self.cfg.refresh_max_per_round,
                 )
             pool = pool.unionByName(due.select(*sched_cols))
+        if self.cfg.retry_base_backoff:
+            # failure retry: FAILED rows past their exponential backoff
+            # re-enter the pool; attempts come from the crawl log (one
+            # count agg — every emission was an attempt)
+            log = self.t_log.read(self.spark)
+            if log is not None:
+                retries = FR.retry_due(
+                    frontier, FR.attempts_from_log(log), round_no,
+                    base_backoff=self.cfg.retry_base_backoff,
+                    max_retries=self.cfg.retry_max,
+                    max_per_round=self.cfg.retry_max_per_round,
+                )
+                pool = pool.unionByName(retries.select(*sched_cols))
 
         budgets = self.budgets
         if self.cfg.apportion_total:

@@ -556,3 +556,41 @@ def test_refresh_intervals_path_adaptive(spark, corpus, tmp_path):
     # determinism with the dim in place
     job2 = _run_engine(spark, d, manifest["seeds"], tmp_path / "ckpt_ad2", cfg)
     assert _log_tuples(job) == _log_tuples(job2)
+
+
+def test_retry_backoff_refetches_failed_urls(spark, corpus, tmp_path):
+    """With retry_base_backoff set, a URL that fetches FAILED (no
+    document behind it) re-enters the schedule on the exponential
+    backoff, never exceeding retry_max attempts; default config keeps
+    failures terminal (reference parity)."""
+    d, manifest = corpus
+    # a host with no corpus documents: admission passes (no robots rules,
+    # its own politeness budget), the fetch join finds nothing -> FAILED
+    bogus = "https://definitely-missing.example.com/"
+    seeds = list(manifest["seeds"]) + [bogus]
+
+    # default: FAILED is terminal -> exactly one attempt
+    base = _run_engine(spark, d, seeds, tmp_path / "ckpt_rt0")
+    bogus_rounds0 = sorted(r["round"] for r in base.crawl_log().collect()
+                           if "definitely-missing" in r["url_canon"])
+    assert len(bogus_rounds0) == 1
+
+    cfg = _engine_cfg(retry_base_backoff=1, retry_max=3, max_rounds=12)
+    job = _run_engine(spark, d, seeds, tmp_path / "ckpt_rt", cfg)
+    from pyspark.sql import functions as F
+
+    rounds = sorted(r["round"] for r in job.crawl_log().collect()
+                    if "definitely-missing" in r["url_canon"])
+    assert len(rounds) >= 2, "retry never happened"
+    assert len(rounds) <= 4  # retry_max=3 -> at most 1 + 3 attempts
+    # gaps respect the exponential schedule: >= 1, >= 2, >= 4
+    for i, (a, b) in enumerate(zip(rounds, rounds[1:])):
+        assert b - a >= (1 << i), rounds
+    # the frontier row stays FAILED with the LAST attempt's round
+    row = job.frontier().filter(
+        F.col("url_canon").contains("definitely-missing")).collect()[0]
+    assert row["status"] == "FAILED"
+    assert row["round_fetched"] == rounds[-1]
+    # determinism
+    job2 = _run_engine(spark, d, seeds, tmp_path / "ckpt_rt2", cfg)
+    assert _log_tuples(job) == _log_tuples(job2)
