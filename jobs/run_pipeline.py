@@ -67,6 +67,17 @@ def main() -> int:
                     help="per-language token budget (greedy quality-first pack)")
     ap.add_argument("--train-pct", type=int, default=80)
     ap.add_argument("--val-pct", type=int, default=10)
+    ap.add_argument("--extract-content", action="store_true",
+                    help="input is a span/node corpus (doc_id, spans, "
+                         "nodes): extract the article body first "
+                         "(operators.content.main_text — boilerplate/"
+                         "chrome/link-soup removed) and refine THAT text")
+    ap.add_argument("--content-min-words", type=int, default=5,
+                    help="block word floor for --extract-content")
+    ap.add_argument("--content-max-link-ppt", type=int, default=330,
+                    help="block link-density ceiling (parts-per-thousand) "
+                         "for --extract-content; 1000 keeps link-only "
+                         "blocks (listing/navigation corpora)")
     ap.add_argument("--metrics", action="store_true", default=True)
     ap.add_argument("--no-metrics", dest="metrics", action="store_false")
     args = ap.parse_args()
@@ -94,6 +105,19 @@ def main() -> int:
 
     raw = spark.read.parquet(args.input)
     raw = stage(raw, "input")
+    if args.extract_content:
+        # span/node corpus -> extracted article bodies; downstream stages
+        # see the usual (doc_id, text) contract. Map-only (zero shuffles
+        # — tests/test_plans.py asserts the plan shape).
+        from smartcrawler_spark.operators import content as CT
+
+        raw = (
+            CT.main_text(raw, min_words=args.content_min_words,
+                         max_link_ppt=args.content_max_link_ppt)
+            .filter(F.length("main_text") > 0)
+            .select("doc_id", F.col("main_text").alias("text"))
+        )
+        raw = stage(raw, "content_extracted")
 
     # scrub + enrich (all whole-stage-codegen Column exprs)
     scrubbed = T.redact_pii(T.clean_text(F.col("text")))

@@ -80,3 +80,48 @@ def test_pipeline_job_incremental_and_datacard(spark, sf_dir, tmp_path, capsys):
                                  "min_tokens", "max_tokens", "total_chars",
                                  "mean_tokens"}
     assert card.agg({"n_docs": "sum"}).collect()[0][0] == st["written"]
+
+
+def test_pipeline_job_extract_content_from_span_corpus(
+        spark, tmp_path, capsys):
+    """--extract-content: a span/node corpus goes through main-content
+    extraction before the gauntlet — chrome/boilerplate text never
+    reaches the refined output."""
+    from smartcrawler_spark.sources.corpus import CorpusConfig, generate_corpus
+
+    d = str(tmp_path / "corpus")
+    generate_corpus(d, CorpusConfig(n_hosts=3, pages_per_host=8,
+                                    hot_host_pages=8))
+    out_dir = str(tmp_path / "refined")
+    # listing-page corpus: all text sits in anchors, so keep link-only
+    # blocks (max-link-ppt 1000) and drop the word floor
+    res = _run(capsys, ["--input", f"{d}/documents.parquet",
+                        "--output", out_dir, "--extract-content",
+                        "--content-min-words", "1",
+                        "--content-max-link-ppt", "1000",
+                        "--min-quality", "0"])
+    st = res["stages"]
+    assert st["content_extracted"] <= st["input"]
+    assert st["written"] > 0
+    refined = spark.read.parquet(out_dir)
+    rows = refined.select("doc_id", "text").collect()
+    assert all(r["text"] for r in rows)
+    # parity with calling the operator directly on the same corpus
+    from pyspark.sql import functions as F
+
+    from smartcrawler_spark.operators import content as CT
+    from smartcrawler_spark.functions import textops as T
+
+    src = spark.read.parquet(f"{d}/documents.parquet")
+    direct = {
+        r["doc_id"]: r["main_text"]
+        for r in CT.main_text(src, min_words=1, max_link_ppt=1000)
+        .filter(F.length("main_text") > 0).collect()
+    }
+    for r in rows:
+        # pipeline scrubs AFTER extraction; compare through the same scrub
+        want = direct[r["doc_id"]]
+        assert r["text"] == spark.createDataFrame(
+            [(want,)], "t string").select(
+            T.redact_pii(T.clean_text(F.col("t"))).alias("x")
+        ).collect()[0]["x"]
