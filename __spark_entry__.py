@@ -1590,6 +1590,23 @@ def q_lm_score(spark, sf_dir):
     return lm.lm_score_bits(score, uni, big, uni.count())
 
 
+def q_lm_buckets(spark, sf_dir):
+    """CCNet head/middle/tail split (operators/lm.lm_buckets) over the
+    lm_score output with pinned integer thresholds — adds the bucket
+    label column to the already-gated integer scores."""
+    from smartcrawler_spark.operators import lm
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") < 300)
+    score = docs.filter(F.col("doc_id") < 100)
+    uni = lm.unigram_counts(train)
+    scored = lm.lm_score_bits(score, uni, lm.bigram_counts(train),
+                              uni.count())
+    return lm.lm_buckets(scored, 2000, 4000).select(
+        "doc_id", "mbits", "lm_bucket"
+    )
+
+
 def q_change_rate(spark, sf_dir):
     """Per-host change-rate estimation + adaptive recrawl intervals
     (plans.analysis.change_rate_ppm / recrawl_intervals): a synthesized
@@ -1859,6 +1876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_components": q_bm25_components,
         "change_rate": q_change_rate,
         "lm_score": q_lm_score,
+        "lm_buckets": q_lm_buckets,
         "content_blocks": q_content_blocks,
         "bpe_pairs": q_bpe_pairs,
         "mirror_hosts": q_mirror_hosts,
@@ -1928,6 +1946,52 @@ _LANG_MARKERS_SQL = {
     "es": "['el','los','las','es','una','por','para','con']",
     "zh": "['de5','shi4','zai4','le5','he2','you3','wo3','ta1']",
 }
+
+
+_WORDS_TEXT = _WORDS.format(col="text")
+
+_LM_SCORE_SQL = rf"""
+            WITH d AS (
+              SELECT doc_id, {_WORDS_TEXT} AS w FROM documents
+            ), tr AS (
+              SELECT w FROM d WHERE doc_id < 300
+            ), uni AS (
+              SELECT u AS w1, CAST(count(*) AS BIGINT) AS c1
+              FROM (SELECT unnest(w) AS u FROM tr) GROUP BY u
+            ), big AS (
+              SELECT p[1] AS w1, p[2] AS w2, CAST(count(*) AS BIGINT) AS c12
+              FROM (SELECT unnest(list_zip(w[1:len(w) - 1], w[2:len(w)])) AS p
+                    FROM tr)
+              GROUP BY 1, 2
+            ), sc AS (
+              SELECT doc_id, w FROM d WHERE doc_id < 100
+            ), pairs AS (
+              SELECT doc_id, p[1] AS w1, p[2] AS w2
+              FROM (SELECT doc_id,
+                           unnest(list_zip(w[1:len(w) - 1], w[2:len(w)])) AS p
+                    FROM sc)
+            ), bits AS (
+              SELECT doc_id,
+                     (length(bin(COALESCE(uni.c1, 0)
+                                 + (SELECT count(*) FROM uni))) - 1)
+                     - (length(bin(COALESCE(big.c12, 0) + 1)) - 1) AS b
+              FROM pairs
+              LEFT JOIN big USING (w1, w2)
+              LEFT JOIN uni USING (w1)
+            ), agg AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                     CAST(sum(b) AS BIGINT) AS bits
+              FROM bits GROUP BY doc_id
+            )
+            SELECT sc.doc_id,
+                   COALESCE(agg.n_bigrams, 0) AS n_bigrams,
+                   COALESCE(agg.bits, 0) AS bits,
+                   CASE WHEN agg.n_bigrams > 0
+                        THEN CAST(agg.bits * 1000 // agg.n_bigrams AS BIGINT)
+                        ELSE NULL END AS mbits
+            FROM (SELECT DISTINCT doc_id FROM sc) sc
+            LEFT JOIN agg USING (doc_id)
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3366,48 +3430,17 @@ def oracle_sql() -> dict[str, str]:
                      AS is_content
             FROM stat
         """,
-        "lm_score": rf"""
-            WITH d AS (
-              SELECT doc_id, {words} AS w FROM documents
-            ), tr AS (
-              SELECT w FROM d WHERE doc_id < 300
-            ), uni AS (
-              SELECT u AS w1, CAST(count(*) AS BIGINT) AS c1
-              FROM (SELECT unnest(w) AS u FROM tr) GROUP BY u
-            ), big AS (
-              SELECT p[1] AS w1, p[2] AS w2, CAST(count(*) AS BIGINT) AS c12
-              FROM (SELECT unnest(list_zip(w[1:len(w) - 1], w[2:len(w)])) AS p
-                    FROM tr)
-              GROUP BY 1, 2
-            ), sc AS (
-              SELECT doc_id, w FROM d WHERE doc_id < 100
-            ), pairs AS (
-              SELECT doc_id, p[1] AS w1, p[2] AS w2
-              FROM (SELECT doc_id,
-                           unnest(list_zip(w[1:len(w) - 1], w[2:len(w)])) AS p
-                    FROM sc)
-            ), bits AS (
-              SELECT doc_id,
-                     (length(bin(COALESCE(uni.c1, 0)
-                                 + (SELECT count(*) FROM uni))) - 1)
-                     - (length(bin(COALESCE(big.c12, 0) + 1)) - 1) AS b
-              FROM pairs
-              LEFT JOIN big USING (w1, w2)
-              LEFT JOIN uni USING (w1)
-            ), agg AS (
-              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-                     CAST(sum(b) AS BIGINT) AS bits
-              FROM bits GROUP BY doc_id
-            )
-            SELECT sc.doc_id,
-                   COALESCE(agg.n_bigrams, 0) AS n_bigrams,
-                   COALESCE(agg.bits, 0) AS bits,
-                   CASE WHEN agg.n_bigrams > 0
-                        THEN CAST(agg.bits * 1000 // agg.n_bigrams AS BIGINT)
-                        ELSE NULL END AS mbits
-            FROM (SELECT DISTINCT doc_id FROM sc) sc
-            LEFT JOIN agg USING (doc_id)
+        "lm_score": _LM_SCORE_SQL,
+        "lm_buckets": f"""
+            WITH s AS ({_LM_SCORE_SQL})
+            SELECT doc_id, mbits,
+                   CASE WHEN mbits IS NULL THEN 'unscored'
+                        WHEN mbits <= 2000 THEN 'head'
+                        WHEN mbits <= 4000 THEN 'middle'
+                        ELSE 'tail' END AS lm_bucket
+            FROM s
         """,
+        
         "change_rate": """
             WITH h AS (
               SELECT source AS host,

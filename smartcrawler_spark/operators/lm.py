@@ -142,3 +142,21 @@ def lm_filter(scored: DataFrame, max_mbits: int,
     if keep_unscored:
         cond = cond | F.col("mbits").isNull()
     return scored.filter(cond)
+
+
+def lm_buckets(scored: DataFrame, head_max_mbits: int,
+               middle_max_mbits: int) -> DataFrame:
+    """CCNet's head/middle/tail split over `lm_score_bits` output: docs
+    at or below `head_max_mbits` are 'head' (most reference-like),
+    at or below `middle_max_mbits` 'middle', the rest 'tail'; docs with
+    no evidence (mbits NULL) are 'unscored'. Thresholds are integers —
+    derive them from a corpus sample's mbits quantiles driver-side
+    (CCNet uses the 1/3 and 2/3 perplexity cuts) and pin them in config
+    so the split is reproducible across runs."""
+    bucket = (
+        F.when(F.col("mbits").isNull(), F.lit("unscored"))
+        .when(F.col("mbits") <= head_max_mbits, F.lit("head"))
+        .when(F.col("mbits") <= middle_max_mbits, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.withColumn("lm_bucket", bucket)

@@ -111,3 +111,26 @@ def test_lm_score_self_training_floor(spark):
     rows = lm.lm_score_bits(docs, uni, big, uni.count()).collect()
     assert all(r["bits"] >= 0 for r in rows)
     assert all(r["n_bigrams"] > 0 for r in rows)
+
+
+def test_lm_buckets_split(spark):
+    train = spark.createDataFrame(TRAIN, "doc_id int, text string")
+    score = spark.createDataFrame(SCORE, "doc_id int, text string")
+    uni, big = lm.unigram_counts(train), lm.bigram_counts(train)
+    scored = lm.lm_score_bits(score, uni, big, uni.count())
+    want, _ = _oracle(TRAIN, SCORE)
+    mbits = sorted(m for _, _, m in want.values() if m is not None)
+    # head = best doc only; tail = the worst doc (threshold just below)
+    t1, t2 = mbits[0], mbits[2] - 1
+    got = {r["doc_id"]: r["lm_bucket"]
+           for r in lm.lm_buckets(scored, t1, t2).collect()}
+    for i, (_, _, m) in want.items():
+        if m is None:
+            assert got[i] == "unscored"
+        elif m <= t1:
+            assert got[i] == "head"
+        elif m <= t2:
+            assert got[i] == "middle"
+        else:
+            assert got[i] == "tail"
+    assert {"head", "tail", "unscored"} <= set(got.values())
