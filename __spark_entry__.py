@@ -2130,9 +2130,12 @@ def oracle_sql() -> dict[str, str]:
             WITH f AS ({_SYNTH_FRONTIER_SQL})
             SELECT host,
                    count(*) AS n_urls,
-                   sum(CASE WHEN status = 'SUCCESS' THEN 1 ELSE 0 END) AS n_success,
-                   sum(CASE WHEN status = 'FAILED' THEN 1 ELSE 0 END) AS n_failed,
-                   sum(CASE WHEN status = 'PENDING' THEN 1 ELSE 0 END) AS n_pending,
+                   -- CAST: DuckDB sum() yields HUGEINT, which the driver's
+                   -- value hasher canonicalizes differently from Spark's
+                   -- BIGINT even when the values are identical (r4 red cell).
+                   CAST(sum(CASE WHEN status = 'SUCCESS' THEN 1 ELSE 0 END) AS BIGINT) AS n_success,
+                   CAST(sum(CASE WHEN status = 'FAILED' THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+                   CAST(sum(CASE WHEN status = 'PENDING' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending,
                    CAST(CASE WHEN sum(CASE WHEN status IN ('SUCCESS','FAILED')
                                             THEN 1 ELSE 0 END) > 0
                          THEN floor(sum(CASE WHEN status = 'SUCCESS' THEN 1 ELSE 0 END)
@@ -2162,10 +2165,12 @@ def oracle_sql() -> dict[str, str]:
                      coalesce(n_success, 0) AS n_success
               FROM fa FULL OUTER JOIN ff ON fa.round = ff.round
             )
-            SELECT round, n_admitted, n_fetched, n_success,
-                   sum(n_admitted) OVER (ORDER BY round
+            SELECT round, n_admitted, n_fetched,
+                   -- CAST: DuckDB sum() is HUGEINT; hasher needs BIGINT (r4).
+                   CAST(n_success AS BIGINT) AS n_success,
+                   CAST(sum(n_admitted) OVER (ORDER BY round
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     AS cum_frontier
+                     AS BIGINT) AS cum_frontier
             FROM m
         """,
         "gopher_rules": rf"""
@@ -2841,7 +2846,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT url_canon,
                    count(*) AS n_anchors,
                    count(DISTINCT doc_id) AS n_referrers,
-                   sum(hits) AS anchor_score
+                   -- CAST: DuckDB sum() is HUGEINT; hasher needs BIGINT (r4).
+                   CAST(sum(hits) AS BIGINT) AS anchor_score
             FROM u GROUP BY url_canon
         """,
         "audio_stream_info": """

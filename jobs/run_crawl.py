@@ -47,7 +47,9 @@ def main() -> int:
                     help="retry FAILED URLs after base*2^(attempts-1) "
                          "rounds (default: a failed fetch is terminal)")
     ap.add_argument("--retry-max", type=int, default=3,
-                    help="attempts ceiling when --retry-base-backoff is on")
+                    help="max RE-fetches after the initial attempt when "
+                         "--retry-base-backoff is on (N retries = N+1 "
+                         "total attempts)")
     ap.add_argument("--retry-max-per-round", type=int, default=None,
                     help="cap retry candidates per round")
     ap.add_argument("--bloom-min-frontier-rows", type=int, default=None,

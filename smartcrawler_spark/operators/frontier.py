@@ -694,8 +694,11 @@ def retry_due(frontier: DataFrame, attempts: DataFrame, round_no: int,
               max_per_round: int | None = None) -> DataFrame:
     """Failure retry with exponential backoff: FAILED frontier rows
     re-enter the schedule pool once `base_backoff * 2^(n_attempts - 1)`
-    rounds have passed since the last attempt, up to `max_retries`
-    attempts total.  `attempts` is (url_canon, n_attempts) — derivable
+    rounds have passed since the last attempt.  `max_retries` counts
+    RE-fetches after the initial attempt (a row is re-scheduled while
+    `n_attempts <= max_retries`, i.e. at most `max_retries + 1` total
+    attempts — the e2e contract asserts 1 + 3 = 4 for max_retries=3).
+    `attempts` is (url_canon, n_attempts) — derivable
     from the crawl log (one count agg: every emission is an attempt) so
     no frontier schema change is needed.
 

@@ -195,6 +195,8 @@ def bm25_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    broadcast_postings: bool | None = None,
+    broadcast_max_postings: int = 5_000_000,
 ) -> DataFrame:
     """BM25-ranked top-k documents for a bag-of-terms query, computed
     from the inverted index + a (doc_id, dl) lengths table — the corpus
@@ -222,18 +224,31 @@ def bm25_topk(
         return lengths.select(
             F.col("doc_id"), F.lit(0.0).alias("score")
         ).limit(0)
-    matches = postings_of(index, list(dict.fromkeys(terms)))
+    uniq_terms = list(dict.fromkeys(terms))
+    matches = postings_of(index, uniq_terms)
     idf = F.log(
         F.lit(1.0)
         + (F.lit(float(n_docs)) - F.col("doc_freq") + F.lit(0.5))
         / (F.col("doc_freq") + F.lit(0.5))
     )
-    # matches (the |query| terms' postings) is the SMALL side — broadcast
-    # it against the corpus-sized lengths dim, never the reverse
-    with_df = lengths.join(
-        F.broadcast(matches.join(index.select("term", "doc_freq"), "term")),
-        "doc_id",
-    )
+    # matches (the |query| terms' postings) is usually the SMALL side vs
+    # the corpus-sized lengths dim — but on an index built without max_df
+    # a stopword-grade query term has a corpus-sized posting list, and
+    # forcing that broadcast would OOM at the 10^10-doc design point.
+    # Auto mode probes the terms' summed doc_freq (a |query|-row lookup
+    # against the vocab-keyed term dim) and only hints broadcast when it
+    # fits; otherwise the planner picks a shuffled hash join.
+    if broadcast_postings is None:
+        probed = (
+            index.filter(F.col("term").isin(uniq_terms))
+            .agg(F.sum("doc_freq").alias("s"))
+            .collect()[0]["s"]
+        )
+        broadcast_postings = (probed or 0) <= broadcast_max_postings
+    joined = matches.join(index.select("term", "doc_freq"), "term")
+    if broadcast_postings:
+        joined = F.broadcast(joined)
+    with_df = lengths.join(joined, "doc_id")
     contrib = (
         idf
         * (F.col("tf") * (F.lit(k1) + 1.0))

@@ -128,9 +128,12 @@ def change_rate_ppm(history: DataFrame, key_col: str = "host",
             "key",
             "n_obs",
             "n_changed",
-            F.floor(
-                (F.col("n_changed") + F.lit(alpha)) * F.lit(1_000_000)
-                / (F.col("n_obs") + F.lit(alpha + beta))
+            # integer `div`, not floor(double /): double division loses
+            # exactness past 2^53, which the 10^10-row design point can
+            # reach — same contract as frontier.apportion_budget
+            F.expr(
+                f"((n_changed + {int(alpha)}) * 1000000) div "
+                f"(n_obs + {int(alpha + beta)})"
             ).cast("long").alias("rate_ppm"),
         )
     )
@@ -146,7 +149,8 @@ def recrawl_intervals(rates: DataFrame, base_interval: int,
     that changed a tenth of the time waits 10× longer — the
     uniform-allocation revisit policy, integer-exact.  Output
     (key, rate_ppm, interval); feed to `frontier.refresh_due_adaptive`."""
-    iv = F.floor(F.lit(base_interval) * F.lit(1_000_000) / F.col("rate_ppm"))
+    # integer div (not floor of double /) — see change_rate_ppm
+    iv = F.expr(f"({int(base_interval)} * 1000000) div rate_ppm")
     iv = F.greatest(iv, F.lit(min_interval))
     if max_interval is not None:
         iv = F.least(iv, F.lit(max_interval))
@@ -181,12 +185,11 @@ def intervals_from_updates(updates: DataFrame, key_col: str = "host",
         )
         .filter(F.col("n_updates") >= 2)
     )
-    spacing = F.floor(
-        (F.col("_max") - F.col("_min")) / (F.col("n_updates") - 1)
-    ).cast("long")
+    # integer div (not floor of double /) — see change_rate_ppm
+    spacing = F.expr("(_max - _min) div (n_updates - 1)").cast("long")
     per = per.select("key", "n_updates", spacing.alias("spacing_s"))
     iv = F.greatest(
-        F.floor(F.col("spacing_s") / F.lit(seconds_per_round)),
+        F.expr(f"spacing_s div {int(seconds_per_round)}"),
         F.lit(min_interval),
     )
     if max_interval is not None:
