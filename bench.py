@@ -240,7 +240,11 @@ def run_suite(sf_dir: str, cpus: str, probes: bool = True) -> dict:
     # dominate the recorded URLs/sec.
     mult = int(os.environ.get("SPARK_GRAFT_FRONTIER_MULT", "4"))
     bench_frontier_round(spark, sf_dir, mult)
-    fr = bench_frontier_round(spark, sf_dir, mult)
+    # best-of-2 measured rounds (VERDICT r04 item 8): a single GC or
+    # co-tenant spike cannot set the round's headline number; both raw
+    # times stay in the artifact
+    fr_runs = [bench_frontier_round(spark, sf_dir, mult) for _ in range(2)]
+    fr = min(fr_runs, key=lambda r: r["seconds"])
     timings["frontier_round"] = fr["seconds"]
 
     for name, fn in headline_queries().items():
@@ -264,6 +268,7 @@ def run_suite(sf_dir: str, cpus: str, probes: bool = True) -> dict:
         "sf": sf_dir,
         "frontier_urls": fr["urls"],
         "frontier_urls_per_sec": fr["urls_per_sec"],
+        "frontier_round_raw_seconds": [r["seconds"] for r in fr_runs],
         "frontier_scheduled": fr["scheduled"],
         "cpus": cpus,
     }
@@ -272,37 +277,51 @@ def run_suite(sf_dir: str, cpus: str, probes: bool = True) -> dict:
         p_post = _quick_probe()
         out["probe_pre"] = p_pre
         out["probe_post"] = p_post
-        # clean window = bandwidth-bound 4-process efficiency healthy on
-        # BOTH sides (same bar as --scaling-qualified's min_eff4)
-        out["probe_qualified"] = bool(
-            p_pre["eff_4"] >= 0.6 and p_post["eff_4"] >= 0.6
-        )
+        calib = _load_calibration()
+        why = _window_ok(p_pre, p_post, calib)
+        out["probe_qualified"] = not why
+        out["probe_refusal_reasons"] = why
+        out["calibration_wall_1"] = calib
     return out
 
 
 def run_suite_qualified(sf_dir: str, cpus: str, min_eff4: float = 0.6,
-                        attempts: int = 4, cooldown_s: float = 90.0) -> dict:
+                        attempts: int = 4, cooldown_s: float = 75.0) -> dict:
     """Retry run_suite across windows until one is bracketed by clean
-    probes on both sides; every attempt's probes stay in the output."""
+    probes on both sides — clean now means eff_4 healthy AND wall_1
+    within CALIB_HEADROOM of the persisted calibration AND no pre->post
+    drift beyond DRIFT_LIMIT (the three holes that let r4's degraded
+    driver window ship as the bench of record).  Every attempt's probes
+    stay in the output.  The FINAL attempt runs the suite even from a
+    dirty window, so the artifact always carries numbers — flagged
+    probe_qualified=false with the refusal reasons."""
     history: list[dict] = []
     last = None
     for attempt in range(1, attempts + 1):
+        final = attempt == attempts
         pre = _quick_probe()
+        _maybe_update_calibration(pre, min_eff4)
+        calib = _load_calibration()
         history.append({**pre, "when": f"attempt{attempt}-pre"})
-        if pre["eff_4"] < min_eff4:
+        if _probe_ok(pre, calib, min_eff4) and not final:
             time.sleep(cooldown_s)
             continue
         last = run_suite(sf_dir, cpus, probes=False)
         post = _quick_probe()
+        _maybe_update_calibration(post, min_eff4)
+        calib = _load_calibration()
         history.append({**post, "when": f"attempt{attempt}-post"})
+        why = _window_ok(pre, post, calib, min_eff4)
         last["probe_pre"], last["probe_post"] = pre, post
-        last["probe_qualified"] = post["eff_4"] >= min_eff4
+        last["probe_qualified"] = not why
+        last["probe_refusal_reasons"] = why
+        last["calibration_wall_1"] = calib
         last["probe_history"] = history
         if last["probe_qualified"]:
             return last
-        time.sleep(cooldown_s)
-    return last or {"metric": "suite-qualified: no clean window",
-                    "probe_qualified": False, "probe_history": history}
+        if not final:
+            time.sleep(cooldown_s)
+    return last
 
 
 def run_scaling(sf_dir: str, n_low: int = 1, n_high: int = 4,
@@ -367,15 +386,88 @@ def _probe_procs(n: int, it: int, k: int) -> float:
     return round(time.time() - t0, 2)
 
 
-def _quick_probe() -> dict:
-    """One-shot DRAM-contention check (subset of --probe-bandwidth): the
+def _quick_probe(reps_1: int = 3, reps_4: int = 2) -> dict:
+    """DRAM-contention check (subset of --probe-bandwidth): the
     bandwidth-bound streaming kernel at 1 and 4 processes. On an unloaded
     box eff_4 ~= 1.0; co-tenant DRAM contention (what invalidated the
-    round-2 wide measurements) collapses it (0.18 observed)."""
-    w1 = _probe_procs(64_000_000, 4, 1)
-    w4 = _probe_procs(64_000_000, 4, 4)
+    round-2 wide measurements) collapses it (0.18 observed).
+
+    wall_1/wall_4 are best-of-N: the r4 artifacts show single-shot wall_1
+    spanning 6.4-27 s inside the SAME minute on windows that produced the
+    best frontier numbers ever, so one-shot absolutes are pure noise —
+    min-of-N estimates the box's clean capability and is what the
+    calibration gate below compares against."""
+    # warm-up (untimed): the first probe process on a cold page cache pays
+    # numpy import + .so paging — observed 129 s vs 2.2 s warm — which is
+    # not the DRAM signal this probe exists to measure
+    _probe_procs(1_000_000, 1, 1)
+    runs_1 = [_probe_procs(64_000_000, 4, 1) for _ in range(reps_1)]
+    runs_4 = [_probe_procs(64_000_000, 4, 4) for _ in range(reps_4)]
+    w1, w4 = min(runs_1), min(runs_4)
     return {"ts": round(time.time(), 1), "wall_1": w1, "wall_4": w4,
-            "eff_4": round(w1 / w4, 3)}
+            "eff_4": round(w1 / w4, 3),
+            "wall_1_runs": runs_1, "wall_4_runs": runs_4}
+
+
+# ---------------------------------------------------------------------------
+# Probe calibration (VERDICT r04 item 2): the r4 driver window "qualified"
+# on eff_4 alone while its own probes showed single-process wall time
+# drifting +32% — a box that is UNIFORMLY slow scales fine.  The gate now
+# also refuses windows that are absolutely slow vs a persisted calibration
+# wall_1 (best clean min-of-N ever seen on this box) or that degrade
+# pre -> post while the suite runs.
+# ---------------------------------------------------------------------------
+
+CALIB_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "bench_runs", "probe_calibration.json")
+CALIB_HEADROOM = 1.15   # refuse when probe wall_1 > 1.15x calibration
+DRIFT_LIMIT = 1.20      # refuse when post wall_1 > 1.20x pre wall_1
+
+
+def _load_calibration() -> float | None:
+    try:
+        with open(CALIB_PATH) as f:
+            return float(json.load(f)["wall_1"])
+    except (OSError, ValueError, KeyError):
+        return None
+
+
+def _maybe_update_calibration(probe: dict, min_eff4: float = 0.6) -> None:
+    """Lower (never raise) the persisted clean-box wall_1 whenever a
+    healthy-efficiency probe beats it; delete the file to recalibrate
+    after a hardware change."""
+    if probe["eff_4"] < min_eff4:
+        return
+    cur = _load_calibration()
+    if cur is not None and probe["wall_1"] >= cur:
+        return
+    os.makedirs(os.path.dirname(CALIB_PATH), exist_ok=True)
+    with open(CALIB_PATH, "w") as f:
+        json.dump({"wall_1": probe["wall_1"], "updated": probe["ts"],
+                   "note": "best clean min-of-N single-process probe wall; "
+                           "delete to recalibrate"}, f)
+
+
+def _probe_ok(probe: dict, calib: float | None,
+              min_eff4: float = 0.6) -> list[str]:
+    """Reasons this probe disqualifies its window ([] = clean)."""
+    why = []
+    if probe["eff_4"] < min_eff4:
+        why.append(f"eff_4 {probe['eff_4']} < {min_eff4} (DRAM contention)")
+    if calib is not None and probe["wall_1"] > CALIB_HEADROOM * calib:
+        why.append(f"wall_1 {probe['wall_1']} > {CALIB_HEADROOM}x "
+                   f"calibration {calib} (box uniformly slow)")
+    return why
+
+
+def _window_ok(pre: dict, post: dict, calib: float | None,
+               min_eff4: float = 0.6) -> list[str]:
+    why = [f"pre: {w}" for w in _probe_ok(pre, calib, min_eff4)]
+    why += [f"post: {w}" for w in _probe_ok(post, calib, min_eff4)]
+    if post["wall_1"] > DRIFT_LIMIT * pre["wall_1"]:
+        why.append(f"drift: post wall_1 {post['wall_1']} > {DRIFT_LIMIT}x "
+                   f"pre {pre['wall_1']} (box degraded mid-suite)")
+    return why
 
 
 def run_scaling_qualified(sf_dir: str, min_eff4: float = 0.6,
@@ -389,24 +481,23 @@ def run_scaling_qualified(sf_dir: str, min_eff4: float = 0.6,
     every probe lands in the output either way, so a box that never offers
     a clean window still yields an honest time series."""
     probes: list[dict] = []
-    best_w1: float | None = None
     pair: dict | None = None
 
     def ok(p: dict) -> bool:
-        return p["eff_4"] >= min_eff4 and p["wall_1"] <= 2 * (best_w1 or p["wall_1"])
+        return not _probe_ok(p, _load_calibration(), min_eff4)
 
     for attempt in range(1, attempts + 1):
         p0 = {**_quick_probe(), "when": f"attempt{attempt}-pre"}
+        _maybe_update_calibration(p0, min_eff4)
         probes.append(p0)
-        best_w1 = min(best_w1 or p0["wall_1"], p0["wall_1"])
         if not ok(p0):
             time.sleep(cooldown_s)
             continue
         pair = run_scaling(sf_dir, n_low=1, n_high=4, cores_per_exec=2)
         p1 = {**_quick_probe(), "when": f"attempt{attempt}-post"}
+        _maybe_update_calibration(p1, min_eff4)
         probes.append(p1)
-        best_w1 = min(best_w1, p1["wall_1"])
-        if ok(p1):
+        if ok(p1) and p1["wall_1"] <= DRIFT_LIMIT * p0["wall_1"]:
             return {
                 "metric": "probe-qualified frontier scaling efficiency "
                           "(1 -> 4 executor JVMs x 2 cores; no-Spark DRAM "
@@ -748,15 +839,18 @@ def main():
         os.environ.setdefault("SPARK_GRAFT_FRONTIER_MULT", "16")
         print(json.dumps(run_scaling(SF_DIR, n_low=1, n_high=4, cores_per_exec=2)))
         return
-    if "--suite-qualified" in sys.argv:
-        # probe-bracketed per-operator suite with window retries — the
-        # instrument for adjudicating per-query round-over-round deltas
-        print(json.dumps(run_suite_qualified(SF_DIR, CPUS)))
-        return
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling(SF_DIR)))
         return
-    print(json.dumps(run_suite(SF_DIR, CPUS)))
+    if "--suite-raw" in sys.argv:
+        # single pass, probe-bracketed but never retried — debugging only
+        print(json.dumps(run_suite(SF_DIR, CPUS)))
+        return
+    # default (what the driver runs) = --suite-qualified retry behavior
+    # (VERDICT r04 item 2): windows that are contended, absolutely slow
+    # vs calibration, or that degrade mid-suite are refused and retried;
+    # the final attempt always ships numbers, flagged with reasons
+    print(json.dumps(run_suite_qualified(SF_DIR, CPUS)))
 
 
 if __name__ == "__main__":
