@@ -999,6 +999,74 @@ def q_audio_stream_info(spark, sf_dir):
     return MM.audio_stream_info_table(raw)
 
 
+_MP3_DECODE_CASES = [
+    ("m01.mp3", dict(line=26, n=9216, ch=1)),            # 1014.45 Hz mono
+    ("m02.mp3", dict(line=78, n=9216, ch=1)),            # 3005.47 Hz mono
+    ("m03.mp3", dict(line=26, line2=52, n=9216, ch=2)),  # stereo, distinct tones
+    ("m04.mp3", dict(line=130, n=4608, ch=1)),           # 4996 Hz, short clip
+    ("m05.bin", dict(junk=True)),
+]
+
+
+def q_mp3_decode(spark, sf_dir):
+    """Full MPEG-1 Layer III decode (mp3.decode_mp3: side info, Huffman,
+    requantization, alias reduction, IMDCT, polyphase synthesis) over
+    in-repo encoder fixtures, Arrow-batched via mapInPandas — the
+    production decode shape.  The oracle is golden parquet derived from
+    SIGNAL PHYSICS only (tools/gen_golden.py golden_mp3_decode): each
+    decoded channel's FFT-dominant tone must land on the fixture's MDCT
+    line and the sample count must be exactly n_frames*1152, so a
+    window/sign/indexing bug anywhere in the decode chain shifts a
+    golden value.  Reference lineage: the reference drops media refs
+    (/root/reference/src/html_parser.rs:116-123); this is the enrich
+    tier on top."""
+    import numpy as np
+    import pandas as pd
+
+    from smartcrawler_spark import mp3 as M3
+
+    rate = 44100
+    rows = []
+    for ref, p in _MP3_DECODE_CASES:
+        if p.get("junk"):
+            payload = b"\x00\x01\x02 not audio" * 4
+        else:
+            t = np.arange(p["n"])
+            tone = lambda line: 0.5 * np.sin(
+                2 * np.pi * ((line + 0.5) * rate / 1152) / rate * t)
+            x = (np.stack([tone(p["line"]), tone(p["line2"])], axis=1)
+                 if p["ch"] == 2 else tone(p["line"]))
+            payload = M3.encode_mp3_fixture(x)
+        rows.append((ref, bytearray(payload)))
+    raw = spark.createDataFrame(rows, "media_ref string, payload binary")
+    schema = ("media_ref string, sample_rate int, channels int, "
+              "n_samples int, line0 int, line1 int")
+    cols = ["media_ref", "sample_rate", "channels", "n_samples",
+            "line0", "line1"]
+
+    def batches(it):
+        for pdf in it:
+            out = []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                dec = M3.decode_mp3(bytes(payload))
+                if dec is None:
+                    out.append((ref, None, None, None, None, None))
+                    continue
+                samples, sr = dec
+                lines = []
+                for ch in range(samples.shape[1]):
+                    x = samples[1024:1024 + 8192, ch]
+                    n = len(x)
+                    sp = np.abs(np.fft.rfft(x * np.hanning(n)))
+                    f = float(np.argmax(sp)) * sr / n
+                    lines.append(int(round(f / (sr / 1152.0) - 0.5)))
+                out.append((ref, sr, samples.shape[1], samples.shape[0],
+                            lines[0], lines[1] if len(lines) > 1 else None))
+            yield pd.DataFrame(out, columns=cols)
+
+    return raw.mapInPandas(batches, schema)
+
+
 def q_template_rewrite_sql(spark, sf_dir):
     """R1-R6 (SQL-expressible core) — count/like-pattern rewrite."""
     docs = _t(spark, sf_dir, "documents")
@@ -1834,6 +1902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": q_warc_ingest,
         "anchor_relevance": q_anchor_relevance,
         "audio_stream_info": q_audio_stream_info,
+        "mp3_decode": q_mp3_decode,
         "template_rewrite_sql": q_template_rewrite_sql,
         "template_detect": q_template_detect,
         "subtree_hashes": q_subtree_hashes,
@@ -2506,6 +2575,10 @@ def oracle_sql() -> dict[str, str]:
                    progressive, orientation
             FROM read_parquet(
                 '/root/repo/fixtures/golden/image_stream_info.parquet')
+        """,
+        "mp3_decode": """
+            SELECT media_ref, sample_rate, channels, n_samples, line0, line1
+            FROM read_parquet('/root/repo/fixtures/golden/mp3_decode.parquet')
         """,
         "cdc_chunks": """
             SELECT media_ref, chunk_idx, "offset", length, fp

@@ -397,8 +397,12 @@ def decode_audio(payload: bytes):
     the SubFormat GUID).  FLAC: full lossless decode via the in-repo
     from-spec decoder (flac.decode_flac — CONSTANT/VERBATIM/FIXED/LPC
     subframes, Rice residuals, all stereo decorrelations, CRC-checked).
-    Any channel count (downmixed by mean). Returns None for anything
-    else (MP3/OGG/AAC need a real audio stack)."""
+    MP3: MPEG-1 Layer III via the in-repo from-spec tier (mp3.decode_mp3
+    — side info, reservoir, requantization, alias reduction, IMDCT,
+    polyphase synthesis; designed near-PR window pair and an embedded
+    Huffman-table subset — tier bounds in mp3.py's docstring; frames
+    outside them yield None).  Any channel count (downmixed by mean).
+    Returns None for anything else (OGG/AAC need a real audio stack)."""
     import struct
 
     try:
@@ -411,6 +415,17 @@ def decode_audio(payload: bytes):
             samples, rate, bps = dec
             mono = samples.astype(np.float64).mean(axis=1)
             return mono / float(1 << (bps - 1)), int(rate)
+        if payload[:3] == b"ID3" or (
+            len(payload) > 4 and payload[0] == 0xFF
+            and (payload[1] & 0xE0) == 0xE0
+        ):
+            from . import mp3 as _mp3
+
+            dec = _mp3.decode_mp3(payload)
+            if dec is None:
+                return None
+            samples, rate = dec
+            return samples.mean(axis=1), int(rate)
         if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
             return None
         pos = 12

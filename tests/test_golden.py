@@ -47,6 +47,8 @@ def _table_rows(t, cols):
     ("embedding_near_dup_lsh", ["a", "b", "sim"]),
     ("audio_stream_info", ["media_ref", "codec", "sample_rate", "channels",
                            "duration_ms", "bitrate_kbps", "n_frames"]),
+    ("mp3_decode", ["media_ref", "sample_rate", "channels", "n_samples",
+                    "line0", "line1"]),
     ("cdc_chunks", ["media_ref", "chunk_idx", "offset", "length", "fp"]),
     ("image_stream_info", ["media_ref", "format", "width", "height",
                            "bit_depth", "n_frames", "progressive",

@@ -492,6 +492,44 @@ def golden_image_stream_info(sf_dir: str) -> pa.Table:  # sf-independent
     })
 
 
+# ---------------------------------------------------------------------------
+# mp3_decode: full Layer III decode over in-repo encoder fixtures. The
+# ORACLE is pure signal physics — every golden value derives from the
+# fixture PARAMETERS (tone line index, sample count, channel count),
+# never from the decoder: the decoder must reproduce each channel's tone
+# on its MDCT line and emit exactly n_frames*1152 samples. Case list is
+# mirrored literally in __spark_entry__._MP3_DECODE_CASES;
+# test_golden.py keeps them in lockstep.
+# ---------------------------------------------------------------------------
+
+MP3_DECODE_CASES = [
+    ("m01.mp3", dict(line=26, n=9216, ch=1)),            # 1014.45 Hz mono
+    ("m02.mp3", dict(line=78, n=9216, ch=1)),            # 3005.47 Hz mono
+    ("m03.mp3", dict(line=26, line2=52, n=9216, ch=2)),  # stereo, distinct tones
+    ("m04.mp3", dict(line=130, n=4608, ch=1)),           # 4996 Hz, short clip
+    ("m05.bin", dict(junk=True)),
+]
+
+
+def golden_mp3_decode(sf_dir: str) -> pa.Table:  # sf-independent
+    rows = []
+    for ref, p in MP3_DECODE_CASES:
+        if p.get("junk"):
+            rows.append((ref, None, None, None, None, None))
+            continue
+        n_frames = (p["n"] + 1151) // 1152
+        rows.append((ref, 44100, p["ch"], n_frames * 1152,
+                     p["line"], p.get("line2")))
+    return pa.table({
+        "media_ref": pa.array([r[0] for r in rows], pa.string()),
+        "sample_rate": pa.array([r[1] for r in rows], pa.int32()),
+        "channels": pa.array([r[2] for r in rows], pa.int32()),
+        "n_samples": pa.array([r[3] for r in rows], pa.int32()),
+        "line0": pa.array([r[4] for r in rows], pa.int32()),
+        "line1": pa.array([r[5] for r in rows], pa.int32()),
+    })
+
+
 GOLDENS = {
     "dedup_minhash": golden_dedup_minhash,
     "dedup_simhash": golden_dedup_simhash,
@@ -499,6 +537,7 @@ GOLDENS = {
     "ann_ivf": golden_ann_ivf,
     "embedding_near_dup_lsh": golden_embedding_near_dup_lsh,
     "audio_stream_info": golden_audio_stream_info,
+    "mp3_decode": golden_mp3_decode,
     "cdc_chunks": golden_cdc_chunks,
     "image_stream_info": golden_image_stream_info,
 }
