@@ -60,6 +60,13 @@ def main() -> int:
                          "focused-crawl anchor-text admission boost")
     ap.add_argument("--trap-filters", action="store_true",
                     help="reject spider-trap URLs at admission")
+    ap.add_argument("--mirror-detect-every", type=int, default=None,
+                    help="every N rounds, sketch-detect mirror hosts from "
+                         "fetched content and stop scheduling the b side "
+                         "of confirmed pairs (default: off)")
+    ap.add_argument("--mirror-min-jaccard-ppm", type=int, default=500_000,
+                    help="KMV-Jaccard confirm threshold in ppm "
+                         "(with --mirror-detect-every)")
     ap.add_argument("--strip-tracking", action="store_true",
                     help="strip tracking/session query params before dedup")
     ap.add_argument("--adaptive-budget", action="store_true",
@@ -115,6 +122,8 @@ def main() -> int:
         anchor_keywords=(json.loads(args.anchor_keywords)
                          if args.anchor_keywords else None),
         trap_filters=args.trap_filters,
+        mirror_detect_every=args.mirror_detect_every,
+        mirror_min_jaccard_ppm=args.mirror_min_jaccard_ppm,
         strip_tracking=args.strip_tracking,
         adaptive_budget=args.adaptive_budget,
         apportion_total=args.apportion_total,

@@ -492,6 +492,8 @@ def admit_with_cap(
     elig_expr = ~F.col("robots_blocked") & ~F.col("seen")
     if "trap_blocked" in tagged.columns:  # opt-in spider-trap hygiene
         elig_expr = elig_expr & ~F.col("trap_blocked")
+    if "mirror_blocked" in tagged.columns:  # opt-in mirror-host hygiene
+        elig_expr = elig_expr & ~F.col("mirror_blocked")
     tagged = (
         tagged.withColumn("eligible", elig_expr)
         .join(counts, "host", "left")  # AQE picks broadcast when counts is small

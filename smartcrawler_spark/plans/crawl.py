@@ -141,6 +141,17 @@ class EngineConfig:
     # analysis twin). One extra agg+join on the politeness-bounded
     # candidate batch; the 1-column dedup shuffle is untouched. Default
     # None = reference-parity scoring (URL tokens only).
+    mirror_detect_every: int | None = None
+    # ^ mirror-host hygiene: every N rounds, sketch each host's FETCHED
+    # content set (KMV bottom-m LSH + k-min-union Jaccard —
+    # operators.sketches.mirror_hosts, register-sized, never S^2) and
+    # persist confirmed (a, b) pairs to the `mirrors` side table; from
+    # then on the b side (the lexicographically larger host — the
+    # deterministic dedup loser) is excluded from scheduling and its
+    # candidates fate-tagged `mirror_rejected` at admission, so fetch
+    # budget never goes to a host whose content the crawl already holds.
+    # Default None = reference parity (the reference has no mirror logic).
+    mirror_min_jaccard_ppm: int = 500_000  # confirm threshold (0.5)
     table_backend: str = "parquet"  # snapshot substrate: "parquet" (the
                                     # manifest analog, always available) or
                                     # "iceberg" (real catalog; requires the
@@ -175,6 +186,7 @@ class CrawlJob:
             )
             self.t_log = IcebergSnapshotTable(spark, f"{ns}.crawl_log")
             self.t_metrics = IcebergSnapshotTable(spark, f"{ns}.metrics")
+            self.t_mirrors = IcebergSnapshotTable(spark, f"{ns}.mirrors")
             self.t_filters = IcebergBucketedSnapshotTable(
                 spark, f"{ns}.filters", n_buckets=cfg.bloom_buckets,
                 key_col="bucket",
@@ -186,6 +198,7 @@ class CrawlJob:
             )
             self.t_log = SnapshotTable(checkpoint_dir, "crawl_log")
             self.t_metrics = SnapshotTable(checkpoint_dir, "metrics")
+            self.t_mirrors = SnapshotTable(checkpoint_dir, "mirrors")
             # bloom/cuckoo blobs live in their own bucketed table (bucket id
             # IS the key, so pmod is the identity) — replaces the round-1
             # driver pickle; probe/update cogroup against it per bucket
@@ -243,7 +256,8 @@ class CrawlJob:
         return self.spark.createDataFrame([], FRONTIER_SCHEMA)
 
     def _admit(self, raw_urls: DataFrame, frontier: DataFrame, round_no: int,
-               anchor_boost: DataFrame | None = None
+               anchor_boost: DataFrame | None = None,
+               mirror_block: DataFrame | None = None
                ) -> tuple[DataFrame, DataFrame]:
         """raw_urls(url) -> (new frontier rows, per-fate/per-partition metrics).
 
@@ -275,6 +289,18 @@ class CrawlJob:
         if self.cfg.trap_filters:
             cands = cands.withColumn(
                 "trap_blocked", U.is_trap_url(F.col("url_canon")))
+        if mirror_block is not None:
+            # mirror losers never re-enter the frontier (broadcast semi
+            # mark on the register-sized host dim); admit_with_cap
+            # excludes mirror_blocked rows from eligibility
+            blocked = mirror_block.select(
+                "host", F.lit(True).alias("_mb"))
+            cands = (
+                cands.join(F.broadcast(blocked), "host", "left")
+                .withColumn("mirror_blocked",
+                            F.coalesce(F.col("_mb"), F.lit(False)))
+                .drop("_mb")
+            )
         cands = self._robots_gate(cands, self.robots)
         # adaptive prefilter: probe only once the frontier is big enough
         # for the blob probe to beat the plain exact join (see
@@ -339,6 +365,11 @@ class CrawlJob:
         fate = F.when(F.col("robots_blocked"), "robots_blocked").when(
             F.col("seen"), "dedup_rejected"
         ).when(F.col("admitted"), "admitted").otherwise("cap_rejected")
+        if mirror_block is not None:
+            # mirror verdict outranks robots/seen (budget attribution:
+            # the host-level decision is the reason the URL never ran)
+            fate = F.when(F.col("mirror_blocked"),
+                          "mirror_rejected").otherwise(fate)
         if self.cfg.trap_filters:
             # trap verdict outranks every other fate (cheapest filter wins
             # the attribution; robots/seen still computed for their gates)
@@ -454,7 +485,7 @@ class CrawlJob:
         )
         # trim side-table versions from a round whose frontier commit never
         # published (crash window inside _commit_round); the round re-runs
-        for t in (self.t_log, self.t_metrics, self.t_filters):
+        for t in (self.t_log, self.t_metrics, self.t_filters, self.t_mirrors):
             t.rollback_newer_than(durable)
         if durable >= 0:
             return durable
@@ -472,9 +503,50 @@ class CrawlJob:
         self._commit_round(new_rows, None, 0, None, metrics)
         return 0
 
+    def _detect_mirrors(self, frontier: DataFrame, round_no: int) -> None:
+        """Recompute + persist the mirror table from the hosts' FETCHED
+        content (SUCCESS rows joined back to their documents; fingerprint
+        = md5 of the parsed span tree, so byte-identical mirrors collide
+        regardless of URL paths).  Full recompute each detection round —
+        the output is register-sized (pairs of hosts), so the commit is a
+        tiny full replace; the crawl only ever reads the latest version.
+        A crash after this commit but before the frontier's is trimmed by
+        bootstrap's rollback_newer_than, and the detection re-runs
+        deterministically from the same frontier version."""
+        from ..operators.sketches import mirror_hosts
+
+        succ = frontier.filter(F.col("status") == "SUCCESS").select("url_hash")
+        fetched = self.documents.join(succ, succ.url_hash == self.documents.doc_hash,
+                                      "left_semi")
+        found = mirror_hosts(
+            fetched, host_col="host",
+            fingerprint=F.md5(F.to_json(F.col("spans"))),
+            min_jaccard_ppm=self.cfg.mirror_min_jaccard_ppm,
+        ).filter(F.col("is_mirror"))
+        self.t_mirrors.commit(found, meta={"round": round_no,
+                                           "source": "crawl-loop"})
+
+    def _mirror_block(self) -> DataFrame | None:
+        """(host) dim of mirror-loser hosts to exclude — the b side of
+        every confirmed pair. None when detection is off or nothing has
+        been confirmed yet. Register-sized: always broadcast."""
+        if not self.cfg.mirror_detect_every:
+            return None
+        mirrors = self.t_mirrors.read(self.spark)
+        if mirrors is None:
+            return None
+        return mirrors.select(F.col("b").alias("host")).distinct()
+
     def run_round(self, round_no: int) -> dict:
         """One crawl round. Returns counters (scheduled==0 => converged)."""
         frontier = self.t_frontier.read(self.spark)
+        if (self.cfg.mirror_detect_every
+                and round_no > 1
+                and (round_no - 1) % self.cfg.mirror_detect_every == 0):
+            # detection reads only PRIOR rounds' fetches (this round's
+            # frontier version), so re-running the round reproduces it
+            self._detect_mirrors(frontier, round_no)
+        mirror_block = self._mirror_block()
         sched_cols = ["url_canon", "url_hash", "host", "is_root", "score"]
         pool = frontier.filter(F.col("status") == "PENDING").select(*sched_cols)
         if self.cfg.refresh_interval:
@@ -525,6 +597,11 @@ class CrawlJob:
             budgets = FR.adaptive_budgets(
                 frontier, self.budgets, self.cfg.default_budget
             )
+        if mirror_block is not None:
+            # confirmed mirror losers stop being scheduled — PENDING rows
+            # already admitted before detection included (broadcast
+            # anti-join on a register-sized host dim)
+            pool = pool.join(F.broadcast(mirror_block), "host", "left_anti")
         scheduled = FR.politeness_topk(
             pool, budgets, self.cfg.default_budget, self.cfg.salt_buckets
         ).select(*sched_cols)
@@ -597,7 +674,8 @@ class CrawlJob:
             )
 
         new_rows, admit_metrics = self._admit(links, frontier, round_no,
-                                              anchor_boost=anchor_boost)
+                                              anchor_boost=anchor_boost,
+                                              mirror_block=mirror_block)
 
         # MERGE, partition-scoped: only the frontier buckets containing this
         # round's scheduled (status transitions) or admitted (inserts) URLs
