@@ -67,6 +67,10 @@ def main() -> int:
     ap.add_argument("--mirror-min-jaccard-ppm", type=int, default=500_000,
                     help="KMV-Jaccard confirm threshold in ppm "
                          "(with --mirror-detect-every)")
+    ap.add_argument("--host-stats-every", type=int, default=None,
+                    help="every N rounds, persist the per-host health "
+                         "rollup (status counts + success basis points) "
+                         "to the host_stats side table (default: off)")
     ap.add_argument("--strip-tracking", action="store_true",
                     help="strip tracking/session query params before dedup")
     ap.add_argument("--adaptive-budget", action="store_true",
@@ -124,6 +128,7 @@ def main() -> int:
         trap_filters=args.trap_filters,
         mirror_detect_every=args.mirror_detect_every,
         mirror_min_jaccard_ppm=args.mirror_min_jaccard_ppm,
+        host_stats_every=args.host_stats_every,
         strip_tracking=args.strip_tracking,
         adaptive_budget=args.adaptive_budget,
         apportion_total=args.apportion_total,

