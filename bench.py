@@ -562,6 +562,148 @@ def run_bloom_compare(sf_dir: str, mults=(4, 16),
     }
 
 
+def _bloom_scale_seen(spark, sf_dir, seen_rows: int, batch_mult: int,
+                      out_path: str):
+    """Disk-backed synthetic SEEN frontier of `seen_rows` rows: a bulk
+    filler in its own key space UNION the even-url_hash half of the
+    candidate batch (the same parity rule as _build_seen, so the round
+    still rejects ~half the batch and the off/on outputs stay
+    comparable).  Written once, reused by every cell."""
+    from pyspark.sql import functions as F
+
+    from smartcrawler_spark.operators import frontier as FR
+
+    raw = build_frontier_workload(spark, sf_dir, batch_mult)
+    batch_seen = (
+        FR.with_url_columns(raw, "url", {})
+        .filter(F.col("url_hash") % 2 == 0)
+        .select("url_canon", "url_hash", "host")
+    )
+    # filler keys start at 10^12 so they can never collide with batch keys
+    host = F.concat(F.lit("site"), (F.col("id") % 500).cast("string"),
+                    F.lit(".example.com"))
+    url = F.concat(F.lit("https://"), host, F.lit("/news/item"),
+                   (F.col("id") + 1_000_000_000_000).cast("string"))
+    filler = spark.range(seen_rows).select(
+        url.alias("url_canon"), F.xxhash64(url).alias("url_hash"),
+        host.alias("host"),
+    )
+    (filler.unionByName(batch_seen)
+     .repartition(64, "url_hash")
+     .write.mode("overwrite").parquet(out_path))
+
+
+def bloom_scale_cell_main():
+    """Subprocess body for one --bloom-scale cell: the admission round
+    with the big parquet-backed seen table, blobs (if on) built BEFORE
+    the clock — the steady state the engine's bloom_min_frontier_rows
+    threshold decides about (rebuild cost amortizes over
+    bloom_rebuild_every rounds and is reported separately)."""
+    from smartcrawler_spark.session import get_spark
+
+    seen_path = os.environ["BLOOM_SCALE_SEEN"]
+    mult = int(os.environ.get("SPARK_GRAFT_FRONTIER_MULT", "4"))
+    path = os.environ.get("SPARK_GRAFT_BLOOM_PATH", "off")
+    spark = get_spark(app_name="bloom-scale", master=f"local[{CPUS}]",
+                      shuffle_partitions=max(int(CPUS) * 2, 8),
+                      extra_conf={"spark.executor.memory": "24g",
+                                  "spark.driver.memory": "24g"})
+    spark.sparkContext.setLogLevel("ERROR")
+    from smartcrawler_spark.operators import frontier as FR
+
+    par = spark.sparkContext.defaultParallelism * 2
+    raw = build_frontier_workload(spark, SF_DIR, mult).repartition(par).cache()
+    n = raw.count()
+    seen = spark.read.parquet(seen_path).cache()
+    n_seen = seen.count()
+    robots, budgets, cap = _round_dims(spark, mult)
+    rebuild_s = None
+    if path == "bucketed":
+        t0 = time.perf_counter()
+        blobs_df = FR.build_bucket_blooms_df(seen, n_buckets=32).cache()
+        blobs_df.count()  # blobs materialized BEFORE the measured round
+        rebuild_s = round(time.perf_counter() - t0, 3)
+        # _scheduled_plan rebuilds blobs inside the clock; patch the
+        # builder to hand back the pre-built (cached) blob table so the
+        # cell measures the STEADY state (probe + exact join on
+        # survivors), which is what the threshold decides about
+        FR.build_bucket_blooms_df = lambda *_a, **_k: blobs_df
+    # warm-up + best-of-2 measured (python workers, JIT, broadcast paths)
+    run_admission_round(spark, raw, seen, robots, budgets, cap)
+    runs = [run_admission_round(spark, raw, seen, robots, budgets, cap)
+            for _ in range(2)]
+    best = min(runs, key=lambda r: r["seconds"])
+    print(json.dumps({
+        "path": path, "urls": n, "seen": n_seen,
+        "seconds": best["seconds"], "scheduled": best["scheduled"],
+        "urls_per_sec": round(n / best["seconds"], 1),
+        "raw_seconds": [r["seconds"] for r in runs],
+        "blob_build_seconds": rebuild_s,
+    }))
+    spark.stop()
+
+
+def run_bloom_scale(sf_dir: str, seen_rows: int = 60_000_000,
+                    batch_mult: int = 4) -> dict:
+    """VERDICT r04 item 5: the adaptive bloom threshold
+    (bloom_min_frontier_rows = 50M) has only ever been exercised on the
+    off side. This measures bloom-off vs bloom-on (bucketed, steady
+    state) with a >= 50M-row disk-backed seen frontier and the normal
+    ~3M-URL candidate batch — the regime the threshold decides about —
+    probe-bracketed, equality-checked on the scheduled count."""
+    from smartcrawler_spark.session import get_spark
+
+    seen_path = os.environ.get("BLOOM_SCALE_DIR", "/tmp/bloom_scale_seen")
+    p_pre = _quick_probe()
+    spark = get_spark(app_name="bloom-scale-build", master=f"local[{CPUS}]",
+                      shuffle_partitions=64,
+                      extra_conf={"spark.driver.memory": "24g"})
+    spark.sparkContext.setLogLevel("ERROR")
+    _bloom_scale_seen(spark, sf_dir, seen_rows, batch_mult, seen_path)
+    spark.stop()
+    out: dict[str, dict] = {}
+    sched = set()
+    for path in ("off", "bucketed"):
+        env = dict(os.environ, SPARK_GRAFT_FRONTIER_MULT=str(batch_mult),
+                   SPARK_GRAFT_BLOOM_PATH=path, SPARK_GRAFT_SF_DIR=sf_dir,
+                   BLOOM_SCALE_SEEN=seen_path,
+                   SPARK_GRAFT_SCORE_IMPL=os.environ.get(
+                       "SPARK_GRAFT_SCORE_IMPL", "jvm"))
+        proc = subprocess.run(
+            [sys.executable, __file__, "--bloom-scale-cell"],
+            capture_output=True, text=True, env=env, timeout=5400,
+        )
+        lines = [ln for ln in proc.stdout.strip().splitlines()
+                 if ln.startswith("{")]
+        if not lines:
+            raise RuntimeError(f"bloom-scale cell {path} failed:\n"
+                               f"{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}")
+        r = json.loads(lines[-1])
+        out[path] = r
+        sched.add(r["scheduled"])
+    p_post = _quick_probe()
+    calib = _load_calibration()
+    why = _window_ok(p_pre, p_post, calib)
+    return {
+        "metric": "frontier admission round, bloom prefilter off vs on "
+                  "(bucketed, blobs pre-built = steady state) with a "
+                  f"{out['off']['seen']:,}-row disk-backed seen frontier "
+                  "and the normal candidate batch — the "
+                  "bloom_min_frontier_rows regime",
+        "seen_rows": out["off"]["seen"],
+        "batch_urls": out["off"]["urls"],
+        "off_seconds": out["off"]["seconds"],
+        "on_seconds": out["bucketed"]["seconds"],
+        "on_speedup_vs_off": round(
+            out["off"]["seconds"] / out["bucketed"]["seconds"], 3),
+        "blob_build_seconds": out["bucketed"]["blob_build_seconds"],
+        "scheduled_identical": len(sched) == 1,
+        "probe_pre": p_pre, "probe_post": p_post,
+        "probe_qualified": not why, "probe_refusal_reasons": why,
+        "detail": out,
+    }
+
+
 def _wait_for(path: str, timeout_s: float = 900.0):
     t0 = time.time()
     while not os.path.exists(path):
@@ -823,6 +965,13 @@ def main():
         return
     if "--bloom-compare" in sys.argv:
         print(json.dumps(run_bloom_compare(SF_DIR)))
+        return
+    if "--bloom-scale-cell" in sys.argv:
+        bloom_scale_cell_main()
+        return
+    if "--bloom-scale" in sys.argv:
+        rows = int(os.environ.get("BLOOM_SCALE_ROWS", "60000000"))
+        print(json.dumps(run_bloom_scale(SF_DIR, seen_rows=rows)))
         return
     if "--scaling-qualified" in sys.argv:
         # VERDICT r02 item 3: the criterion pair, bracketed by no-Spark
