@@ -123,8 +123,13 @@ def _scheduled_plan(spark, raw, seen, robots, budgets, cap):
     #               which runs exact-join-only below bloom_min_frontier_rows
     #               — measured faster at every sandbox-reachable size, see
     #               bench_runs/bloom_compare_r03.json / BENCH.md)
+    #   invert    — no prefilter; tag_seen broadcasts the batch's distinct
+    #               url_hashes as a semi-filter over the seen side so the
+    #               frontier is scanned but never shuffled (the engine's
+    #               batch<<frontier regime; plans/crawl.py
+    #               seen_invert_min_frontier_rows)
     bloom_path = os.environ.get("SPARK_GRAFT_BLOOM_PATH", "off")
-    if bloom_path == "off":
+    if bloom_path in ("off", "invert"):
         pre = gated.persist()
     elif bloom_path == "bucketed":
         blobs_df = FR.build_bucket_blooms_df(seen, n_buckets=32)
@@ -132,7 +137,7 @@ def _scheduled_plan(spark, raw, seen, robots, budgets, cap):
     else:
         blooms = FR.build_bucket_blooms(seen, n_buckets=32)
         pre = FR.bloom_maybe_seen(spark, gated, blooms, n_buckets=32).persist()
-    tagged = FR.tag_seen(pre, seen).persist()
+    tagged = FR.tag_seen(pre, seen, invert=(bloom_path == "invert")).persist()
     admitted = FR.admit_with_cap(tagged, seen, cap=cap).filter("admitted")
     scheduled = FR.politeness_topk(
         admitted.select("url_canon", "url_hash", "host", "is_root", "score"),
@@ -663,7 +668,7 @@ def run_bloom_scale(sf_dir: str, seen_rows: int = 60_000_000,
     spark.stop()
     out: dict[str, dict] = {}
     sched = set()
-    for path in ("off", "bucketed"):
+    for path in ("off", "bucketed", "invert"):
         env = dict(os.environ, SPARK_GRAFT_FRONTIER_MULT=str(batch_mult),
                    SPARK_GRAFT_BLOOM_PATH=path, SPARK_GRAFT_SF_DIR=sf_dir,
                    BLOOM_SCALE_SEEN=seen_path,
@@ -685,17 +690,21 @@ def run_bloom_scale(sf_dir: str, seen_rows: int = 60_000_000,
     calib = _load_calibration()
     why = _window_ok(p_pre, p_post, calib)
     return {
-        "metric": "frontier admission round, bloom prefilter off vs on "
-                  "(bucketed, blobs pre-built = steady state) with a "
+        "metric": "frontier admission round — plain shuffled join (off) vs "
+                  "bucketed bloom prefilter (steady state, blobs pre-built) "
+                  "vs inverted broadcast-semi exact join — with a "
                   f"{out['off']['seen']:,}-row disk-backed seen frontier "
-                  "and the normal candidate batch — the "
-                  "bloom_min_frontier_rows regime",
+                  "and the normal candidate batch; the regime the engine's "
+                  "adaptive seen-join policy decides about",
         "seen_rows": out["off"]["seen"],
         "batch_urls": out["off"]["urls"],
         "off_seconds": out["off"]["seconds"],
         "on_seconds": out["bucketed"]["seconds"],
+        "invert_seconds": out["invert"]["seconds"],
         "on_speedup_vs_off": round(
             out["off"]["seconds"] / out["bucketed"]["seconds"], 3),
+        "invert_speedup_vs_off": round(
+            out["off"]["seconds"] / out["invert"]["seconds"], 3),
         "blob_build_seconds": out["bucketed"]["blob_build_seconds"],
         "scheduled_identical": len(sched) == 1,
         "probe_pre": p_pre, "probe_post": p_post,

@@ -429,15 +429,34 @@ def update_bucket_cuckoos_df(
     )
 
 
-def tag_seen(candidates: DataFrame, frontier: DataFrame) -> DataFrame:
+def tag_seen(
+    candidates: DataFrame, frontier: DataFrame, invert: bool = False
+) -> DataFrame:
     """Exact seen tagging: LEFT join on (url_hash, url_canon) — the hash is
     the 8-byte shuffle key, the canonical URL the collision guard. Rows
     already carrying maybe_seen=False skip the join entirely (bloom fast
     path); the exact join remains the authority for the rest.
 
+    invert=True is the batch<<frontier plan: the candidate batch's DISTINCT
+    url_hashes (8-byte longs, politeness-bounded per round) are broadcast
+    as a semi-filter over the seen side FIRST, so the frontier — the 10^10
+    side — is scanned map-side but NEVER shuffled or sorted; only the
+    ≤|batch| surviving keys flow into the exact (url_hash, url_canon) join
+    (which AQE then broadcasts too). Same result bit-for-bit: the semi-
+    filter can only drop frontier rows whose hash no candidate carries,
+    and those can't match the exact join anyway. Callers gate it on batch
+    size (plans.crawl: seen_invert_max_batch) — the broadcast is ~8B/key.
+    Measured at a 61M-row frontier: bench_runs/bloom_compare_r05.json.
+
     NB: the fast/slow split reads `candidates` TWICE — persist it upstream
     or its lineage (score UDF, dedup shuffle) recomputes."""
     seen_keys = frontier.select("url_hash", "url_canon", F.lit(True).alias("_seen"))
+    if invert:
+        probe = candidates
+        if "maybe_seen" in candidates.columns:
+            probe = candidates.filter(F.col("maybe_seen"))
+        cand_hashes = probe.select("url_hash").distinct()
+        seen_keys = seen_keys.join(F.broadcast(cand_hashes), "url_hash", "left_semi")
     if "maybe_seen" in candidates.columns:
         fast = candidates.filter(~F.col("maybe_seen")).withColumn("seen", F.lit(False))
         slow = (

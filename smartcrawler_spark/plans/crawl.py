@@ -74,6 +74,19 @@ class EngineConfig:
     # definitely-novel candidates from paying a scan of a table 10^4x the
     # batch). Below the floor the loop silently runs exact-join-only —
     # same output, measured faster; the filter table just stays stale.
+    seen_invert_min_frontier_rows: int = 10_000_000
+    seen_invert_max_batch: int = 10_000_000
+    # ^ inverted seen-join regime (r5, bench_runs/bloom_compare_r05.json):
+    # once the frontier dwarfs the round's candidate batch, the fastest
+    # exact plan is to broadcast the batch's distinct url_hashes as a
+    # semi-filter over the frontier (FR.tag_seen invert=True) — the big
+    # side is scanned map-side and never shuffled or sorted. Applies when
+    # the frontier estimate >= min AND the measured batch <= max (the
+    # batch count is a count on the already-persisted candidate cache).
+    # The broadcast is 8 bytes/key plus hash-map overhead — 10M keys is a
+    # few hundred MB on executors that would otherwise carry the frontier
+    # shuffle. Batches above max fall back to the bloom path (if active)
+    # or the plain shuffled join; output identical in every regime.
     compact_every: int | None = 16  # rounds between crawl_log/metrics
                                     # small-files compactions (None = never);
                                     # a 10^5-round crawl otherwise leaves the
@@ -312,16 +325,35 @@ class CrawlJob:
                 .drop("_mb")
             )
         cands = self._robots_gate(cands, self.robots)
-        # adaptive prefilter: probe only once the frontier is big enough
-        # for the blob probe to beat the plain exact join (see
-        # bloom_min_frontier_rows) — the row count comes from parquet
-        # footers / Iceberg manifest stats, no scan
+        # tag_seen (bloom fast/slow union) and admit_with_cap (winners
+        # join-back) each read their input TWICE — persist the branch points
+        # or the candidate chain (score UDF + dedup shuffle) recomputes 4x.
+        # Per-round batches are politeness-bounded, so this cache is small.
+        self._round_caches = getattr(self, "_round_caches", [])
+        cands = cands.persist()
+        self._round_caches.append(cands)
+        # adaptive exact-seen strategy (frontier estimate from parquet
+        # footers / Iceberg manifest stats, no scan):
+        #   invert — frontier dwarfs the batch and the batch fits a
+        #            broadcast: semi-filter the frontier by the batch's
+        #            hashes; the big side never shuffles (fastest measured
+        #            regime, bench_runs/bloom_compare_r05.json)
+        #   bloom  — batch too big to broadcast over a huge frontier:
+        #            amortized blob prefilter trims the slow-join side
+        #   plain  — small frontier: the shuffled join alone is cheapest
+        frontier_rows = self.t_frontier.row_count_estimate()
+        invert_now = False
+        if frontier_rows >= self.cfg.seen_invert_min_frontier_rows:
+            # count on the persisted cache — materializes work later
+            # actions need anyway, and doubles as the batch-size metric
+            invert_now = cands.count() <= self.cfg.seen_invert_max_batch
         bloom_now = (
             self.cfg.use_bloom
-            and self.t_frontier.row_count_estimate()
-               >= self.cfg.bloom_min_frontier_rows
+            and not invert_now
+            and frontier_rows >= self.cfg.bloom_min_frontier_rows
         )
         self._bloom_active = bloom_now
+        self._invert_active = invert_now
         if bloom_now:
             # amortized prefilter: blooms cover the bulk frontier (rebuilt
             # every rebuild_every rounds), the cuckoo delta covers rounds
@@ -355,18 +387,13 @@ class CrawlJob:
             filters_df = self.t_filters.read(self.spark)
             cands = FR.bloom_probe_bucketed(
                 cands, filters_df, self.cfg.bloom_buckets
-            )
-        # tag_seen (bloom fast/slow union) and admit_with_cap (winners
-        # join-back) each read their input TWICE — persist the branch points
-        # or the candidate chain (score UDF + dedup shuffle) recomputes 4x.
-        # Per-round batches are politeness-bounded, so this cache is small.
-        self._round_caches = getattr(self, "_round_caches", [])
-        cands = cands.persist()
-        pre_admit = FR.tag_seen(cands, frontier).persist()
+            ).persist()
+            self._round_caches.append(cands)
+        pre_admit = FR.tag_seen(cands, frontier, invert=invert_now).persist()
         tagged = FR.admit_with_cap(pre_admit, frontier, self.cfg.max_urls_per_host)
         tagged.cache()
         # dropped (unpersisted) after the round's snapshot commit
-        self._round_caches.extend([cands, pre_admit, tagged])
+        self._round_caches.extend([pre_admit, tagged])
 
         lineage = F.concat(
             F.lit(f"round={round_no};src=admit;frontier_v="),

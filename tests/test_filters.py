@@ -185,3 +185,31 @@ def test_adaptive_bloom_skips_probe_below_floor(spark, tmp_path):
     f = [(r["round"], r["seq"], r["url_canon"])
          for r in forced.crawl_log().orderBy("round", "seq").collect()]
     assert a == f and len(a) > 0
+
+
+def test_invert_seen_join_crawl_matches_oracle(spark, tmp_path):
+    """seen_invert_min_frontier_rows=0 pins the inverted broadcast-semi
+    exact join ON at test scale: the crawl must (a) actually take that
+    path, (b) preempt the bloom path even when bloom is pinned on too
+    (invert makes the prefilter pointless — the exact join it would trim
+    no longer shuffles the frontier), and (c) reproduce the oracle's
+    crawl log exactly — the strategy is physical only."""
+    from smartcrawler_spark.oracle import CrawlConfig, crawl
+    from smartcrawler_spark.plans.crawl import CrawlJob, EngineConfig
+    from smartcrawler_spark.sources.corpus import CorpusConfig, generate_corpus
+
+    d = str(tmp_path / "c")
+    m = generate_corpus(d, CorpusConfig(n_hosts=2, pages_per_host=8, hot_host_pages=8))
+    cfg = EngineConfig(keywords={"news": 1.0}, max_urls_per_host=8,
+                       default_budget=3, bloom_min_frontier_rows=0,
+                       seen_invert_min_frontier_rows=0)
+    job = CrawlJob(spark, d, str(tmp_path / "ck"), cfg, m["seeds"])
+    job.run()
+    assert job._invert_active is True
+    assert job._bloom_active is False
+    assert job.t_filters.latest_version() is None  # bloom never engaged
+    want = crawl(d, m["seeds"], CrawlConfig(keywords={"news": 1.0},
+                                            max_urls_per_host=8, default_budget=3))
+    got = [(r["round"], r["seq"], r["url_canon"])
+           for r in job.crawl_log().orderBy("round", "seq").collect()]
+    assert got == want.crawl_log

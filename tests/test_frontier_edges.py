@@ -463,3 +463,50 @@ def test_revalidate_pending_marks_newly_blocked(spark):
 
     with _pytest.raises(ValueError):
         FR.revalidate_pending(fr)
+
+
+def test_tag_seen_invert_equality(spark):
+    """invert=True (broadcast batch-hash semi-filter over the seen side,
+    the batch<<frontier plan) must be bit-identical to the shuffled join —
+    including a url_hash collision (same hash, different canon: NOT seen)
+    and the bloom fast-path contract when maybe_seen is present."""
+    frontier = cands(spark, [
+        ("https://h.com/a", 10, "h.com", False, 1.0),
+        ("https://h.com/b", 20, "h.com", False, 1.0),
+        ("https://x.com/c", 30, "x.com", True, 2.0),
+    ])
+    batch = cands(spark, [
+        ("https://h.com/a", 10, "h.com", False, 1.0),   # seen
+        ("https://h.com/DIFFERENT", 20, "h.com", False, 1.0),  # hash collision
+        ("https://x.com/new", 40, "x.com", False, 3.0),  # novel
+    ]).withColumn("robots_blocked", F.lit(False))
+
+    def rows(df):
+        return sorted(
+            (r["url_canon"], r["url_hash"], r["seen"]) for r in df.collect()
+        )
+
+    plain = rows(FR.tag_seen(batch, frontier))
+    inv = rows(FR.tag_seen(batch, frontier, invert=True))
+    assert inv == plain
+    assert ("https://h.com/a", 10, True) in plain
+    assert ("https://h.com/DIFFERENT", 20, False) in plain  # collision guard
+
+    # with maybe_seen: fast-path rows never reach the join in either mode
+    probed = batch.withColumn("maybe_seen", F.col("url_hash") != 40)
+    assert rows(FR.tag_seen(probed, frontier, invert=True)) == rows(
+        FR.tag_seen(probed, frontier)
+    )
+
+
+def test_tag_seen_invert_plan_never_shuffles_seen_side(spark):
+    """The whole point of invert: the frontier scan must feed a broadcast
+    LeftSemi probe, not an Exchange — at 10^10 frontier rows the shuffle
+    IS the round's cost. Assert the plan shape, not just the result."""
+    frontier = cands(spark, [(f"https://h.com/{i}", i, "h.com", False, 1.0)
+                             for i in range(50)])
+    batch = cands(spark, [("https://h.com/1", 1, "h.com", False, 1.0)])
+    from tests.test_plans import plan_of
+
+    plan = plan_of(FR.tag_seen(batch, frontier, invert=True))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
