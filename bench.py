@@ -573,8 +573,21 @@ def _bloom_scale_seen(spark, sf_dir, seen_rows: int, batch_mult: int,
     filler in its own key space UNION the even-url_hash half of the
     candidate batch (the same parity rule as _build_seen, so the round
     still rejects ~half the batch and the off/on outputs stay
-    comparable).  Written once, reused by every cell."""
+    comparable).  Written once, reused by every cell — and across
+    qualified-window retries: a sidecar records (sf_dir, seen_rows,
+    batch_mult) and a matching existing table is reused as-is (the
+    generator is deterministic, so the rebuild would be bit-identical)."""
     from pyspark.sql import functions as F
+
+    sidecar = out_path.rstrip("/") + ".params.json"
+    params = {"sf_dir": os.path.abspath(sf_dir), "seen_rows": seen_rows,
+              "batch_mult": batch_mult}
+    try:
+        with open(sidecar) as fh:
+            if json.load(fh) == params and os.path.isdir(out_path):
+                return
+    except (OSError, ValueError):
+        pass
 
     from smartcrawler_spark.operators import frontier as FR
 
@@ -596,6 +609,8 @@ def _bloom_scale_seen(spark, sf_dir, seen_rows: int, batch_mult: int,
     (filler.unionByName(batch_seen)
      .repartition(64, "url_hash")
      .write.mode("overwrite").parquet(out_path))
+    with open(sidecar, "w") as fh:
+        json.dump(params, fh)
 
 
 def bloom_scale_cell_main():
@@ -979,8 +994,25 @@ def main():
         bloom_scale_cell_main()
         return
     if "--bloom-scale" in sys.argv:
+        # qualified-window retries, same contract as --suite-qualified:
+        # the FINAL attempt ships even from a dirty window, flagged
+        # probe_qualified=false with refusal reasons; the seen table is
+        # built once (sidecar match) so retries cost only the cells
         rows = int(os.environ.get("BLOOM_SCALE_ROWS", "60000000"))
-        print(json.dumps(run_bloom_scale(SF_DIR, seen_rows=rows)))
+        attempts = int(os.environ.get("BLOOM_SCALE_ATTEMPTS", "3"))
+        tries = []
+        for i in range(attempts):
+            r = run_bloom_scale(SF_DIR, seen_rows=rows)
+            tries.append(r)
+            if r.get("probe_qualified"):
+                break
+            if i < attempts - 1:
+                time.sleep(75)
+        best = next((r for r in tries if r.get("probe_qualified")), tries[-1])
+        best["attempt_probes"] = [
+            {"qualified": t.get("probe_qualified"),
+             "reasons": t.get("probe_refusal_reasons")} for t in tries]
+        print(json.dumps(best))
         return
     if "--scaling-qualified" in sys.argv:
         # VERDICT r02 item 3: the criterion pair, bracketed by no-Spark
