@@ -64,16 +64,23 @@ class EngineConfig:
     salt_buckets: int = 8
     use_bloom: bool = True
     bloom_rebuild_every: int = 4  # rounds between full bloom rebuilds
-    bloom_min_frontier_rows: int = 50_000_000
-    # ^ adaptive prefilter floor: MEASURED (bench_runs/bloom_compare_r03.
-    # json) the exact anti-join alone beats bloom-probe + exact-join at
-    # every sandbox-reachable frontier size (3M: off 324k vs on 258k
-    # urls/s; 12M: off 604k vs on 481k) — the per-round blob build/probe
-    # overhead only amortizes when the frontier table dwarfs the round's
-    # candidate batch (the 10^10 steady state, where the probe keeps
-    # definitely-novel candidates from paying a scan of a table 10^4x the
-    # batch). Below the floor the loop silently runs exact-join-only —
-    # same output, measured faster; the filter table just stays stale.
+    bloom_min_frontier_rows: int = 500_000_000
+    # ^ adaptive prefilter floor: MEASURED twice. r3 (bench_runs/
+    # bloom_compare_r03.json): exact anti-join beats bloom-probe+join at
+    # 3M (off 324k vs on 258k urls/s) and 12M (604k vs 481k). r5
+    # (bench_runs/bloom_compare_r05.json, probe-QUALIFIED window): at a
+    # 61.5M-row disk-backed frontier with a 3M batch the plain join
+    # still wins 2.7x (19.0s vs 51.3s) — the blob probe is a per-batch
+    # cache-miss-bound cost (~30s/3M candidates into 16x ~75MB blobs)
+    # while the avoided frontier-side shuffle was only worth ~8s of the
+    # 1.2GB join. The probe's fixed cost pays only when the frontier
+    # side of the exact join is ~an order of magnitude bigger, so the
+    # floor moves 50M -> 500M; the prefilter remains the plan for the
+    # regime invert can't serve (batch > seen_invert_max_batch over a
+    # 10^9+ frontier, where broadcasting the batch is off the table and
+    # the full shuffled join is the thing to beat). Below the floor the
+    # loop silently runs exact-join-only — same output, measured faster;
+    # the filter table just stays stale.
     seen_invert_min_frontier_rows: int = 10_000_000
     seen_invert_max_batch: int = 10_000_000
     # ^ inverted seen-join regime (r5, bench_runs/bloom_compare_r05.json):
