@@ -476,7 +476,8 @@ def _window_ok(pre: dict, post: dict, calib: float | None,
 
 
 def run_scaling_qualified(sf_dir: str, min_eff4: float = 0.6,
-                          attempts: int = 6, cooldown_s: float = 120.0) -> dict:
+                          attempts: int = 6, cooldown_s: float = 120.0,
+                          post_min_eff4: float | None = None) -> dict:
     """Probe-QUALIFIED scaling measurement (VERDICT r02 item 3): the
     1x2 -> 4x2-core executor pair only counts when no-Spark control probes
     bracket it in a clean window — probe BEFORE (box must show
@@ -484,25 +485,47 @@ def run_scaling_qualified(sf_dir: str, min_eff4: float = 0.6,
     within 2x the best seen) and probe AFTER (window must not have degraded
     mid-measurement). Unqualified windows retry after `cooldown_s`, and
     every probe lands in the output either way, so a box that never offers
-    a clean window still yields an honest time series."""
+    a clean window still yields an honest time series.
+
+    min_eff4 here should be STRICTER than the suite gate's 0.6: a suite
+    measures absolute wall, where a mildly contended box just reads
+    uniformly slow, but this pair measures SCALING, and the control's own
+    4-process efficiency is a hard ceiling on what any engine can show in
+    that window (measured r5: a window with control eff_4 0.69-0.77
+    yielded engine 0.645 from the same code that gives 0.857+ under a
+    clean control). --scaling-qualified therefore uses 0.85 for the PRE
+    probe (SCALING_MIN_EFF4 to override).
+
+    The POST probe keeps the standard bar (post_min_eff4, default =
+    min(min_eff4, 0.6)) plus the wall-drift check: it exists to catch
+    gross degradation DURING the ~20-min pair, and a single control
+    snapshot taken at minute 21 is a noisy estimator of the window (the
+    same strict-both-sides run that motivated this measured engine 0.854
+    across a pair whose closing snapshot read 0.661 — while its opening
+    read 0.865 and the pair's own low/high sides were internally
+    consistent). Pre-gate strictness picks the window; post-gate
+    looseness only tolerates snapshot noise, not drift — the wall-drift
+    refusal still applies unchanged."""
+    if post_min_eff4 is None:
+        post_min_eff4 = min(min_eff4, 0.6)
     probes: list[dict] = []
     pair: dict | None = None
 
-    def ok(p: dict) -> bool:
-        return not _probe_ok(p, _load_calibration(), min_eff4)
+    def ok(p: dict, bar: float) -> bool:
+        return not _probe_ok(p, _load_calibration(), bar)
 
     for attempt in range(1, attempts + 1):
         p0 = {**_quick_probe(), "when": f"attempt{attempt}-pre"}
         _maybe_update_calibration(p0, min_eff4)
         probes.append(p0)
-        if not ok(p0):
+        if not ok(p0, min_eff4):
             time.sleep(cooldown_s)
             continue
         pair = run_scaling(sf_dir, n_low=1, n_high=4, cores_per_exec=2)
         p1 = {**_quick_probe(), "when": f"attempt{attempt}-post"}
         _maybe_update_calibration(p1, min_eff4)
         probes.append(p1)
-        if ok(p1) and p1["wall_1"] <= DRIFT_LIMIT * p0["wall_1"]:
+        if ok(p1, post_min_eff4) and p1["wall_1"] <= DRIFT_LIMIT * p0["wall_1"]:
             return {
                 "metric": "probe-qualified frontier scaling efficiency "
                           "(1 -> 4 executor JVMs x 2 cores; no-Spark DRAM "
@@ -1019,7 +1042,8 @@ def main():
         # DRAM-contention probes; retries across windows
         os.environ.setdefault("SPARK_GRAFT_SCORE_IMPL", "jvm")
         os.environ.setdefault("SPARK_GRAFT_FRONTIER_MULT", "16")
-        print(json.dumps(run_scaling_qualified(SF_DIR)))
+        eff = float(os.environ.get("SCALING_MIN_EFF4", "0.85"))
+        print(json.dumps(run_scaling_qualified(SF_DIR, min_eff4=eff)))
         return
     if "--scaling-2core" in sys.argv:
         # the criterion-meeting pair: 2-core executors stay under the
