@@ -1,0 +1,84 @@
+"""The scaling pair's asymmetric probe gate (bench.run_scaling_qualified).
+
+A suite measures absolute wall, so its gate treats both bracketing
+probes alike; the scaling pair measures SCALING, where the control's
+own 4-process efficiency is a hard ceiling on the engine number, so the
+PRE bar is strict (0.85) while the POST keeps the standard 0.6 bar plus
+the wall-drift refusal.  These tests pin those decisions with stubbed
+probes and a stubbed pair — no Spark, no wall-clock.
+"""
+from __future__ import annotations
+
+import bench
+
+
+def _probe(eff_4: float, wall_1: float, ts: float = 0.0) -> dict:
+    return {"ts": ts, "wall_1": wall_1, "wall_4": wall_1 / (4 * eff_4),
+            "eff_4": eff_4, "wall_1_runs": [wall_1], "wall_4_runs": []}
+
+
+FAKE_PAIR = {"efficiency": 0.85, "urls_per_sec_low": 1.0,
+             "urls_per_sec_high": 3.4, "detail": {}}
+
+
+def _run(monkeypatch, tmp_path, probes, **kw):
+    """Drive run_scaling_qualified against a scripted probe sequence."""
+    seq = iter(probes)
+    pairs_run = []
+    monkeypatch.setattr(bench, "_quick_probe", lambda: dict(next(seq)))
+    monkeypatch.setattr(bench, "run_scaling",
+                        lambda *a, **k: (pairs_run.append(1), FAKE_PAIR)[1])
+    # isolate the persisted calibration from the real repo file
+    monkeypatch.setattr(bench, "CALIB_PATH", str(tmp_path / "calib.json"))
+    kw.setdefault("cooldown_s", 0.0)
+    out = bench.run_scaling_qualified("/nonexistent", **kw)
+    return out, len(pairs_run)
+
+
+def test_strict_pre_refuses_without_running_the_pair(monkeypatch, tmp_path):
+    # control eff 0.7 passes the old 0.6 bar but not the strict pre
+    out, n_pairs = _run(monkeypatch, tmp_path,
+                        [_probe(0.70, 1.0)] * 3,
+                        min_eff4=0.85, attempts=3)
+    assert out["qualified"] is False
+    assert n_pairs == 0, "pair must not run inside a refused window"
+    assert len(out["probes"]) == 3  # every refused pre stays in the output
+
+
+def test_post_keeps_the_standard_bar(monkeypatch, tmp_path):
+    # pre 0.9 (strict pass), post 0.65: >= 0.6 and drift-clean -> qualified.
+    # This is the r5 run-B scenario: demanding 0.85 of a single closing
+    # snapshot after a 20-minute pair refuses internally-consistent pairs.
+    out, n_pairs = _run(monkeypatch, tmp_path,
+                        [_probe(0.90, 1.0), _probe(0.65, 1.05)],
+                        min_eff4=0.85, attempts=1)
+    assert out["qualified"] is True
+    assert n_pairs == 1
+    assert out["efficiency"] == FAKE_PAIR["efficiency"]
+
+
+def test_post_below_standard_bar_refuses(monkeypatch, tmp_path):
+    out, n_pairs = _run(monkeypatch, tmp_path,
+                        [_probe(0.90, 1.0), _probe(0.50, 1.0)],
+                        min_eff4=0.85, attempts=1)
+    assert out["qualified"] is False
+    assert n_pairs == 1  # the pair ran, then the window was refused
+
+
+def test_drift_refusal_survives_the_looser_post_bar(monkeypatch, tmp_path):
+    # post eff is clean but wall drifted pre->post beyond DRIFT_LIMIT:
+    # degradation DURING the pair is exactly what the post probe is for.
+    drifted = 1.0 * bench.DRIFT_LIMIT * 1.05
+    out, n_pairs = _run(monkeypatch, tmp_path,
+                        [_probe(0.90, 1.0), _probe(0.90, drifted)],
+                        min_eff4=0.85, attempts=1)
+    assert out["qualified"] is False
+    assert n_pairs == 1
+
+
+def test_post_bar_never_exceeds_standard(monkeypatch, tmp_path):
+    # explicit post_min_eff4 override is honored
+    out, _ = _run(monkeypatch, tmp_path,
+                  [_probe(0.90, 1.0), _probe(0.80, 1.0)],
+                  min_eff4=0.85, post_min_eff4=0.85, attempts=1)
+    assert out["qualified"] is False  # 0.80 < explicit 0.85 post bar
