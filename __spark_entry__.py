@@ -1778,6 +1778,16 @@ def q_ann_ivf_portable(spark, sf_dir):
     return SIM.topk_ivf_portable(emb, k=10, n_centroids=8, nprobe=2, query_id=0)
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup semantic dedup (cluster-then-prune, arXiv:2303.09540) —
+    the ORACLE-CHECKED spec twin: first-K integer centroids, exact
+    integer-L2 cells, within-cell cosine>=0.40 prune decided with pure
+    integer arithmetic (dot^2*10^4 vs t^2*|a|^2*|b|^2). Production path is
+    SIM.semdedup (trained centroids + Arrow assignment)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.semdedup_portable(emb, n_centroids=8, threshold_pct=40)
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Exact all-pairs cosine >= 0.5 on a subset (near-dup oracle shape)."""
     emb = (
@@ -1963,6 +1973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_portable": q_ann_lsh_portable,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_portable": q_ann_ivf_portable,
+        "semdedup": q_semdedup,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "lang_id": q_lang_id,
@@ -3641,6 +3652,46 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.cid = 0 AND cell.cell IN (SELECT cid FROM probes)
             ORDER BY d.dist ASC, d.vec_id ASC
             LIMIT 10
+        """,
+        "semdedup": """
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding::DOUBLE[],
+                                    x -> CAST(round(x * 100) AS BIGINT)) AS q
+              FROM embeddings
+            ), c AS (
+              SELECT vec_id AS cid, q AS cq FROM e WHERE vec_id < 8
+            ), dists AS (
+              SELECT e.vec_id, c.cid,
+                     CAST(sum((e.q[d+1] - c.cq[d+1]) * (e.q[d+1] - c.cq[d+1])) AS BIGINT) AS dist
+              FROM e, c, UNNEST(range(64)) AS t(d)
+              GROUP BY e.vec_id, c.cid
+            ), cell AS (
+              SELECT vec_id, cid AS cell FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+                FROM dists
+              ) WHERE rn = 1
+            ), n2 AS (
+              SELECT vec_id, CAST(sum(x * x) AS BIGINT) AS nn
+              FROM (SELECT vec_id, UNNEST(q) AS x FROM e) GROUP BY vec_id
+            ), dup AS (
+              SELECT DISTINCT b.vec_id
+              FROM cell a JOIN cell b ON a.cell = b.cell AND a.vec_id < b.vec_id
+              JOIN e ea ON ea.vec_id = a.vec_id
+              JOIN e eb ON eb.vec_id = b.vec_id
+              JOIN n2 na ON na.vec_id = a.vec_id
+              JOIN n2 nb ON nb.vec_id = b.vec_id,
+              UNNEST(range(64)) AS t(d)
+              GROUP BY a.vec_id, b.vec_id, na.nn, nb.nn
+              HAVING sum(ea.q[d+1] * eb.q[d+1]) > 0
+                 AND sum(ea.q[d+1] * eb.q[d+1]) * sum(ea.q[d+1] * eb.q[d+1]) * 10000
+                     >= 1600 * na.nn * nb.nn
+            )
+            SELECT cell.vec_id, cell.cell,
+                   (dup.vec_id IS NOT NULL) AS is_dup
+            FROM cell LEFT JOIN dup ON cell.vec_id = dup.vec_id
+            ORDER BY cell.vec_id ASC
         """,
         "ngram_jaccard": r"""
             WITH toks AS (

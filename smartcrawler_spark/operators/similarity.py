@@ -502,3 +502,131 @@ def cosine_topk_quantized(quant: DataFrame, query: list[float], k: int = 10,
         .orderBy(F.desc("sim"), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def semdedup(
+    df: DataFrame, dim: int, n_centroids: int = 64, threshold: float = 0.95,
+    seed: int = 13, centroids: np.ndarray | None = None,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    max_cluster: int = 200_000,
+) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023, arXiv:2303.09540):
+    cluster the embedding space with a coarse quantizer, then prune
+    near-identical items WITHIN each cluster — pairwise cosine is only ever
+    computed inside a cluster, never corpus-wide.
+
+    Keep rule (deterministic, engine-portable): a row is a duplicate iff
+    some SAME-CLUSTER row with a smaller id has cosine >= threshold to it.
+    The min-id row of every near-dup group always survives; like every
+    greedy single-pass dedup this can also drop a chain neighbour of a
+    dropped row (documented, matches the repo's near-dup pair convention).
+
+    Returns (id_col, cell, is_dup) for every input row — filter
+    `~is_dup` for the surviving corpus.
+
+    Scale shape (10^10 rows): assignment is ONE map-only Arrow matmul per
+    batch (no shuffle); the prune self-joins on `cell`, so the quadratic
+    term is sum_c n_c^2 — bounded by making `n_centroids` proportional to
+    corpus size (the paper uses ~sqrt(N) clusters). Any cluster bigger
+    than `max_cluster` raises instead of silently running an O(n_c^2)
+    explosion; fix by raising `n_centroids` (kmeans_centroids is the
+    trained path) or pre-sharding hot cells.
+
+    No reference analogue — LLM-pipeline addition alongside
+    embedding_near_dup_pairs (operators/similarity.py:390); the portable
+    spec twin is `semdedup_portable` below."""
+    assign = make_ivf_assign_udf(dim, n_centroids=n_centroids, seed=seed,
+                                 centroids=centroids)
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+    ).withColumn("cell", assign(F.col("_v")))
+    sizes = base.groupBy("cell").count().filter(F.col("count") > max_cluster)
+    hot = sizes.limit(1).collect()
+    if hot:
+        raise ValueError(
+            f"semdedup: cluster {hot[0]['cell']} has {hot[0]['count']} rows "
+            f"(> max_cluster={max_cluster}); raise n_centroids or pre-shard"
+        )
+    a = base.alias("a")
+    b = base.alias("b")
+    sim = cosine(F.col("a._v"), F.col("b._v"))
+    dup_ids = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell"))
+               & (F.col("a._id") < F.col("b._id")))
+        .filter(sim >= F.lit(float(threshold)))
+        .select(F.col("b._id").alias("_id"))
+        .distinct()
+    )
+    return (
+        base.join(dup_ids.withColumn("_dup", F.lit(True)), "_id", "left")
+        .select(
+            F.col("_id").alias(id_col), "cell",
+            F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"),
+        )
+    )
+
+
+def semdedup_portable(
+    df: DataFrame, n_centroids: int = 8, threshold_pct: int = 40,
+    scale: int = 100, dim: int = 64,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Engine-portable spec twin of `semdedup` (same pattern as
+    topk_ivf_portable): centroids are the quantized embeddings of ids <
+    n_centroids (first-K seeding), cell = argmin EXACT integer L2^2 (ties
+    -> min cid), and the within-cell prune compares cosine against
+    threshold_pct/100 with PURE INTEGER arithmetic — cos(a,b) >= t iff
+    dot > 0 AND dot^2 * 10^4 >= t_pct^2 * |a|^2 * |b|^2 — so any SQL
+    engine reproduces the keep/dup partition bit-for-bit (no float
+    boundary). scale=100 (not 1000) keeps dot^2 * 10^4 well inside int64
+    for unit-ish embeddings (max quantized entry ~53 on the test corpus
+    -> dot^2*10^4 <= ~1.2e17 << 2^63).
+
+    GATE/ORACLE USE ONLY — first-K centroids and literal integer math
+    exist to be byte-reproducible, not to cluster well; production
+    corpora go through `semdedup` + `kmeans_centroids`."""
+    t = int(threshold_pct)
+    base = df.select(
+        F.col(id_col).alias("_id"), quantized_vec(vec_col, scale).alias("q"),
+    )
+    cents = {
+        int(r["_id"]): [int(x) for x in r["q"]]
+        for r in base.filter(F.col("_id") < n_centroids).collect()
+    }
+
+    def l2_to(cvec: list[int]) -> Column:
+        carr = F.array(*[F.lit(x) for x in cvec])
+        return F.aggregate(
+            F.zip_with(F.col("q"), carr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    cell = F.array_min(F.array(*[
+        F.struct(l2_to(cvec).alias("dist"), F.lit(cid).cast("long").alias("cid"))
+        for cid, cvec in sorted(cents.items())
+    ]))["cid"]
+    n2 = _int_dot(F.col("q"), F.col("q"))
+    sigs = base.select("_id", "q", cell.alias("cell"), n2.alias("n2"))
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    dp = _int_dot(F.col("a.q"), F.col("b.q"))
+    cond = (dp > 0) & (
+        dp * dp * F.lit(10_000).cast("long")
+        >= F.lit(t * t).cast("long") * F.col("a.n2") * F.col("b.n2")
+    )
+    dup_ids = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell"))
+               & (F.col("a._id") < F.col("b._id")))
+        .filter(cond)
+        .select(F.col("b._id").alias("_id"))
+        .distinct()
+    )
+    return (
+        sigs.join(dup_ids.withColumn("_dup", F.lit(True)), "_id", "left")
+        .select(
+            F.col("_id").alias(id_col), "cell",
+            F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"),
+        )
+        .orderBy(F.col(id_col).asc())
+    )

@@ -199,3 +199,67 @@ def test_quantized_topk_tracks_exact(spark):
     # 8-bit SQ keeps ranking almost intact: recall@10 >= 0.8 on gaussians
     assert len(set(exact) & set(approx)) >= 8
     assert approx[0] == exact[0]  # the top hit survives quantization
+
+
+def _oracle_semdedup_portable(vecs, n_centroids=8, t_pct=40, scale=100):
+    """Independent integer reimplementation of semdedup_portable."""
+    q = {i: [int(round(float(x) * scale)) for x in v] for i, v in vecs.items()}
+    cents = {i: q[i] for i in q if i < n_centroids}
+    cell = {}
+    for i, qi in q.items():
+        best = min(
+            (sum((a - b) * (a - b) for a, b in zip(qi, cv)), cid)
+            for cid, cv in cents.items()
+        )
+        cell[i] = best[1]
+    n2 = {i: sum(x * x for x in qi) for i, qi in q.items()}
+    dup = set()
+    ids = sorted(q)
+    for bi in ids:
+        for ai in ids:
+            if ai >= bi or cell[ai] != cell[bi]:
+                continue
+            dp = sum(x * y for x, y in zip(q[ai], q[bi]))
+            if dp > 0 and dp * dp * 10_000 >= t_pct * t_pct * n2[ai] * n2[bi]:
+                dup.add(bi)
+                break
+    return {i: (cell[i], i in dup) for i in ids}
+
+
+def test_semdedup_portable_matches_integer_oracle(spark, emb):
+    df, vecs = emb
+    got = {
+        r["vec_id"]: (r["cell"], r["is_dup"])
+        for r in SIM.semdedup_portable(df, n_centroids=8, threshold_pct=40).collect()
+    }
+    want = _oracle_semdedup_portable(vecs)
+    assert got == want
+    # the split is non-trivial on the test corpus: some dups, most kept
+    n_dup = sum(1 for _, d in got.values() if d)
+    assert 0 < n_dup < len(got) // 2
+
+
+def test_semdedup_production_keeps_min_id_of_planted_group(spark):
+    # 3 near-identical vectors (ids 10,11,12) + orthogonal-ish fillers:
+    # the min-id of the planted group survives, the other two are dups.
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=16).astype(np.float32)
+    rows = []
+    for i in range(10):
+        v = rng.normal(size=16).astype(np.float32)
+        rows.append((i, [float(x) for x in v]))
+    for j, eps in ((10, 0.0), (11, 1e-3), (12, 2e-3)):
+        rows.append((j, [float(x) for x in base + eps]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["is_dup"]
+           for r in SIM.semdedup(df, dim=16, n_centroids=2,
+                                 threshold=0.999).collect()}
+    assert out[10] is False and out[11] is True and out[12] is True
+    assert len(out) == 13
+
+
+def test_semdedup_hot_cluster_raises(spark):
+    rows = [(i, [1.0] * 8) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="max_cluster"):
+        SIM.semdedup(df, dim=8, n_centroids=2, threshold=0.99, max_cluster=5)
