@@ -381,6 +381,32 @@ def q_shard_assign(spark, sf_dir):
     return FR.assign_shards(hosts, 8)
 
 
+def q_dup_content_hosts(spark, sf_dir):
+    """Duplicate-content trap-host detection (operators/frontier.
+    duplicate_content_hosts): hosts whose URL space explodes over
+    near-constant content. Synthesized pages: md5-parity hosts serve 4
+    URL variants per document (identical text -> identical fingerprint),
+    the rest 1 — planted traps trip the integer dup-ratio + volume floor,
+    clean hosts don't. Crawl-loop wiring: EngineConfig.
+    dup_trap_detect_every (tests/test_trap_loop.py e2e)."""
+    docs = _t(spark, sf_dir, "documents")
+    nv = F.when(
+        F.expr("ascii(substring(md5(host), 1, 1)) % 2 = 0"), F.lit(4)
+    ).otherwise(F.lit(1))
+    pages = (
+        docs.select(F.col("source").alias("host"), "doc_id", "text")
+        .withColumn("_nv", nv)
+        .withColumn("v", F.explode(F.sequence(F.lit(0), F.col("_nv") - 1)))
+        .select(
+            "host",
+            F.concat_ws("/", F.col("host"), F.col("doc_id").cast("string"),
+                        F.col("v").cast("string")).alias("url_canon"),
+            F.md5("text").alias("fingerprint"),
+        )
+    )
+    return FR.duplicate_content_hosts(pages, min_urls=50, trap_ratio_bp=5000)
+
+
 def q_host_stats(spark, sf_dir):
     """Per-host crawl health rollup (plans.analysis.host_report): lifecycle
     counts + success rate over attempted fetches; one hash aggregation."""
@@ -1965,6 +1991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "revalidate_robots": q_revalidate_robots,
         "shard_assign": q_shard_assign,
+        "dup_content_hosts": q_dup_content_hosts,
         "host_triangles": q_host_triangles,
         "budget_apportion": q_budget_apportion,
         "ngram_jaccard": q_ngram_jaccard,
@@ -3531,6 +3558,28 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         
+        "dup_content_hosts": """
+            WITH pages AS (
+              SELECT source AS host,
+                     source || '/' || doc_id || '/' || v AS url_canon,
+                     md5(text) AS fingerprint
+              FROM documents,
+                   UNNEST(range(CASE WHEN ascii(substr(md5(source), 1, 1)) % 2 = 0
+                                     THEN 4 ELSE 1 END)) AS t(v)
+            ), agg AS (
+              SELECT host,
+                     CAST(count(DISTINCT url_canon) AS BIGINT) AS n_urls,
+                     CAST(count(DISTINCT fingerprint) AS BIGINT) AS n_content
+              FROM pages GROUP BY host
+            )
+            SELECT host, n_urls, n_content,
+                   CAST((n_urls - n_content) * 10000 // n_urls AS BIGINT)
+                     AS dup_ratio_bp,
+                   (n_urls >= 50
+                    AND (n_urls - n_content) * 10000 // n_urls >= 5000)
+                     AS is_trap
+            FROM agg
+        """,
         "change_rate": """
             WITH h AS (
               SELECT source AS host,

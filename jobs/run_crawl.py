@@ -67,6 +67,17 @@ def main() -> int:
     ap.add_argument("--mirror-min-jaccard-ppm", type=int, default=500_000,
                     help="KMV-Jaccard confirm threshold in ppm "
                          "(with --mirror-detect-every)")
+    ap.add_argument("--dup-trap-detect-every", type=int, default=None,
+                    help="every N rounds, profile fetched content per host "
+                         "and stop scheduling duplicate-content trap hosts "
+                         "(URL space exploding over near-constant content; "
+                         "default: off)")
+    ap.add_argument("--dup-trap-min-urls", type=int, default=50,
+                    help="fetched-URL volume floor before a host can be "
+                         "confirmed a dup-content trap")
+    ap.add_argument("--dup-trap-ratio-bp", type=int, default=5000,
+                    help="duplicate ratio (basis points) confirming a "
+                         "dup-content trap host")
     ap.add_argument("--host-stats-every", type=int, default=None,
                     help="every N rounds, persist the per-host health "
                          "rollup (status counts + success basis points) "
@@ -128,6 +139,9 @@ def main() -> int:
         trap_filters=args.trap_filters,
         mirror_detect_every=args.mirror_detect_every,
         mirror_min_jaccard_ppm=args.mirror_min_jaccard_ppm,
+        dup_trap_detect_every=args.dup_trap_detect_every,
+        dup_trap_min_urls=args.dup_trap_min_urls,
+        dup_trap_ratio_bp=args.dup_trap_ratio_bp,
         host_stats_every=args.host_stats_every,
         strip_tracking=args.strip_tracking,
         adaptive_budget=args.adaptive_budget,

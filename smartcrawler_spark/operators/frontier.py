@@ -513,6 +513,8 @@ def admit_with_cap(
         elig_expr = elig_expr & ~F.col("trap_blocked")
     if "mirror_blocked" in tagged.columns:  # opt-in mirror-host hygiene
         elig_expr = elig_expr & ~F.col("mirror_blocked")
+    if "dup_trap_blocked" in tagged.columns:  # opt-in dup-content-trap hygiene
+        elig_expr = elig_expr & ~F.col("dup_trap_blocked")
     tagged = (
         tagged.withColumn("eligible", elig_expr)
         .join(counts, "host", "left")  # AQE picks broadcast when counts is small
@@ -1004,4 +1006,54 @@ def apportion_budget(weights: DataFrame, total: int,
     return parts.select(
         "key",
         (F.col("base") + (rank <= F.lit(leftover)).cast("long")).alias("quota"),
+    )
+
+
+def duplicate_content_hosts(
+    pages: DataFrame, min_urls: int = 50, trap_ratio_bp: int = 5000,
+    host_col: str = "host", url_col: str = "url_canon",
+    fp_col: str = "fingerprint",
+) -> DataFrame:
+    """Duplicate-content trap hosts: hosts whose crawled URL space explodes
+    over a much smaller set of DISTINCT contents — session-id and
+    calendar/facet traps that survive URL-pattern heuristics
+    (functions.urls.is_trap_url catches the pattern-shaped ones; this
+    catches the rest by what the fetches actually returned), soft-404
+    farms, and infinite-pagination shells all land here.
+
+    Per host (all integer, engine-portable):
+        n_urls       = count(DISTINCT url)
+        n_content    = count(DISTINCT fingerprint)
+        dup_ratio_bp = ((n_urls - n_content) * 10^4) div n_urls
+        is_trap      = n_urls >= min_urls AND dup_ratio_bp >= trap_ratio_bp
+    The volume floor keeps small hosts (where one duplicate swings the
+    ratio) out; integer `div` (not floor(double /)) keeps the basis points
+    exact past 2^53 — same contract as analysis.change_rate_ppm.
+
+    Scale shape (10^10 pages): ONE hash agg keyed by host — two distinct
+    aggregates share the exchange (Spark expands to 2 rows/input before
+    the partial agg, still map-side combined). Output is O(hosts). At
+    extreme scale swap the exact distincts for approx_count_distinct —
+    the ratio tolerates sketch error; keep the floor exact.
+
+    Crawl-loop wiring: plans/crawl.py `dup_trap_detect_every` recomputes
+    this over FETCHED content every N rounds and stops scheduling
+    confirmed traps (fate `dup_trap_rejected`), the same hygiene cadence
+    as mirror detection. No reference analogue (the reference crawls
+    single sites); LLM-pipeline / web-scale addition."""
+    n_urls = F.countDistinct(F.col(url_col)).alias("n_urls")
+    n_content = F.countDistinct(F.col(fp_col)).alias("n_content")
+    return (
+        pages.groupBy(F.col(host_col).alias("host"))
+        .agg(n_urls, n_content)
+        .select(
+            "host", "n_urls", "n_content",
+            F.expr("((n_urls - n_content) * 10000) div n_urls")
+            .cast("long").alias("dup_ratio_bp"),
+        )
+        .withColumn(
+            "is_trap",
+            (F.col("n_urls") >= min_urls)
+            & (F.col("dup_ratio_bp") >= trap_ratio_bp),
+        )
     )

@@ -172,6 +172,17 @@ class EngineConfig:
     # budget never goes to a host whose content the crawl already holds.
     # Default None = reference parity (the reference has no mirror logic).
     mirror_min_jaccard_ppm: int = 500_000  # confirm threshold (0.5)
+    dup_trap_detect_every: int | None = None
+    # ^ duplicate-content trap hygiene: every N rounds, profile each
+    # host's FETCHED pages (operators.frontier.duplicate_content_hosts —
+    # one hash agg, O(hosts) output) and persist confirmed traps (URL
+    # space exploding over near-constant content: session-id/facet traps
+    # that beat the URL-pattern heuristics, soft-404 farms) to the
+    # `traps` side table; from then on those hosts stop being scheduled
+    # and their candidates fate-tag `dup_trap_rejected` at admission.
+    # Default None = reference parity (the reference crawls single sites).
+    dup_trap_min_urls: int = 50        # volume floor before a host can trap
+    dup_trap_ratio_bp: int = 5000      # dup ratio (basis points) to confirm
     host_stats_every: int | None = None
     # ^ operational host-health rollups: every N rounds, append
     # analysis.host_report(frontier) (per-host status counts + integer
@@ -215,6 +226,7 @@ class CrawlJob:
             self.t_log = IcebergSnapshotTable(spark, f"{ns}.crawl_log")
             self.t_metrics = IcebergSnapshotTable(spark, f"{ns}.metrics")
             self.t_mirrors = IcebergSnapshotTable(spark, f"{ns}.mirrors")
+            self.t_traps = IcebergSnapshotTable(spark, f"{ns}.traps")
             self.t_hoststats = IcebergSnapshotTable(spark, f"{ns}.host_stats")
             self.t_filters = IcebergBucketedSnapshotTable(
                 spark, f"{ns}.filters", n_buckets=cfg.bloom_buckets,
@@ -228,6 +240,7 @@ class CrawlJob:
             self.t_log = SnapshotTable(checkpoint_dir, "crawl_log")
             self.t_metrics = SnapshotTable(checkpoint_dir, "metrics")
             self.t_mirrors = SnapshotTable(checkpoint_dir, "mirrors")
+            self.t_traps = SnapshotTable(checkpoint_dir, "traps")
             self.t_hoststats = SnapshotTable(checkpoint_dir, "host_stats")
             # bloom/cuckoo blobs live in their own bucketed table (bucket id
             # IS the key, so pmod is the identity) — replaces the round-1
@@ -287,7 +300,8 @@ class CrawlJob:
 
     def _admit(self, raw_urls: DataFrame, frontier: DataFrame, round_no: int,
                anchor_boost: DataFrame | None = None,
-               mirror_block: DataFrame | None = None
+               mirror_block: DataFrame | None = None,
+               trap_block: DataFrame | None = None
                ) -> tuple[DataFrame, DataFrame]:
         """raw_urls(url) -> (new frontier rows, per-fate/per-partition metrics).
 
@@ -330,6 +344,16 @@ class CrawlJob:
                 .withColumn("mirror_blocked",
                             F.coalesce(F.col("_mb"), F.lit(False)))
                 .drop("_mb")
+            )
+        if trap_block is not None:
+            # confirmed dup-content trap hosts: same broadcast semi mark
+            # shape as mirrors (host dim is O(hosts), always broadcast)
+            tb = trap_block.select("host", F.lit(True).alias("_tb"))
+            cands = (
+                cands.join(F.broadcast(tb), "host", "left")
+                .withColumn("dup_trap_blocked",
+                            F.coalesce(F.col("_tb"), F.lit(False)))
+                .drop("_tb")
             )
         cands = self._robots_gate(cands, self.robots)
         # tag_seen (bloom fast/slow union) and admit_with_cap (winners
@@ -414,6 +438,10 @@ class CrawlJob:
             # the host-level decision is the reason the URL never ran)
             fate = F.when(F.col("mirror_blocked"),
                           "mirror_rejected").otherwise(fate)
+        if trap_block is not None:
+            # host-level trap verdict: same attribution rank as mirrors
+            fate = F.when(F.col("dup_trap_blocked"),
+                          "dup_trap_rejected").otherwise(fate)
         if self.cfg.trap_filters:
             # trap verdict outranks every other fate (cheapest filter wins
             # the attribution; robots/seen still computed for their gates)
@@ -530,7 +558,7 @@ class CrawlJob:
         # trim side-table versions from a round whose frontier commit never
         # published (crash window inside _commit_round); the round re-runs
         for t in (self.t_log, self.t_metrics, self.t_filters,
-                  self.t_mirrors, self.t_hoststats):
+                  self.t_mirrors, self.t_traps, self.t_hoststats):
             t.rollback_newer_than(durable)
         if durable >= 0:
             return durable
@@ -582,6 +610,41 @@ class CrawlJob:
             return None
         return mirrors.select(F.col("b").alias("host")).distinct()
 
+    def _detect_dup_traps(self, frontier: DataFrame, round_no: int) -> None:
+        """Recompute + persist the duplicate-content trap table from the
+        hosts' FETCHED pages (SUCCESS rows joined back to their documents;
+        fingerprint = md5 of the parsed span tree — the same content key
+        mirror detection uses, so a session-id explosion serving one page
+        collapses to n_content=1 however its URLs differ). Full recompute
+        per detection round; output is O(hosts), so the commit is a tiny
+        full replace. Crash-consistency matches _detect_mirrors: a commit
+        ahead of the frontier's round is trimmed by bootstrap's
+        rollback_newer_than and re-derived deterministically."""
+        succ = frontier.filter(F.col("status") == "SUCCESS").select("url_hash")
+        fetched = self.documents.join(
+            succ, succ.url_hash == self.documents.doc_hash, "left_semi")
+        found = FR.duplicate_content_hosts(
+            fetched.select(
+                "host",
+                F.col("doc_canon").alias("url_canon"),
+                F.md5(F.to_json(F.col("spans"))).alias("fingerprint"),
+            ),
+            min_urls=self.cfg.dup_trap_min_urls,
+            trap_ratio_bp=self.cfg.dup_trap_ratio_bp,
+        ).filter(F.col("is_trap"))
+        self.t_traps.commit(found, meta={"round": round_no,
+                                         "source": "crawl-loop"})
+
+    def _trap_block(self) -> DataFrame | None:
+        """(host) dim of confirmed duplicate-content trap hosts. None when
+        detection is off or nothing confirmed yet. O(hosts): broadcast."""
+        if not self.cfg.dup_trap_detect_every:
+            return None
+        traps = self.t_traps.read(self.spark)
+        if traps is None:
+            return None
+        return traps.select("host").distinct()
+
     def _append_host_stats(self, frontier: DataFrame, as_of_round: int) -> None:
         """Persist analysis.host_report(frontier) labeled with the round
         whose completed state it describes. O(hosts) rows per append;
@@ -609,6 +672,11 @@ class CrawlJob:
             # frontier version), so re-running the round reproduces it
             self._detect_mirrors(frontier, round_no)
         mirror_block = self._mirror_block()
+        if (self.cfg.dup_trap_detect_every
+                and round_no > 1
+                and (round_no - 1) % self.cfg.dup_trap_detect_every == 0):
+            self._detect_dup_traps(frontier, round_no)
+        trap_block = self._trap_block()
         sched_cols = ["url_canon", "url_hash", "host", "is_root", "score"]
         pool = frontier.filter(F.col("status") == "PENDING").select(*sched_cols)
         if self.cfg.refresh_interval:
@@ -664,6 +732,9 @@ class CrawlJob:
             # already admitted before detection included (broadcast
             # anti-join on a register-sized host dim)
             pool = pool.join(F.broadcast(mirror_block), "host", "left_anti")
+        if trap_block is not None:
+            # confirmed dup-content trap hosts likewise leave the schedule
+            pool = pool.join(F.broadcast(trap_block), "host", "left_anti")
         scheduled = FR.politeness_topk(
             pool, budgets, self.cfg.default_budget, self.cfg.salt_buckets
         ).select(*sched_cols)
@@ -737,7 +808,8 @@ class CrawlJob:
 
         new_rows, admit_metrics = self._admit(links, frontier, round_no,
                                               anchor_boost=anchor_boost,
-                                              mirror_block=mirror_block)
+                                              mirror_block=mirror_block,
+                                              trap_block=trap_block)
 
         # MERGE, partition-scoped: only the frontier buckets containing this
         # round's scheduled (status transitions) or admitted (inserts) URLs
