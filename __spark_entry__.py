@@ -407,6 +407,32 @@ def q_dup_content_hosts(spark, sf_dir):
     return FR.duplicate_content_hosts(pages, min_urls=50, trap_ratio_bp=5000)
 
 
+def q_priority_aging(spark, sf_dir):
+    """Starvation-free priority aging (operators/frontier.age_priority):
+    PENDING rows rank with effective score = score + rounds_waited * 0.25
+    (weight_bp 2500 — an exact binary fraction, so the aged doubles are
+    IEEE-exact and the per-host top-3 is engine-reproducible). round_added
+    synthesized as o_orderkey % 7, round_no = 10. Crawl-loop wiring:
+    EngineConfig.aging_weight_bp."""
+    fr = _synthetic_frontier(spark, sf_dir).filter(F.col("status") == "PENDING")
+    fr = fr.withColumn(
+        "round_added",
+        (F.regexp_extract("url_canon", r"/p(\d+)$", 1).cast("long") % 7)
+        .cast("int"),
+    )
+    aged = FR.age_priority(fr, round_no=10, weight_bp=2500)
+    top = FR.top_k_per_group(
+        aged, ["host"],
+        [F.col("is_root").desc(), F.col("score").desc(),
+         F.col("url_canon").asc()],
+        k=3,
+    )
+    return top.select(
+        "host", "url_canon",
+        (F.lit(10) - F.col("round_added")).cast("long").alias("rounds_waited"),
+    )
+
+
 def q_host_stats(spark, sf_dir):
     """Per-host crawl health rollup (plans.analysis.host_report): lifecycle
     counts + success rate over attempted fetches; one hash aggregation."""
@@ -1992,6 +2018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revalidate_robots": q_revalidate_robots,
         "shard_assign": q_shard_assign,
         "dup_content_hosts": q_dup_content_hosts,
+        "priority_aging": q_priority_aging,
         "host_triangles": q_host_triangles,
         "budget_apportion": q_budget_apportion,
         "ngram_jaccard": q_ngram_jaccard,
@@ -3580,6 +3607,25 @@ def oracle_sql() -> dict[str, str]:
                      AS is_trap
             FROM agg
         """,
+        "priority_aging": """
+            WITH fr AS ({synth}),
+            pend AS (
+              SELECT host, url_canon, is_root,
+                     score + (10 - CAST(regexp_extract(url_canon, '/p(\\d+)$', 1)
+                                        AS BIGINT) % 7) * 0.25 AS aged,
+                     CAST(10 - CAST(regexp_extract(url_canon, '/p(\\d+)$', 1)
+                                    AS BIGINT) % 7 AS BIGINT) AS rounds_waited
+              FROM fr WHERE status = 'PENDING'
+            ), ranked AS (
+              SELECT host, url_canon, rounds_waited,
+                     row_number() OVER (
+                       PARTITION BY host
+                       ORDER BY is_root DESC, aged DESC, url_canon ASC
+                     ) AS rn
+              FROM pend
+            )
+            SELECT host, url_canon, rounds_waited FROM ranked WHERE rn <= 3
+        """.format(synth=_SYNTH_FRONTIER_SQL),
         "change_rate": """
             WITH h AS (
               SELECT source AS host,

@@ -78,6 +78,10 @@ def main() -> int:
     ap.add_argument("--dup-trap-ratio-bp", type=int, default=5000,
                     help="duplicate ratio (basis points) confirming a "
                          "dup-content trap host")
+    ap.add_argument("--aging-weight-bp", type=int, default=None,
+                    help="starvation-free scheduling: effective score += "
+                         "rounds_waited * this/10^4 (default: off; prefer "
+                         "binary fractions like 2500 = 0.25/round)")
     ap.add_argument("--host-stats-every", type=int, default=None,
                     help="every N rounds, persist the per-host health "
                          "rollup (status counts + success basis points) "
@@ -142,6 +146,7 @@ def main() -> int:
         dup_trap_detect_every=args.dup_trap_detect_every,
         dup_trap_min_urls=args.dup_trap_min_urls,
         dup_trap_ratio_bp=args.dup_trap_ratio_bp,
+        aging_weight_bp=args.aging_weight_bp,
         host_stats_every=args.host_stats_every,
         strip_tracking=args.strip_tracking,
         adaptive_budget=args.adaptive_budget,

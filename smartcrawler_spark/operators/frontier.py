@@ -1057,3 +1057,33 @@ def duplicate_content_hosts(
             & (F.col("dup_ratio_bp") >= trap_ratio_bp),
         )
     )
+
+
+def age_priority(
+    pool: DataFrame, round_no: int, weight_bp: int = 2500,
+    score_col: str = "score", round_col: str = "round_added",
+) -> DataFrame:
+    """Starvation-free priority aging: effective score = score +
+    rounds_waited * weight_bp/10^4. Under a per-host politeness budget a
+    low-score URL can wait FOREVER behind a stream of higher-scored
+    siblings (score is static; every round the budget fills above it) —
+    the classic priority-queue starvation. Aging converts wait time into
+    priority, bounding any URL's delay at
+    (score_gap * 10^4 / weight_bp) rounds while leaving fresh-URL
+    ordering untouched (waited = 0 adds nothing).
+
+    Prefer weight_bp values that are exact binary fractions of 10^4
+    (2500 = 0.25, 5000 = 0.5, 1250 = 0.125): the aged score then stays
+    EXACT in IEEE-754 whenever the base score is, so the scheduling
+    order is reproducible bit-for-bit across engines and runs — the same
+    determinism contract as the pinned (is_root, score, url_canon) order
+    itself. Map-only projection, no shuffle; compose before
+    politeness_topk. Crawl-loop wiring: EngineConfig.aging_weight_bp
+    (default None = reference parity — the reference re-sorts a static
+    score each round and can starve exactly this way)."""
+    waited = (F.lit(round_no) - F.col(round_col)).cast("double")
+    waited = F.greatest(waited, F.lit(0.0))  # clock never runs backwards
+    return pool.withColumn(
+        score_col,
+        F.col(score_col) + waited * F.lit(weight_bp / 10_000.0),
+    )

@@ -183,6 +183,15 @@ class EngineConfig:
     # Default None = reference parity (the reference crawls single sites).
     dup_trap_min_urls: int = 50        # volume floor before a host can trap
     dup_trap_ratio_bp: int = 5000      # dup ratio (basis points) to confirm
+    aging_weight_bp: int | None = None
+    # ^ starvation-free scheduling (operators.frontier.age_priority):
+    # PENDING rows compete with effective score = score + rounds_waited *
+    # aging_weight_bp/10^4, so a low-score URL cannot wait forever behind
+    # a host's stream of higher-scored siblings — its delay is bounded at
+    # score_gap * 10^4 / weight rounds. Applies to the schedule ordering
+    # only; the stored frontier score is untouched. Prefer exact binary
+    # fractions of 10^4 (2500 = 0.25/round) so the order stays IEEE-exact.
+    # Default None = reference parity (static score, starvation possible).
     host_stats_every: int | None = None
     # ^ operational host-health rollups: every N rounds, append
     # analysis.host_report(frontier) (per-host status counts + integer
@@ -678,7 +687,16 @@ class CrawlJob:
             self._detect_dup_traps(frontier, round_no)
         trap_block = self._trap_block()
         sched_cols = ["url_canon", "url_hash", "host", "is_root", "score"]
-        pool = frontier.filter(F.col("status") == "PENDING").select(*sched_cols)
+        pool = frontier.filter(F.col("status") == "PENDING")
+        if self.cfg.aging_weight_bp:
+            # starvation-free ordering: waited rounds raise the EFFECTIVE
+            # score the politeness top-k ranks on; the frontier row's
+            # stored score is untouched (the MERGE keeps its own column).
+            # Refresh/retry re-entries below stay unaged — they carry
+            # their own recency semantics (staleness / backoff order).
+            pool = FR.age_priority(pool, round_no,
+                                   weight_bp=self.cfg.aging_weight_bp)
+        pool = pool.select(*sched_cols)
         if self.cfg.refresh_interval:
             # recrawl: stale SUCCESS rows rejoin the pool and compete with
             # new URLs inside the same per-host politeness budget; the
