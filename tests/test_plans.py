@@ -299,3 +299,37 @@ def test_mirror_hosts_has_no_cartesian_and_caps_buckets(spark, sf_dir):
     plan = plan_of(SK.mirror_hosts(docs, k=8, m=4))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_age_priority_plan_is_map_only(spark, sf_dir):
+    """Priority aging must add ZERO plan cost: a projection inside the
+    existing scan stage — no Exchange, no Join, no Python."""
+    from smartcrawler_spark.operators import frontier as FR
+
+    pool = spark.createDataFrame(
+        [("https://h/a", "h", False, 1.0, 0)],
+        "url_canon string, host string, is_root boolean, score double, "
+        "round_added int",
+    )
+    plan = plan_of(FR.age_priority(pool, round_no=7, weight_bp=2500))
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_duplicate_content_hosts_single_host_exchange(spark, sf_dir):
+    """Trap-host detection is ONE hash agg keyed by host: exactly one
+    shuffle (partial -> exchange -> final over the dual count-distinct
+    expand), no join, no Python."""
+    from smartcrawler_spark.operators import frontier as FR
+
+    pages = spark.createDataFrame(
+        [("h", "h/u1", "f1"), ("h", "h/u2", "f1")],
+        "host string, url_canon string, fingerprint string",
+    )
+    plan = plan_of(FR.duplicate_content_hosts(pages))
+    assert "Join" not in plan and "EvalPython" not in plan
+    # dual COUNT(DISTINCT) compiles to expand + two agg layers; the only
+    # exchanges allowed are the hashpartitioning(host/host+col) pair
+    for ln in plan.splitlines():
+        if "Exchange" in ln and "hashpartitioning" in ln:
+            assert "host" in ln, ln
