@@ -684,6 +684,35 @@ def q_pagerank(spark, sf_dir):
     return out.select("node", F.col("rank").alias("pr"))
 
 
+def q_opic(spark, sf_dir):
+    """Batch OPIC crawl importance (operators.linkgraph.opic_fixed_rounds,
+    3 rounds, scale=1e9): cash/history power accumulation with the paper's
+    virtual page for dangling cash (Abiteboul et al., WWW 2003). Nodes
+    ≡ 0 (mod 7) have their out-edges removed, so the dangling-pool path
+    (1-row in-plan broadcast + uniform return) is genuinely exercised.
+    All-bigint with pinned op order — the oracle unrolls the same three
+    rounds and matches bit-for-bit."""
+    from smartcrawler_spark.operators import linkgraph as LG
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.select(
+        (F.col("doc_id") % 89).alias("src"),
+        ((F.col("doc_id") * 13 + 7) % 89).alias("dst"),
+    ).filter(F.col("src") % 7 != 0)
+    return LG.opic_fixed_rounds(edges, iters=3)
+
+
+def q_shingle_containment(spark, sf_dir):
+    """Asymmetric shingle containment (operators.dedup.
+    shingle_containment_pairs): ordered (inner_id, outer_id) pairs where
+    >= min_pct of the inner doc's 3-gram shingles appear in the outer doc
+    — the quote/subset detector symmetric Jaccard misses. Integer pct
+    (100*common div inner_size), df_cap=100 mirrors the engine's
+    quadratic control in the oracle."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return DD.shingle_containment_pairs(docs, n=3, min_pct=20, df_cap=100)
+
+
 def q_datacard(spark, sf_dir):
     """Corpus datacard rollup (plans.analysis.corpus_datacard): per
     (split, lang) doc counts, token totals and length spread — split
@@ -1951,6 +1980,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolve": q_redirect_resolve,
         "pagerank": q_pagerank,
         "hits": q_hits,
+        "opic": q_opic,
+        "shingle_containment": q_shingle_containment,
         "datacard": q_datacard,
         "incremental_dedup": q_incremental_dedup,
         "uniform_sample": q_uniform_sample,
@@ -2543,6 +2574,75 @@ def oracle_sql() -> dict[str, str]:
                    FROM nodes CROSS JOIN p
                    LEFT JOIN a3 ON nodes.node = a3.dst)
             SELECT node, CAST(pr AS BIGINT) AS pr FROM r3
+        """,
+        "opic": """
+            WITH e AS (
+              SELECT DISTINCT doc_id % 89 AS src, (doc_id * 13 + 7) % 89 AS dst
+              FROM documents WHERE (doc_id % 89) % 7 <> 0
+            ), nodes AS (
+              SELECT src AS node FROM e UNION SELECT dst FROM e
+            ), p AS (SELECT count(*) AS n FROM nodes),
+            deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+            s0 AS (SELECT node, 1000000000 // n AS cash, 0 AS hist
+                   FROM nodes, p),
+            pool1 AS (SELECT coalesce(sum(cash), 0) AS pool FROM s0
+                      WHERE node NOT IN (SELECT src FROM e)),
+            in1 AS (SELECT e.dst, sum(s.cash // deg.d) AS agg
+                    FROM e JOIN s0 s ON e.src = s.node
+                         JOIN deg ON e.src = deg.src GROUP BY e.dst),
+            s1 AS (SELECT s.node,
+                          coalesce(i.agg, 0) + pool1.pool // p.n AS cash,
+                          s.hist + s.cash AS hist
+                   FROM s0 s CROSS JOIN pool1 CROSS JOIN p
+                   LEFT JOIN in1 i ON s.node = i.dst),
+            pool2 AS (SELECT coalesce(sum(cash), 0) AS pool FROM s1
+                      WHERE node NOT IN (SELECT src FROM e)),
+            in2 AS (SELECT e.dst, sum(s.cash // deg.d) AS agg
+                    FROM e JOIN s1 s ON e.src = s.node
+                         JOIN deg ON e.src = deg.src GROUP BY e.dst),
+            s2 AS (SELECT s.node,
+                          coalesce(i.agg, 0) + pool2.pool // p.n AS cash,
+                          s.hist + s.cash AS hist
+                   FROM s1 s CROSS JOIN pool2 CROSS JOIN p
+                   LEFT JOIN in2 i ON s.node = i.dst),
+            pool3 AS (SELECT coalesce(sum(cash), 0) AS pool FROM s2
+                      WHERE node NOT IN (SELECT src FROM e)),
+            in3 AS (SELECT e.dst, sum(s.cash // deg.d) AS agg
+                    FROM e JOIN s2 s ON e.src = s.node
+                         JOIN deg ON e.src = deg.src GROUP BY e.dst),
+            s3 AS (SELECT s.node,
+                          coalesce(i.agg, 0) + pool3.pool // p.n AS cash,
+                          s.hist + s.cash AS hist
+                   FROM s2 s CROSS JOIN pool3 CROSS JOIN p
+                   LEFT JOIN in3 i ON s.node = i.dst)
+            SELECT node, CAST(cash AS BIGINT) AS cash,
+                   CAST(hist AS BIGINT) AS hist,
+                   CAST(cash + hist AS BIGINT) AS opic
+            FROM s3
+        """,
+        "shingle_containment": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' '),
+                                 x -> x <> '') AS w
+              FROM documents WHERE doc_id < 400
+            ), sh AS (
+              SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+              FROM toks, UNNEST(range(1, greatest(len(w)-2, 1)+1)) AS t(i)
+            ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), capped AS (  -- mirror of the engine's df_cap=100 shingle drop
+              SELECT * FROM sh
+              WHERE g IN (SELECT g FROM sh GROUP BY g HAVING count(*) <= 100)
+            )
+            SELECT a.doc_id AS inner_id, b.doc_id AS outer_id,
+                   CAST(count(*) AS BIGINT) AS n_common,
+                   CAST(sa.n AS BIGINT) AS inner_size,
+                   CAST((100 * count(*)) // sa.n AS BIGINT) AS containment_pct
+            FROM capped a JOIN capped b
+              ON a.g = b.g AND a.doc_id <> b.doc_id
+            JOIN sizes sa ON sa.doc_id = a.doc_id
+            GROUP BY a.doc_id, b.doc_id, sa.n
+            HAVING (100 * count(*)) // sa.n >= 20
         """,
         "datacard": """
             WITH h AS (

@@ -742,6 +742,68 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     )
 
 
+def shingle_containment_pairs(df: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id", n: int = 3,
+                              min_pct: int = 80,
+                              df_cap: int | None = 1000) -> DataFrame:
+    """ASYMMETRIC containment over word n-gram sets: C(A⊂B) =
+    |S(A)∩S(B)| / |S(A)| — the quote/subset detector symmetric Jaccard
+    is blind to. A 100-word article embedded verbatim in a 10,000-word
+    aggregator page has Jaccard ≈ 0.01 (never crosses any near-dup
+    threshold) but containment 1.0; training-data pipelines drop or
+    down-weight the contained copy, and a crawler demotes hosts that
+    mostly republish (cf. the mirror detector in operators/sketches.py,
+    which works at host granularity; this is the document-level tool).
+
+    Output: one row per ORDERED pair (inner_id, outer_id) with
+    containment_pct = (100 * |∩|) div |S(inner)| >= min_pct, inner !=
+    outer — integer-exact so the DuckDB oracle gates it bit-for-bit.
+    Both directions can appear (two near-identical docs contain each
+    other).
+
+    Plan shape (same scale story as `ngram_jaccard_pairs`): distinct
+    shingle hashes per doc (JVM transform + xxhash64, no Python) →
+    explode → drop shingles with doc-frequency > df_cap (the quadratic
+    control: boilerplate shingles are containment noise anyway) →
+    self-join on shingle → groupBy ordered pair. The pair count, not
+    the corpus, bounds the reduce side."""
+    toks = F.split(F.lower(clean_text(F.col(text_col))), " ")
+    n_sh = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n_sh - 1),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))),
+        )
+    )
+    docs = df.select(F.col(id_col).alias("id"), shingles.alias("sh")).withColumn(
+        "set_size", F.size("sh")
+    )
+    exploded = docs.select("id", "set_size", F.explode("sh").alias("shingle"))
+    if df_cap is not None:
+        freq = exploded.groupBy("shingle").agg(F.count("*").alias("_df"))
+        exploded = exploded.join(
+            freq.filter(F.col("_df") <= df_cap).select("shingle"),
+            "shingle", "left_semi",
+        )
+    a = exploded.select(F.col("id").alias("inner_id"),
+                        F.col("set_size").alias("_ni"), "shingle")
+    b = exploded.select(F.col("id").alias("outer_id"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("inner_id") != F.col("outer_id"))
+        .groupBy("inner_id", "outer_id", "_ni")
+        .agg(F.count("*").alias("n_common"))
+        .select(
+            "inner_id", "outer_id",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("_ni").cast("long").alias("inner_size"),
+            F.expr("(100 * n_common) div _ni").cast("long")
+            .alias("containment_pct"),
+        )
+        .filter(F.col("containment_pct") >= min_pct)
+    )
+
+
 def line_dedup_corpus(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", min_chars: int = 10
                       ) -> DataFrame:

@@ -226,6 +226,95 @@ def hits_fixed_point(
     return out
 
 
+def opic_fixed_rounds(
+    edges: DataFrame,
+    iters: int = 3,
+    scale: int = 10**9,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Batch OPIC — On-line Page Importance Computation (Abiteboul,
+    Preda & Cobena, WWW 2003) — in bit-exact integer arithmetic.
+
+    OPIC is the importance measure crawlers use ONLINE: unlike PageRank
+    (which needs the whole graph converged before it ranks anything),
+    OPIC's cash/history pair gives a usable fetch priority after every
+    round, so the frontier can schedule by it mid-crawl. The synchronous
+    batch variant here processes every node each round:
+
+        hist'(v) = hist(v) + cash(v)                 [spend is recorded]
+        share(u→v) = cash(u) div outdeg(u)           [bigint div]
+        pool     = sum of cash(u) over dangling u    [virtual page]
+        cash'(v) = sum of incoming shares + pool div n
+
+    `importance = hist + cash` (the paper's H+C estimate, unnormalized —
+    ranks are a relative scheduling signal, same contract as
+    `pagerank_fixed_point`). Dangling cash goes to the paper's virtual
+    page and returns uniformly next round, so cash is conserved up to
+    integer-division dust and deterministically so.
+
+    Every operation is bigint with a pinned order — the DuckDB oracle
+    unrolls the same rounds and matches bit-for-bit. Overflow bound:
+    total cash ≈ scale is conserved, so no sum exceeds ~scale + n.
+
+    Scale shape (10^10 nodes): per round, one co-partitioned
+    ranks⋈edges join + map-side-combined groupBy(dst) (the canonical
+    Spark PageRank shuffle pair) plus ONE 1-row aggregate for the
+    dangling pool, broadcast in-plan (crossJoin of a scalar — no driver
+    action, same device as `hits_fixed_point`'s rescale). `n` is a
+    single metadata-scale count. For many rounds, checkpoint `state`
+    every ~5 iterations to cut lineage. Returns (node, cash, hist, opic).
+    """
+    e = edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("cash"),
+            F.lit(0).cast("long").alias("hist"),
+            F.lit(0).cast("long").alias("opic"),
+        )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    state = nodes.select(
+        "node",
+        F.lit(scale // n).cast("long").alias("cash"),
+        F.lit(0).cast("long").alias("hist"),
+    )
+    for _ in range(iters):
+        pool = (
+            state.join(deg.withColumnRenamed("src", "node"), "node", "left_anti")
+            .agg(F.coalesce(F.sum("cash"), F.lit(0)).cast("long").alias("_pool"))
+        )
+        shares = (
+            e.join(state.select(F.col("node").alias("src"), "cash"), "src")
+            .join(deg, "src")
+            .select("dst", F.expr("cash div _deg").alias("_share"))
+        )
+        inflow = shares.groupBy("dst").agg(F.sum("_share").alias("_in"))
+        state = (
+            state.select("node", F.col("cash").alias("_oc"),
+                         F.col("hist").alias("_oh"))
+            .join(inflow.withColumnRenamed("dst", "node"), "node", "left")
+            .crossJoin(F.broadcast(pool))
+            .select(
+                "node",
+                (F.coalesce(F.col("_in"), F.lit(0).cast("long"))
+                 + F.expr(f"_pool div {n}L")).cast("long").alias("cash"),
+                (F.col("_oh") + F.col("_oc")).cast("long").alias("hist"),
+            )
+        )
+    return state.select(
+        "node", "cash", "hist",
+        (F.col("cash") + F.col("hist")).cast("long").alias("opic"),
+    )
+
+
 def host_link_graph(docs: DataFrame, spans_col: str = "spans",
                     host_col: str = "host") -> DataFrame:
     """Aggregate the page-level anchor graph to HOST granularity:

@@ -152,8 +152,41 @@ def _parse_records(data: bytes) -> Iterator[dict]:
         pos = head_end + 4 + length
 
 
+def _dechunk(body: bytes) -> bytes | None:
+    """Reassemble an HTTP/1.1 chunked-transfer body (RFC 9112 §7.1):
+    hex size line (chunk extensions after ';' ignored) + chunk + CRLF,
+    terminated by a 0-size chunk (trailers dropped). Returns None on any
+    framing damage — the caller keeps the raw bytes rather than guess."""
+    out, pos = [], 0
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            return None
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            return None
+        pos = eol + 2
+        if size == 0:
+            return b"".join(out)
+        if pos + size + 2 > len(body) or body[pos + size:pos + size + 2] != b"\r\n":
+            return None
+        out.append(body[pos:pos + size])
+        pos += size + 2
+
+
 def _split_http(block: bytes) -> tuple[int | None, str | None, bytes]:
-    """HTTP response block -> (status, content_type, payload)."""
+    """HTTP response block -> (status, content_type, payload).
+
+    Web archives capture the response AS SENT, so the payload routinely
+    arrives chunked (Transfer-Encoding: chunked) and/or compressed
+    (Content-Encoding: gzip|deflate) — both are undone here, in wire
+    order (de-chunk first, then decompress), because every downstream
+    operator (HTML ingest, dedup fingerprints, content extraction) needs
+    the entity bytes, not the transfer framing. Damage policy matches
+    the rest of this module: any framing/stream error keeps the raw
+    block rather than emitting a partial guess."""
     sep = block.find(b"\r\n\r\n")
     if sep < 0 or not block.startswith(b"HTTP/"):
         return None, None, block
@@ -165,12 +198,36 @@ def _split_http(block: bytes) -> tuple[int | None, str | None, bytes]:
     except (IndexError, ValueError):
         status = None
     ctype = None
+    chunked = False
+    cenc = ""
     for line in lines[1:]:
         k, _, v = line.partition(":")
-        if k.strip().lower() == "content-type":
+        key = k.strip().lower()
+        if key == "content-type" and ctype is None:
             ctype = v.strip()
-            break
-    return status, ctype, block[sep + 4:]
+        elif key == "transfer-encoding" and "chunked" in v.lower():
+            chunked = True
+        elif key == "content-encoding":
+            cenc = v.strip().lower()
+    payload = block[sep + 4:]
+    if chunked:
+        body = _dechunk(payload)
+        if body is not None:
+            payload = body
+    if cenc in ("gzip", "x-gzip") and payload[:2] == b"\x1f\x8b":
+        try:
+            payload = gzip.decompress(payload)
+        except (OSError, EOFError, zlib.error):
+            pass
+    elif cenc == "deflate":
+        try:  # zlib-wrapped first, raw-deflate fallback (both seen in wild)
+            payload = zlib.decompress(payload)
+        except zlib.error:
+            try:
+                payload = zlib.decompress(payload, -zlib.MAX_WBITS)
+            except zlib.error:
+                pass
+    return status, ctype, payload
 
 
 def parse_warc_bytes(data: bytes) -> list[dict]:

@@ -418,3 +418,77 @@ def test_dedup_against_corpus_exact_and_near(spark):
     near = {r["doc_id"] for r in
             dedup_against_corpus(new, corpus, near=True).collect()}
     assert near == {13}
+
+
+def _py_containment(docs, n=3, min_pct=20, df_cap=None):
+    import re
+
+    def shingles(t):
+        # exact mirror of the engine: cleaned text split on single
+        # spaces, max(len - (n-1), 1) slices of n tokens (the last slice
+        # is the whole shorter token list when len < n)
+        w = re.sub(r"\s+", " ", t.strip()).lower().split(" ")
+        k = max(len(w) - (n - 1), 1)
+        return {" ".join(w[i:i + n]) for i in range(k)}
+
+    sets = {i: shingles(t) for i, t in docs}
+    if df_cap is not None:
+        df = {}
+        for s in sets.values():
+            for g in s:
+                df[g] = df.get(g, 0) + 1
+        sets = {i: {g for g in s if df[g] <= df_cap} for i, s in sets.items()}
+        sizes = {i: len(shingles(t)) for i, t in docs}  # size pre-cap
+    else:
+        sizes = {i: len(s) for i, s in sets.items()}
+    out = {}
+    for a in sets:
+        for b in sets:
+            if a == b:
+                continue
+            common = len(sets[a] & sets[b])
+            if common and sizes[a] and (100 * common) // sizes[a] >= min_pct:
+                out[(a, b)] = (common, sizes[a], (100 * common) // sizes[a])
+    return out
+
+
+def test_shingle_containment_quote_detection(spark):
+    from smartcrawler_spark.operators.dedup import shingle_containment_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    long_doc = ("breaking news from the wire desk today . " + quote +
+                " . reporters added extensive commentary and analysis "
+                "spanning many further unrelated paragraphs of text "
+                "about weather markets sports and local politics")
+    docs = [(1, quote), (2, long_doc), (3, "entirely different content "
+            "about gardening tips for growing tomatoes in raised beds")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["inner_id"], r["outer_id"]):
+           (r["n_common"], r["inner_size"], r["containment_pct"])
+           for r in shingle_containment_pairs(df, min_pct=20).collect()}
+    assert got == _py_containment(docs, min_pct=20)
+    # the short quote is fully contained in the long doc, but the long
+    # doc is nowhere near contained in the quote — the measure is
+    # asymmetric where jaccard would give one (low) number to the pair
+    assert got[(1, 2)][2] == 100
+    assert got[(2, 1)][2] < 30
+    inter, na = got[(1, 2)][0], got[(1, 2)][1]
+    nb = got[(2, 1)][1]
+    assert inter / (na + nb - inter) < 0.25  # jaccard misses this pair
+    # doc 3 shares nothing with either
+    assert all(k[0] in (1, 2) and k[1] in (1, 2) for k in got)
+
+
+def test_shingle_containment_df_cap_mirrors_oracle(spark):
+    from smartcrawler_spark.operators.dedup import shingle_containment_pairs
+
+    # boilerplate shingle shared by EVERY doc gets df-capped away
+    docs = [(i, f"copyright footer two thousand page {i} unique words "
+                f"alpha{i} beta{i} gamma{i}") for i in range(6)]
+    docs.append((99, "copyright footer two thousand"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["inner_id"], r["outer_id"]):
+           (r["n_common"], r["inner_size"], r["containment_pct"])
+           for r in shingle_containment_pairs(df, min_pct=10, df_cap=3)
+               .collect()}
+    assert got == _py_containment(docs, min_pct=10, df_cap=3)

@@ -225,3 +225,54 @@ def test_host_triangles_max_degree_drops_hubs(spark):
     assert ("d", "e", "hub") in all_tris and len(all_tris) > 4
     capped = {tuple(r) for r in host_triangles(df, max_degree=4).collect()}
     assert capped == {("a", "b", "c")}
+
+
+def _py_opic(edges, iters, scale=10**9):
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    cash = {v: scale // n for v in nodes}
+    hist = {v: 0 for v in nodes}
+    for _ in range(iters):
+        pool = sum(c for v, c in cash.items() if v not in deg)
+        inflow = {v: 0 for v in nodes}
+        for s, d in edges:
+            inflow[d] += cash[s] // deg[s]
+        hist = {v: hist[v] + cash[v] for v in nodes}
+        cash = {v: inflow[v] + pool // n for v in nodes}
+    return {v: (cash[v], hist[v], cash[v] + hist[v]) for v in nodes}
+
+
+def test_opic_matches_python_oracle_exactly(spark):
+    # functional graph + a hub + DANGLING nodes (20,21 appear only as dst)
+    edges = [(i % 13, (i * 7 + 3) % 13) for i in range(40)]
+    edges += [(i, 0) for i in range(1, 6)]
+    edges += [(3, 20), (5, 21)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: (r["cash"], r["hist"], r["opic"])
+           for r in LG.opic_fixed_rounds(df, iters=3).collect()}
+    assert got == _py_opic(edges, 3)
+    # the dangling nodes accumulated history (they received cash) and the
+    # virtual-page return path gave every node nonzero cash
+    assert all(c > 0 for c, _, _ in got.values())
+    assert got[20][1] > 0 and got[21][1] > 0
+
+
+def test_opic_cash_is_conserved_up_to_division_dust(spark):
+    edges = [(i % 11, (i * 5 + 1) % 11) for i in range(30)] + [(4, 99)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = LG.opic_fixed_rounds(df, iters=4, scale=10**9).collect()
+    n = len(rows)
+    total_cash = sum(r["cash"] for r in rows)
+    # initial total = n * (scale div n); each round loses < (n + 1)
+    # units of integer-division dust (outdeg splits + the pool split)
+    start = n * (10**9 // n)
+    assert start - 4 * (sum(1 for _ in rows) + len(edges)) <= total_cash <= start
+
+
+def test_opic_empty_graph(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    assert LG.opic_fixed_rounds(df, iters=2).count() == 0

@@ -333,3 +333,33 @@ def test_duplicate_content_hosts_single_host_exchange(spark, sf_dir):
     for ln in plan.splitlines():
         if "Exchange" in ln and "hashpartitioning" in ln:
             assert "host" in ln, ln
+
+
+def test_opic_dangling_pool_is_broadcast_not_driver(spark, sf_dir):
+    """opic_fixed_rounds: the per-round dangling-cash pool must be an
+    in-plan broadcast of a 1-row aggregate (same device as the HITS
+    rescale), never a driver collect; and nothing drops to Python."""
+    from smartcrawler_spark.operators.linkgraph import opic_fixed_rounds
+
+    e = spark.range(200).select(
+        (F.col("id") % 23).alias("src"), ((F.col("id") * 9 + 1) % 23).alias("dst")
+    ).filter(F.col("src") % 5 != 0)
+    plan = plan_of(opic_fixed_rounds(e, iters=2))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "EvalPython" not in plan
+
+
+def test_shingle_containment_plan_stays_jvm_side(spark, sf_dir):
+    """shingle_containment_pairs: shingling is JVM HOFs (no Python), the
+    self-join is a hash join on the 8-byte shingle key (no cartesian),
+    and the df-cap runs as a semi join."""
+    from smartcrawler_spark.operators.dedup import shingle_containment_pairs
+
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta text "),
+                 F.col("id").cast("string")).alias("text"),
+    )
+    plan = plan_of(shingle_containment_pairs(docs))
+    assert "EvalPython" not in plan and "CartesianProduct" not in plan
+    assert "LeftSemi" in plan or "left_semi" in plan.lower()

@@ -154,3 +154,71 @@ def test_export_corpus_warc_roundtrip(spark):
     h = lambda d: {f: H.md5(open(os.path.join(d, f), 'rb').read()).hexdigest()
                    for f in os.listdir(d)}  # noqa: E731
     assert h(d1) == h(d2)
+
+
+def _chunked(body: bytes, sizes) -> bytes:
+    out, pos = [], 0
+    for s in sizes:
+        out.append(f"{s:x}".encode() + b"\r\n" + body[pos:pos + s] + b"\r\n")
+        pos += s
+    assert pos == len(body)
+    return b"".join(out) + b"0\r\n\r\n"
+
+
+def _raw_response(headers: list[str], body: bytes) -> bytes:
+    head = "\r\n".join(["HTTP/1.1 200 OK"] + headers) + "\r\n\r\n"
+    return head.encode() + body
+
+
+def test_chunked_transfer_is_reassembled():
+    from smartcrawler_spark.sources.warc import (parse_warc_bytes,
+                                                 warc_record_bytes)
+
+    body = b"<html><body>" + b"x" * 100 + b"</body></html>"
+    block = _raw_response(
+        ["Content-Type: text/html", "Transfer-Encoding: chunked"],
+        _chunked(body, [5, 1, 50, len(body) - 56]))
+    rec = warc_record_bytes("response", "https://c.example.com/", 
+                            "2026-08-19T00:00:00Z", "c1", block)
+    got = parse_warc_bytes(rec)[0]
+    assert got["payload"] == body and got["http_status"] == 200
+
+
+def test_chunked_with_extensions_and_gzip_content_encoding():
+    import gzip as _gz
+
+    from smartcrawler_spark.sources.warc import (parse_warc_bytes,
+                                                 warc_record_bytes)
+
+    body = b'{"k": 1}' * 40
+    comp = _gz.compress(body, mtime=0)
+    # chunk extension after ';' must be ignored (RFC 9112 7.1.1)
+    chunks = (f"{len(comp):x};ext=1\r\n".encode() + comp + b"\r\n0\r\n\r\n")
+    block = _raw_response(
+        ["Content-Type: application/json", "Transfer-Encoding: chunked",
+         "Content-Encoding: gzip"], chunks)
+    rec = warc_record_bytes("response", "https://c.example.com/j",
+                            "2026-08-19T00:00:00Z", "c2", block)
+    assert parse_warc_bytes(rec)[0]["payload"] == body
+
+
+def test_deflate_both_wrappings_and_damage_keeps_raw():
+    import zlib as _z
+
+    from smartcrawler_spark.sources.warc import _split_http
+
+    body = b"deflated payload bytes " * 10
+    zl = _z.compress(body)                       # zlib-wrapped deflate
+    co = _z.compressobj(wbits=-15)
+    raw = co.compress(body) + co.flush()         # raw deflate (seen in wild)
+    for comp in (zl, raw):
+        blk = _raw_response(["Content-Type: text/plain",
+                             "Content-Encoding: deflate"], comp)
+        assert _split_http(blk)[2] == body
+    # damaged chunk framing -> raw block kept, never a crash or partial
+    bad = _raw_response(["Transfer-Encoding: chunked"], b"zz\r\nnot hex")
+    status, _, payload = _split_http(bad)
+    assert status == 200 and payload == b"zz\r\nnot hex"
+    # truncated gzip -> raw bytes kept
+    badgz = _raw_response(["Content-Encoding: gzip"], b"\x1f\x8bTRUNC")
+    assert _split_http(badgz)[2] == b"\x1f\x8bTRUNC"
