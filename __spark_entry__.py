@@ -713,6 +713,62 @@ def q_shingle_containment(spark, sf_dir):
     return DD.shingle_containment_pairs(docs, n=3, min_pct=20, df_cap=100)
 
 
+def q_page_directives(spark, sf_dir):
+    """Robots-meta / rel=nofollow / canonical / base extraction
+    (sources.html_ingest.extract_directives_docs, one Arrow mapInPandas
+    tree walk): HTML is synthesized deterministically from doc_id so the
+    oracle can compute every expected field in closed form — the ENGINE
+    must still parse real markup (quoted attrs, rel token lists, a
+    googlebot-meta decoy, a duplicate canonical that must lose)."""
+    from smartcrawler_spark.sources.html_ingest import extract_directives_docs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    did = F.col("doc_id")
+    robots = (
+        F.when(did % 4 == 0, F.lit('<meta name="robots" content="noindex">'))
+        .when(did % 4 == 1, F.lit('<meta name="robots" content="NOFOLLOW">'))
+        .when(did % 4 == 2, F.lit('<meta name="robots" content="none">'))
+        .otherwise(F.lit('<meta name="googlebot" content="noindex">'))
+    )
+    canon = F.when(
+        did % 5 == 0,
+        F.concat(F.lit('<link rel="canonical" href="https://c.example.com/p'),
+                 did.cast("string"),
+                 F.lit('"><link rel="canonical" href="https://loser.example.com/">')),
+    ).otherwise(F.lit(""))
+    base = F.when(did % 11 == 0,
+                  F.lit('<base href="https://b.example.com/dir/">')
+                  ).otherwise(F.lit(""))
+    anchors = F.when(
+        did % 7 == 0,
+        F.lit('<a href="/nf1" rel="nofollow">x</a>'
+              '<a href="/nf2" rel="ugc sponsored">y</a>'),
+    ).when(did % 7 == 1, F.lit('<a href="/nf3" rel="sponsored">z</a>')
+           ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head>"), robots, canon, base,
+        F.lit('</head><body><a href="/plain" rel="noopener">p</a>'),
+        anchors, F.lit("<p>"), F.substring(F.col("text"), 1, 20),
+        F.lit("</p></body></html>"),
+    )
+    return extract_directives_docs(
+        docs.select(did.cast("string").alias("doc_id"), html.alias("html")))
+
+
+def q_charset_decode(spark, sf_dir):
+    """Charset sniff+decode (sources.charset.decode_payloads, one Arrow
+    pandas UDF, map-only): fixed byte vectors covering the WHATWG
+    detection ladder — BOMs > Content-Type charset > meta prescan (1024-
+    byte window) > utf-8-replace fallback — vs a golden parquet whose
+    expected text/encoding were computed INDEPENDENTLY in
+    tools/gen_golden.py (direct known-truth codec decode, no sniffing)."""
+    from smartcrawler_spark.sources.charset import decode_payloads, gate_cases
+
+    df = spark.createDataFrame(
+        gate_cases(), "case_id string, payload binary, content_type string")
+    return decode_payloads(df).select("case_id", "text", "encoding")
+
+
 def q_datacard(spark, sf_dir):
     """Corpus datacard rollup (plans.analysis.corpus_datacard): per
     (split, lang) doc counts, token totals and length spread — split
@@ -1982,6 +2038,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "opic": q_opic,
         "shingle_containment": q_shingle_containment,
+        "page_directives": q_page_directives,
+        "charset_decode": q_charset_decode,
         "datacard": q_datacard,
         "incremental_dedup": q_incremental_dedup,
         "uniform_sample": q_uniform_sample,
@@ -2619,6 +2677,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(hist AS BIGINT) AS hist,
                    CAST(cash + hist AS BIGINT) AS opic
             FROM s3
+        """,
+        "page_directives": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   doc_id % 4 IN (0, 2) AS noindex,
+                   doc_id % 4 IN (1, 2) AS nofollow,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN 'https://c.example.com/p' || CAST(doc_id AS VARCHAR)
+                        ELSE '' END AS canonical,
+                   CASE WHEN doc_id % 11 = 0
+                        THEN 'https://b.example.com/dir/' ELSE '' END AS base_href,
+                   CAST(CASE WHEN doc_id % 7 = 0 THEN 2
+                             WHEN doc_id % 7 = 1 THEN 1
+                             ELSE 0 END AS INT) AS n_nofollow_links
+            FROM documents WHERE doc_id < 500
+        """,
+        "charset_decode": """
+            SELECT case_id, text, encoding
+            FROM read_parquet('/root/repo/fixtures/golden/charset_decode.parquet')
         """,
         "shingle_containment": r"""
             WITH toks AS (

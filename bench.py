@@ -221,6 +221,9 @@ def headline_queries():
         # round-4 additions: retrieval ranking inputs, LM quality scoring,
         # boilerplate extraction, sketch-LSH mirror detection
         "bm25_components", "lm_score", "content_blocks", "mirror_hosts",
+        # round-5 additions: online crawl importance, asymmetric
+        # containment dedup, page-directive extraction
+        "opic", "shingle_containment", "page_directives",
     ]
     return {k: qs[k] for k in names}
 

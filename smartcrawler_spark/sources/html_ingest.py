@@ -194,20 +194,138 @@ def html_to_spans(html: str) -> tuple[list[dict], list[dict]]:
     return flatten(parse_html(html))
 
 
-def extract_links(html: str, base_domain: str) -> list[str]:
+def extract_links(html: str, base_domain: str,
+                  respect_nofollow: bool = False) -> list[str]:
     """Reference extract_links (html_parser.rs:231-247): a[href] resolved
     and same-domain filtered, deduplicated. Deterministic order (sorted —
-    the reference returns HashSet order)."""
+    the reference returns HashSet order).
+
+    `respect_nofollow=True` additionally honors REP link-level opt-outs
+    (default OFF = reference parity; the reference follows every href):
+    anchors whose rel contains `nofollow`/`ugc`/`sponsored` are skipped,
+    and a page-level robots-meta nofollow drops ALL links."""
     from ..oracle import resolve_href, same_domain
 
+    skip: set[str] = set()
+    if respect_nofollow:
+        d = page_directives(html)
+        if d["nofollow"]:
+            return []
+        skip = set(d["nofollow_hrefs"])
     spans, _ = html_to_spans(html)
     out = set()
     for s in spans:
         if s["kind"] == "a" and s["media_ref"]:
+            if respect_nofollow and s["media_ref"] in skip:
+                continue
             url = resolve_href(s["media_ref"], base_domain)
             if same_domain(url, base_domain):
                 out.add(url)
     return sorted(out)
+
+
+# -- page-level crawl directives (robots meta / rel=nofollow / canonical) ----
+
+_NOFOLLOW_RELS = {"nofollow", "ugc", "sponsored"}
+
+
+def page_directives(html: str) -> dict:
+    """Robots Exclusion Protocol page-level directives + canonicalization
+    hints the reference never sees (its browser-driven fetch ignores
+    them), extracted in ONE tree walk:
+
+    * robots meta (`<meta name="robots" content="...">`): `noindex` /
+      `nofollow` flags; `none` implies both (Google/Bing semantics).
+      Agent-specific metas (name="googlebot") are ignored — this engine
+      models the generic agent, matching its robots.txt default.
+    * `<link rel="canonical" href=...>` — first one wins (browser rule).
+    * `<base href=...>` — first one wins; surfaced for the caller,
+      NOT applied to link resolution (the reference resolves against the
+      page domain only — html_parser.rs:231-247 — and span-sequence
+      parity pins that behavior).
+    * per-anchor rel=nofollow/ugc/sponsored (the 2019 REP extensions) —
+      raw hrefs, for link-graph weighting or admission filtering.
+
+    Returns {noindex, nofollow, canonical, base_href, nofollow_hrefs}.
+    """
+    tb = _TreeBuilder()
+    tb.feed(html or "")
+    tb.close()
+    out = {"noindex": False, "nofollow": False, "canonical": "",
+           "base_href": "", "nofollow_hrefs": []}
+    seen_hrefs = set()
+
+    def walk(el: _Elem):
+        for k in el.kids:
+            if not isinstance(k, _Elem):
+                continue
+            tag = k.tag
+            if tag == "meta":
+                name = (k.attrs.get("name") or "").strip().lower()
+                if name == "robots":
+                    toks = {
+                        t.strip().lower()
+                        for t in (k.attrs.get("content") or "").replace(
+                            ",", " ").split()
+                    }
+                    if "none" in toks:
+                        toks |= {"noindex", "nofollow"}
+                    out["noindex"] |= "noindex" in toks
+                    out["nofollow"] |= "nofollow" in toks
+            elif tag == "link":
+                rels = {(r or "").lower()
+                        for r in (k.attrs.get("rel") or "").split()}
+                if "canonical" in rels and not out["canonical"]:
+                    out["canonical"] = (k.attrs.get("href") or "").strip()
+            elif tag == "base":
+                if not out["base_href"]:
+                    out["base_href"] = (k.attrs.get("href") or "").strip()
+            elif tag == "a":
+                rels = {(r or "").lower()
+                        for r in (k.attrs.get("rel") or "").split()}
+                href = (k.attrs.get("href") or "").strip()
+                if href and rels & _NOFOLLOW_RELS and href not in seen_hrefs:
+                    seen_hrefs.add(href)
+                    out["nofollow_hrefs"].append(href)
+            walk(k)
+
+    walk(tb.root)
+    return out
+
+
+DIRECTIVES_SCHEMA = (
+    "doc_id string, noindex boolean, nofollow boolean, canonical string, "
+    "base_href string, n_nofollow_links int"
+)
+
+
+def extract_directives_docs(df, doc_id_col: str = "doc_id",
+                            html_col: str = "html"):
+    """(doc_id, html) DataFrame -> one directives row per page via Arrow
+    mapInPandas (map-only, no Exchange — same stage shape as
+    parse_html_docs; run both in one pass over the raw HTML scan and the
+    source is read once). Downstream uses: noindex pages drop out of the
+    export corpus; canonical feeds `linkgraph.resolve_redirects` as alias
+    edges; n_nofollow_links feeds host-quality features."""
+    import pandas as pd
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for doc_id, html in zip(pdf[doc_id_col], pdf[html_col]):
+                d = page_directives(html if isinstance(html, str) else "")
+                rows.append({
+                    "doc_id": "" if doc_id is None else str(doc_id),
+                    "noindex": d["noindex"], "nofollow": d["nofollow"],
+                    "canonical": d["canonical"],
+                    "base_href": d["base_href"],
+                    "n_nofollow_links": len(d["nofollow_hrefs"]),
+                })
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "noindex", "nofollow", "canonical", "base_href",
+                "n_nofollow_links"])
+
+    return df.mapInPandas(gen, DIRECTIVES_SCHEMA)
 
 
 SPAN_DOC_SCHEMA = (

@@ -53,6 +53,7 @@ def _table_rows(t, cols):
     ("image_stream_info", ["media_ref", "format", "width", "height",
                            "bit_depth", "n_frames", "progressive",
                            "orientation"]),
+    ("charset_decode", ["case_id", "text", "encoding"]),
 ])
 def test_generator_matches_kernel_on_other_sf(spark, sf_dir, name, cols):
     import __spark_entry__ as E

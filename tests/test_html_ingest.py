@@ -140,3 +140,84 @@ def test_parse_html_docs_engine_surface(spark):
 
     parsed = parse_html_docs(df)
     assert SP.find_by_path(parsed, "html body div.c").count() == 1
+
+
+# -- page directives (robots meta / nofollow / canonical / base) ------------
+
+
+def test_page_directives_extraction():
+    from smartcrawler_spark.sources.html_ingest import page_directives
+
+    html = """
+    <html><head>
+      <meta name="robots" content="NOINDEX, nofollow">
+      <meta name="googlebot" content="noarchive">
+      <link rel="canonical" href="https://ex.com/canon">
+      <link rel="canonical" href="https://ex.com/second-ignored">
+      <base href="https://ex.com/sub/">
+    </head><body>
+      <a href="/a" rel="nofollow">n</a>
+      <a href="/b" rel="ugc">u</a>
+      <a href="/c" rel="sponsored noopener">s</a>
+      <a href="/d" rel="noopener">follow-me</a>
+      <a href="/e">plain</a>
+      <a href="/a" rel="nofollow">dup</a>
+    </body></html>"""
+    d = page_directives(html)
+    assert d["noindex"] and d["nofollow"]
+    assert d["canonical"] == "https://ex.com/canon"
+    assert d["base_href"] == "https://ex.com/sub/"
+    assert d["nofollow_hrefs"] == ["/a", "/b", "/c"]
+
+
+def test_page_directives_none_token_and_defaults():
+    from smartcrawler_spark.sources.html_ingest import page_directives
+
+    d = page_directives('<meta name="robots" content="none">')
+    assert d["noindex"] and d["nofollow"]
+    d = page_directives("<html><body><p>plain</p></body></html>")
+    assert d == {"noindex": False, "nofollow": False, "canonical": "",
+                 "base_href": "", "nofollow_hrefs": []}
+    # agent-specific metas and garbage never flip the generic flags
+    d = page_directives('<meta name="googlebot" content="noindex">'
+                        '<meta content="noindex"><meta name="robots">')
+    assert not d["noindex"] and not d["nofollow"]
+    assert page_directives("")["nofollow_hrefs"] == []
+    assert page_directives("<a rel=nofollow>no href</a>")["nofollow_hrefs"] == []
+
+
+def test_extract_links_respect_nofollow():
+    from smartcrawler_spark.sources.html_ingest import extract_links
+
+    html = ('<html><body>'
+            '<a href="https://ex.com/keep">k</a>'
+            '<a href="https://ex.com/skip" rel="nofollow">s</a>'
+            '<a href="https://other.com/x">offsite</a>'
+            '</body></html>')
+    # default = reference parity: nofollow is followed
+    assert extract_links(html, "ex.com") == [
+        "https://ex.com/keep", "https://ex.com/skip"]
+    assert extract_links(html, "ex.com", respect_nofollow=True) == [
+        "https://ex.com/keep"]
+    # page-level nofollow drops everything
+    page_nf = '<meta name="robots" content="nofollow">' + html
+    assert extract_links(page_nf, "ex.com", respect_nofollow=True) == []
+    assert extract_links(page_nf, "ex.com") == [
+        "https://ex.com/keep", "https://ex.com/skip"]
+
+
+def test_extract_directives_docs_spark_stage(spark):
+    from smartcrawler_spark.sources.html_ingest import extract_directives_docs
+
+    rows = [
+        ("u1", '<meta name="robots" content="noindex">'
+               '<a href="/x" rel="nofollow">x</a>'),
+        ("u2", '<link rel="canonical" href="https://c.ex.com/p">ok'),
+        ("u3", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, html string")
+    got = {r["doc_id"]: r.asDict() for r in extract_directives_docs(df).collect()}
+    assert got["u1"]["noindex"] and not got["u1"]["nofollow"]
+    assert got["u1"]["n_nofollow_links"] == 1
+    assert got["u2"]["canonical"] == "https://c.ex.com/p"
+    assert not got["u3"]["noindex"] and got["u3"]["n_nofollow_links"] == 0

@@ -530,6 +530,40 @@ def golden_mp3_decode(sf_dir: str) -> pa.Table:  # sf-independent
     })
 
 
+def golden_charset_decode(sf_dir: str) -> pa.Table:  # sf-independent
+    """Expected (case_id, text, encoding) for sources.charset.gate_cases.
+
+    INDEPENDENT of the engine's sniffing: each case's true codec is
+    DECLARED here (we authored the fixture bytes, so the truth is known)
+    and the expected text is a direct payload.decode(truth) — the engine
+    must arrive at the same answer by detection."""
+    from smartcrawler_spark.sources.charset import gate_cases
+
+    truth = {  # case_id -> (codec to decode with, reported encoding name)
+        "utf8_plain": ("utf-8", "utf-8"),
+        "utf8_bom": ("utf-8-sig", "utf-8"),
+        "utf16le_bom": ("utf-16", "utf-16-le"),   # utf-16 consumes the BOM
+        "utf16be_bom": ("utf-16", "utf-16-be"),
+        "ctype_latin1": ("cp1252", "cp1252"),
+        "meta_cp1251": ("cp1251", "cp1251"),
+        "meta_httpequiv_sjis": ("shift_jis", "shift_jis"),
+        "bogus_label_damage": ("utf-8", "utf-8"),     # fallback + U+FFFD
+        "empty": ("utf-8", "utf-8"),
+        "meta_past_prescan": ("utf-8", "utf-8"),      # meta outside window
+    }
+    ids, texts, encs = [], [], []
+    for case_id, payload, _ct in gate_cases():
+        codec, reported = truth[case_id]
+        ids.append(case_id)
+        texts.append(payload.decode(codec, errors="replace"))
+        encs.append(reported)
+    return pa.table({
+        "case_id": pa.array(ids, pa.string()),
+        "text": pa.array(texts, pa.string()),
+        "encoding": pa.array(encs, pa.string()),
+    })
+
+
 GOLDENS = {
     "dedup_minhash": golden_dedup_minhash,
     "dedup_simhash": golden_dedup_simhash,
@@ -540,6 +574,7 @@ GOLDENS = {
     "mp3_decode": golden_mp3_decode,
     "cdc_chunks": golden_cdc_chunks,
     "image_stream_info": golden_image_stream_info,
+    "charset_decode": golden_charset_decode,
 }
 
 
