@@ -387,6 +387,33 @@ def export_corpus_warc(docs: DataFrame, out_dir: str, date: str,
     return part.mapInPandas(gen, "file string, n_records long, n_bytes long")
 
 
+def span_docs_from_warc(spark, warc_dir: str,
+                        include_statuses: tuple = (200,)) -> DataFrame:
+    """The raw-web ingest path, end to end: WARC response records ->
+    entity bytes (already de-chunked/de-gzipped by the record parser) ->
+    charset sniff+decode (sources/charset.py) -> reference-shaped span
+    documents (sources/html_ingest.py). One scan, three map-only Arrow
+    stages, zero Exchange until a downstream shuffle asks for one —
+    point it at a Common-Crawl-style .warc.gz directory and the output
+    is the engine's standard (doc_id, host, spans, nodes) corpus.
+
+    Only `include_statuses` responses with an HTML content type are
+    parsed; everything else (errors, images, PDFs) is filtered at the
+    scan so payload bytes never cross a stage boundary."""
+    from .charset import decode_payloads
+    from .html_ingest import parse_html_docs
+
+    recs = read_warc(spark, warc_dir).filter(
+        (F.col("warc_type") == "response")
+        & F.col("http_status").isin(list(include_statuses))
+        & F.lower(F.coalesce(F.col("content_type"), F.lit("")))
+           .startswith("text/html"))
+    decoded = decode_payloads(
+        recs.select("url", "payload", "content_type"))
+    return parse_html_docs(
+        decoded.select(F.col("url").alias("doc_id"), F.col("text").alias("html")))
+
+
 def corpus_from_warc(spark, warc_dir: str) -> DataFrame:
     """Inverse of export_corpus_warc: resource records -> (doc_id, spans)."""
     import json

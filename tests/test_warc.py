@@ -222,3 +222,42 @@ def test_deflate_both_wrappings_and_damage_keeps_raw():
     # truncated gzip -> raw bytes kept
     badgz = _raw_response(["Content-Encoding: gzip"], b"\x1f\x8bTRUNC")
     assert _split_http(badgz)[2] == b"\x1f\x8bTRUNC"
+
+
+def test_span_docs_from_warc_end_to_end(spark, tmp_path):
+    """Raw-web path: chunked + gzip + cp1251 HTML inside .warc.gz comes
+    out as correctly decoded span documents."""
+    import gzip as _gz
+
+    from smartcrawler_spark.sources.warc import (span_docs_from_warc,
+                                                 warc_record_bytes,
+                                                 write_warc)
+
+    html = ('<html><head><meta charset="windows-1251"></head>'
+            '<body><h1>привет мир</h1><p>текст страницы</p>'
+            '<a href="/next">дальше</a></body></html>')
+    comp = _gz.compress(html.encode("cp1251"), mtime=0)
+    chunked = f"{len(comp):x}\r\n".encode() + comp + b"\r\n0\r\n\r\n"
+    block = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+             b"Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n\r\n"
+             + chunked)
+    recs = [
+        warc_record_bytes("response", "https://ru.example.com/p1",
+                          "2026-08-19T00:00:00Z", "r1", block),
+        # 404 + non-HTML records must be filtered out at the scan
+        warc_record_bytes("response", "https://ru.example.com/miss",
+                          "2026-08-19T00:00:01Z", "r2",
+                          b"HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\nnope"),
+        warc_record_bytes("response", "https://ru.example.com/img",
+                          "2026-08-19T00:00:02Z", "r3",
+                          b"HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\n\x89PNG"),
+    ]
+    (tmp_path / "a.warc.gz").write_bytes(write_warc(recs))
+    out = span_docs_from_warc(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["host"] == "ru.example.com"
+    texts = [s["text"] for s in row["spans"] if s["text"]]
+    assert "привет мир" in texts and "текст страницы" in texts
+    hrefs = [s["media_ref"] for s in row["spans"] if s["kind"] == "a"]
+    assert hrefs == ["/next"]
