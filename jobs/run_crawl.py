@@ -82,6 +82,14 @@ def main() -> int:
                     help="starvation-free scheduling: effective score += "
                          "rounds_waited * this/10^4 (default: off; prefer "
                          "binary fractions like 2500 = 0.25/round)")
+    ap.add_argument("--rank-boost-every", type=int, default=None,
+                    help="every N rounds, rank hosts by batch OPIC over "
+                         "the fetched pages' host link graph and boost "
+                         "admission scores of link-authoritative hosts "
+                         "(default: off)")
+    ap.add_argument("--rank-boost-weight-bp", type=int, default=10_000,
+                    help="OPIC boost weight in basis points of score per "
+                         "full 10^9 OPIC share (with --rank-boost-every)")
     ap.add_argument("--host-stats-every", type=int, default=None,
                     help="every N rounds, persist the per-host health "
                          "rollup (status counts + success basis points) "
@@ -147,6 +155,8 @@ def main() -> int:
         dup_trap_min_urls=args.dup_trap_min_urls,
         dup_trap_ratio_bp=args.dup_trap_ratio_bp,
         aging_weight_bp=args.aging_weight_bp,
+        rank_boost_every=args.rank_boost_every,
+        rank_boost_weight_bp=args.rank_boost_weight_bp,
         host_stats_every=args.host_stats_every,
         strip_tracking=args.strip_tracking,
         adaptive_budget=args.adaptive_budget,

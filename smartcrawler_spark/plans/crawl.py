@@ -192,6 +192,21 @@ class EngineConfig:
     # only; the stored frontier score is untouched. Prefer exact binary
     # fractions of 10^4 (2500 = 0.25/round) so the order stays IEEE-exact.
     # Default None = reference parity (static score, starvation possible).
+    rank_boost_every: int | None = None
+    # ^ link-authority admission boost: every N rounds, aggregate the
+    # FETCHED pages' anchor graph to host granularity
+    # (operators.linkgraph.host_link_graph — 10^10 URLs collapse to
+    # ~10^8 hosts) and run batch OPIC over it
+    # (operators.linkgraph.opic_fixed_rounds — the ONLINE importance
+    # measure of Abiteboul et al., usable mid-crawl unlike converged
+    # PageRank); persist (host, opic) to the `host_rank` side table.
+    # Admission then adds (opic/10^9) * rank_boost_weight_bp/10^4 to
+    # each candidate's score via a broadcast host-dim join, so URLs on
+    # link-authoritative hosts win politeness contention first. Score
+    # shaping only — never blocks; fates are untouched. Default None =
+    # reference parity (URL-token scoring only).
+    rank_boost_weight_bp: int = 10_000  # 1.0 score per full OPIC share
+    rank_opic_rounds: int = 3           # OPIC rounds per detection pass
     host_stats_every: int | None = None
     # ^ operational host-health rollups: every N rounds, append
     # analysis.host_report(frontier) (per-host status counts + integer
@@ -237,6 +252,7 @@ class CrawlJob:
             self.t_mirrors = IcebergSnapshotTable(spark, f"{ns}.mirrors")
             self.t_traps = IcebergSnapshotTable(spark, f"{ns}.traps")
             self.t_hoststats = IcebergSnapshotTable(spark, f"{ns}.host_stats")
+            self.t_hostrank = IcebergSnapshotTable(spark, f"{ns}.host_rank")
             self.t_filters = IcebergBucketedSnapshotTable(
                 spark, f"{ns}.filters", n_buckets=cfg.bloom_buckets,
                 key_col="bucket",
@@ -251,6 +267,7 @@ class CrawlJob:
             self.t_mirrors = SnapshotTable(checkpoint_dir, "mirrors")
             self.t_traps = SnapshotTable(checkpoint_dir, "traps")
             self.t_hoststats = SnapshotTable(checkpoint_dir, "host_stats")
+            self.t_hostrank = SnapshotTable(checkpoint_dir, "host_rank")
             # bloom/cuckoo blobs live in their own bucketed table (bucket id
             # IS the key, so pmod is the identity) — replaces the round-1
             # driver pickle; probe/update cogroup against it per bucket
@@ -310,7 +327,8 @@ class CrawlJob:
     def _admit(self, raw_urls: DataFrame, frontier: DataFrame, round_no: int,
                anchor_boost: DataFrame | None = None,
                mirror_block: DataFrame | None = None,
-               trap_block: DataFrame | None = None
+               trap_block: DataFrame | None = None,
+               rank_boost: DataFrame | None = None
                ) -> tuple[DataFrame, DataFrame]:
         """raw_urls(url) -> (new frontier rows, per-fate/per-partition metrics).
 
@@ -338,6 +356,22 @@ class CrawlJob:
                                  F.lit(0.0)),
                 )
                 .drop("_anchor_hits")
+            )
+        if rank_boost is not None:
+            # link-authority vote: hosts with high OPIC cash+history lift
+            # their candidates' admission scores. O(hosts) dim, broadcast;
+            # opic is in units of 10^9 (opic_fixed_rounds scale), the
+            # weight in basis points — both integer, one exact double mul.
+            w = self.cfg.rank_boost_weight_bp / 10_000.0
+            cands = (
+                cands.join(F.broadcast(rank_boost), "host", "left")
+                .withColumn(
+                    "score",
+                    F.col("score")
+                    + F.coalesce(F.col("_opic").cast("double"),
+                                 F.lit(0.0)) / 1e9 * F.lit(w),
+                )
+                .drop("_opic")
             )
         if self.cfg.trap_filters:
             cands = cands.withColumn(
@@ -567,7 +601,8 @@ class CrawlJob:
         # trim side-table versions from a round whose frontier commit never
         # published (crash window inside _commit_round); the round re-runs
         for t in (self.t_log, self.t_metrics, self.t_filters,
-                  self.t_mirrors, self.t_traps, self.t_hoststats):
+                  self.t_mirrors, self.t_traps, self.t_hoststats,
+                  self.t_hostrank):
             t.rollback_newer_than(durable)
         if durable >= 0:
             return durable
@@ -654,6 +689,40 @@ class CrawlJob:
             return None
         return traps.select("host").distinct()
 
+    def _rank_hosts(self, frontier: DataFrame, round_no: int) -> None:
+        """Recompute + persist host link-authority from the FETCHED pages'
+        anchor graph: host_link_graph (one explode + host-pair agg over
+        SUCCESS documents) -> batch OPIC (co-partitioned join+agg rounds,
+        dangling cash via an in-plan 1-row broadcast). Output is O(hosts)
+        — a tiny full-replace commit, same crash-consistency story as
+        _detect_mirrors (a commit ahead of the frontier's round is
+        trimmed by bootstrap's rollback and re-derived)."""
+        from ..operators.linkgraph import host_link_graph, opic_fixed_rounds
+
+        succ = frontier.filter(F.col("status") == "SUCCESS").select("url_hash")
+        fetched = self.documents.join(
+            succ, succ.url_hash == self.documents.doc_hash, "left_semi")
+        edges = host_link_graph(
+            fetched.select(F.col("doc_canon").alias("doc_id"),
+                           "host", "spans"))
+        ranks = opic_fixed_rounds(
+            edges, iters=self.cfg.rank_opic_rounds,
+            src_col="src_host", dst_col="dst_host",
+        ).select(F.col("node").alias("host"), "opic")
+        self.t_hostrank.commit(ranks, meta={"round": round_no,
+                                            "source": "crawl-loop"})
+
+    def _rank_boost(self) -> DataFrame | None:
+        """(host, _opic) authority dim for admission score shaping. None
+        when the flag is off or no ranking pass has committed yet.
+        O(hosts): always broadcast at the join."""
+        if not self.cfg.rank_boost_every:
+            return None
+        ranks = self.t_hostrank.read(self.spark)
+        if ranks is None:
+            return None
+        return ranks.select("host", F.col("opic").alias("_opic"))
+
     def _append_host_stats(self, frontier: DataFrame, as_of_round: int) -> None:
         """Persist analysis.host_report(frontier) labeled with the round
         whose completed state it describes. O(hosts) rows per append;
@@ -686,6 +755,13 @@ class CrawlJob:
                 and (round_no - 1) % self.cfg.dup_trap_detect_every == 0):
             self._detect_dup_traps(frontier, round_no)
         trap_block = self._trap_block()
+        if (self.cfg.rank_boost_every
+                and round_no > 1
+                and (round_no - 1) % self.cfg.rank_boost_every == 0):
+            # like mirror/trap detection: ranks only PRIOR rounds' fetches,
+            # so re-running the round reproduces the commit
+            self._rank_hosts(frontier, round_no)
+        rank_boost = self._rank_boost()
         sched_cols = ["url_canon", "url_hash", "host", "is_root", "score"]
         pool = frontier.filter(F.col("status") == "PENDING")
         if self.cfg.aging_weight_bp:
@@ -827,7 +903,8 @@ class CrawlJob:
         new_rows, admit_metrics = self._admit(links, frontier, round_no,
                                               anchor_boost=anchor_boost,
                                               mirror_block=mirror_block,
-                                              trap_block=trap_block)
+                                              trap_block=trap_block,
+                                              rank_boost=rank_boost)
 
         # MERGE, partition-scoped: only the frontier buckets containing this
         # round's scheduled (status transitions) or admitted (inserts) URLs
