@@ -230,3 +230,85 @@ def test_fuzz_simhash_portable_unicode_parity(spark):
     sigs = {i: sig(t) for i, t in enumerate(texts)}
     for (a, b), ham in pairs.items():
         assert ham == bin(sigs[a] ^ sigs[b]).count("1"), (a, b)
+
+
+def test_fuzz_http_entity_decode_never_raises_and_inverts():
+    """Seeded fuzz over the WARC HTTP entity path: (a) random bytes in
+    any header/body position never raise; (b) well-formed chunked+gzip
+    framings of random bodies ALWAYS invert exactly."""
+    import gzip
+    import random as _r
+
+    from smartcrawler_spark.sources.warc import _dechunk, _split_http
+
+    rng = _r.Random(SEED)
+    for i in range(400):
+        blob = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 200)))
+        _split_http(blob)            # arbitrary garbage
+        _dechunk(blob)               # arbitrary garbage
+        # damage a VALID framing at one byte
+        body = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 120)))
+        sizes, pos = [], 0
+        while pos < len(body):
+            s = min(rng.randrange(1, 40), len(body) - pos)
+            sizes.append(s)
+            pos += s
+        framed = b"".join(f"{s:x}".encode() + b"\r\n"
+                          + body[sum(sizes[:j]):sum(sizes[:j]) + s] + b"\r\n"
+                          for j, s in enumerate(sizes)) + b"0\r\n\r\n"
+        assert _dechunk(framed) == body, i
+        cut = rng.randrange(len(framed))
+        out = _dechunk(framed[:cut] + b"\x00" + framed[cut + 1:])
+        assert out is None or isinstance(out, bytes)  # never raises
+        # full stack: chunked gzip response must invert
+        comp = gzip.compress(body, mtime=0)
+        blk = (b"HTTP/1.1 200 OK\r\nContent-Type: x\r\n"
+               b"Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n\r\n"
+               + f"{len(comp):x}\r\n".encode() + comp + b"\r\n0\r\n\r\n")
+        status, _, payload = _split_http(blk)
+        assert (status, payload) == (200, body), i
+
+
+def test_fuzz_charset_decode_total_function():
+    """decode_payload is TOTAL: any (bytes, content-type) pair yields a
+    str and a known codec name, and utf-8 round-trips survive sniffing."""
+    import codecs
+    import random as _r
+
+    from smartcrawler_spark.sources.charset import decode_payload
+
+    rng = _r.Random(SEED)
+    ctypes = [None, "", "text/html", "text/html; charset=utf-8",
+              "charset==;;", "text/html; charset=\x00bad",
+              "charset=" + "x" * 300]
+    for i in range(500):
+        payload = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 300)))
+        t, e = decode_payload(payload, rng.choice(ctypes))
+        assert isinstance(t, str)
+        codecs.lookup(e)  # always a resolvable codec name
+    # printable-utf8 bodies survive any lying header chain un-mangled
+    for i in range(100):
+        body = "".join(chr(rng.randrange(0x20, 0x2FA0)) for _ in range(50))
+        t, e = decode_payload(body.encode("utf-8"))
+        assert t == body, i
+
+
+def test_fuzz_page_directives_never_raise_on_tag_soup():
+    """page_directives over adversarial tag soup: total, and flags only
+    ever COME FROM a robots meta actually present."""
+    import random as _r
+
+    from smartcrawler_spark.sources.html_ingest import page_directives
+
+    rng = _r.Random(SEED)
+    bits = ["<meta", ">", "name=robots", 'content="noindex"', "<a", "<<>",
+            'rel="nofollow"', 'href="/x"', "</a>", "<link rel=canonical",
+            'href="https://c/"', "\x00", "प्रेम", "<base", "&amp;", "=''",
+            "<!--", "-->", "<script>", "</p></div>"]
+    for i in range(300):
+        soup = " ".join(rng.choice(bits) for _ in range(rng.randrange(0, 40)))
+        d = page_directives(soup)
+        assert set(d) == {"noindex", "nofollow", "canonical", "base_href",
+                          "nofollow_hrefs"}
+        if d["noindex"] or d["nofollow"]:
+            assert "robots" in soup and "content=" in soup, (i, soup)
