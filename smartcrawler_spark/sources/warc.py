@@ -176,8 +176,8 @@ def _dechunk(body: bytes) -> bytes | None:
         pos += size + 2
 
 
-def _split_http(block: bytes) -> tuple[int | None, str | None, bytes]:
-    """HTTP response block -> (status, content_type, payload).
+def _split_http(block: bytes) -> tuple[int | None, str | None, bytes, str]:
+    """HTTP response block -> (status, content_type, payload, x_robots).
 
     Web archives capture the response AS SENT, so the payload routinely
     arrives chunked (Transfer-Encoding: chunked) and/or compressed
@@ -189,7 +189,7 @@ def _split_http(block: bytes) -> tuple[int | None, str | None, bytes]:
     block rather than emitting a partial guess."""
     sep = block.find(b"\r\n\r\n")
     if sep < 0 or not block.startswith(b"HTTP/"):
-        return None, None, block
+        return None, None, block, ""
     head = block[:sep].decode("utf-8", "replace")
     lines = head.split("\r\n")
     parts = lines[0].split(" ", 2)
@@ -200,6 +200,7 @@ def _split_http(block: bytes) -> tuple[int | None, str | None, bytes]:
     ctype = None
     chunked = False
     cenc = ""
+    x_robots: list[str] = []
     for line in lines[1:]:
         k, _, v = line.partition(":")
         key = k.strip().lower()
@@ -209,6 +210,12 @@ def _split_http(block: bytes) -> tuple[int | None, str | None, bytes]:
             chunked = True
         elif key == "content-encoding":
             cenc = v.strip().lower()
+        elif key == "x-robots-tag":
+            # header-level REP (the robots-meta twin for non-HTML payloads;
+            # Google/Bing semantics). Repeated headers accumulate; an
+            # agent-scoped form 'agent: directives' is kept verbatim — the
+            # generic-agent filter happens at directive interpretation.
+            x_robots.append(v.strip())
     payload = block[sep + 4:]
     if chunked:
         body = _dechunk(payload)
@@ -227,7 +234,7 @@ def _split_http(block: bytes) -> tuple[int | None, str | None, bytes]:
                 payload = zlib.decompress(payload, -zlib.MAX_WBITS)
             except zlib.error:
                 pass
-    return status, ctype, payload
+    return status, ctype, payload, ", ".join(x_robots)
 
 
 def parse_warc_bytes(data: bytes) -> list[dict]:
@@ -241,9 +248,9 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
     for rec in _parse_records(data):
         f = rec["fields"]
         wtype = f.get("warc-type", "")
-        status, payload = None, rec["block"]
+        status, payload, x_robots = None, rec["block"], ""
         if wtype in ("response", "revisit"):
-            status, ctype, payload = _split_http(rec["block"])
+            status, ctype, payload, x_robots = _split_http(rec["block"])
         else:
             # non-HTTP records: the WARC-level Content-Type IS the
             # payload's type (resource/warcinfo/metadata/request)
@@ -255,6 +262,7 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
             "record_id": f.get("warc-record-id", ""),
             "http_status": status,
             "content_type": ctype,
+            "x_robots": x_robots,
             "payload": payload,
         })
     return out
@@ -267,7 +275,7 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
 WARC_SCHEMA = (
     "file string, warc_type string, url string, date string, "
     "record_id string, http_status int, content_type string, "
-    "payload binary, payload_md5 string, n_bytes long"
+    "x_robots string, payload binary, payload_md5 string, n_bytes long"
 )
 
 
@@ -297,14 +305,15 @@ def read_warc(spark, path_glob: str) -> DataFrame:
                         "record_id": r["record_id"],
                         "http_status": r["http_status"],
                         "content_type": r["content_type"],
+                        "x_robots": r["x_robots"],
                         "payload": r["payload"],
                         "payload_md5": hashlib.md5(r["payload"]).hexdigest(),
                         "n_bytes": len(r["payload"]),
                     })
             yield pd.DataFrame(rows, columns=[
                 "file", "warc_type", "url", "date", "record_id",
-                "http_status", "content_type", "payload", "payload_md5",
-                "n_bytes"])
+                "http_status", "content_type", "x_robots", "payload",
+                "payload_md5", "n_bytes"])
 
     return files.select("path", "content").mapInPandas(gen, WARC_SCHEMA)
 
@@ -388,7 +397,8 @@ def export_corpus_warc(docs: DataFrame, out_dir: str, date: str,
 
 
 def span_docs_from_warc(spark, warc_dir: str,
-                        include_statuses: tuple = (200,)) -> DataFrame:
+                        include_statuses: tuple = (200,),
+                        drop_noindex: bool = False) -> DataFrame:
     """The raw-web ingest path, end to end: WARC response records ->
     entity bytes (already de-chunked/de-gzipped by the record parser) ->
     charset sniff+decode (sources/charset.py) -> reference-shaped span
@@ -410,8 +420,68 @@ def span_docs_from_warc(spark, warc_dir: str,
            .startswith("text/html"))
     decoded = decode_payloads(
         recs.select("url", "payload", "content_type"))
-    return parse_html_docs(
+    docs = parse_html_docs(
         decoded.select(F.col("url").alias("doc_id"), F.col("text").alias("html")))
+    if drop_noindex:
+        # REP opt-outs (robots meta + X-Robots-Tag header, merged most-
+        # restrictive) exclude the page from the corpus output — the
+        # polite default for training-data harvesting. Anti-join on the
+        # URL; the directives side reuses the same scan.
+        noidx = directives_from_warc(
+            spark, warc_dir, include_statuses
+        ).filter(F.col("noindex")).select("doc_id")
+        docs = docs.join(noidx, "doc_id", "left_anti")
+    return docs
+
+
+def _hdr_flag(x_robots, *names: str):
+    """Column predicate: any GENERIC (non-agent-scoped) X-Robots-Tag
+    token equals one of `names`. Agent-scoped segments ('googlebot:
+    noindex') contain ':' and are ignored — this engine models the
+    generic agent, same as its robots.txt default."""
+    toks = F.transform(F.split(F.coalesce(x_robots, F.lit("")), ","),
+                       lambda t: F.trim(F.lower(t)))
+    generic = F.filter(toks, lambda t: ~t.contains(":"))
+    return F.exists(generic, lambda t: t.isin(*names))
+
+
+def directives_from_warc(spark, warc_dir: str,
+                         include_statuses: tuple = (200,)) -> DataFrame:
+    """Per-page crawl directives for HTML responses, merged across BOTH
+    Robots-Exclusion channels: the X-Robots-Tag HTTP header (captured by
+    the record parser) and the in-document robots meta
+    (html_ingest.page_directives). Most-restrictive union — any channel
+    saying noindex/nofollow sets the flag (Google/Bing combine rule);
+    `none` implies both. Returns (doc_id, noindex, nofollow, canonical,
+    base_href, n_nofollow_links). One scan; the meta walk is the same
+    mapInPandas stage shape as parse_html_docs, plus one join back on
+    the URL to attach the header verdict."""
+    from .charset import decode_payloads
+    from .html_ingest import extract_directives_docs
+
+    recs = read_warc(spark, warc_dir).filter(
+        (F.col("warc_type") == "response")
+        & F.col("http_status").isin(list(include_statuses))
+        & F.lower(F.coalesce(F.col("content_type"), F.lit("")))
+           .startswith("text/html"))
+    hdr = recs.select(
+        F.col("url").alias("doc_id"),
+        (_hdr_flag(F.col("x_robots"), "noindex", "none")).alias("_h_noindex"),
+        (_hdr_flag(F.col("x_robots"), "nofollow", "none")).alias("_h_nofollow"),
+    )
+    decoded = decode_payloads(recs.select("url", "payload", "content_type"))
+    meta = extract_directives_docs(
+        decoded.select(F.col("url").alias("doc_id"),
+                       F.col("text").alias("html")))
+    return (
+        meta.join(hdr, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("noindex") | F.col("_h_noindex")).alias("noindex"),
+            (F.col("nofollow") | F.col("_h_nofollow")).alias("nofollow"),
+            "canonical", "base_href", "n_nofollow_links",
+        )
+    )
 
 
 def corpus_from_warc(spark, warc_dir: str) -> DataFrame:

@@ -265,7 +265,7 @@ def test_fuzz_http_entity_decode_never_raises_and_inverts():
         blk = (b"HTTP/1.1 200 OK\r\nContent-Type: x\r\n"
                b"Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n\r\n"
                + f"{len(comp):x}\r\n".encode() + comp + b"\r\n0\r\n\r\n")
-        status, _, payload = _split_http(blk)
+        status, _, payload, _xr = _split_http(blk)
         assert (status, payload) == (200, body), i
 
 

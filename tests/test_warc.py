@@ -217,7 +217,7 @@ def test_deflate_both_wrappings_and_damage_keeps_raw():
         assert _split_http(blk)[2] == body
     # damaged chunk framing -> raw block kept, never a crash or partial
     bad = _raw_response(["Transfer-Encoding: chunked"], b"zz\r\nnot hex")
-    status, _, payload = _split_http(bad)
+    status, _, payload, _xr = _split_http(bad)
     assert status == 200 and payload == b"zz\r\nnot hex"
     # truncated gzip -> raw bytes kept
     badgz = _raw_response(["Content-Encoding: gzip"], b"\x1f\x8bTRUNC")
@@ -261,3 +261,56 @@ def test_span_docs_from_warc_end_to_end(spark, tmp_path):
     assert "привет мир" in texts and "текст страницы" in texts
     hrefs = [s["media_ref"] for s in row["spans"] if s["kind"] == "a"]
     assert hrefs == ["/next"]
+
+
+def test_x_robots_tag_header_and_merged_directives(spark, tmp_path):
+    """X-Robots-Tag is the HTTP twin of robots meta: header-only,
+    meta-only, and agent-scoped-header pages must merge most-restrictive
+    per the REP combine rule; drop_noindex excludes opted-out pages."""
+    from smartcrawler_spark.sources.warc import (directives_from_warc,
+                                                 parse_warc_bytes,
+                                                 span_docs_from_warc,
+                                                 warc_record_bytes,
+                                                 write_warc)
+
+    def resp(url, rid, headers, html):
+        head = "\r\n".join(["HTTP/1.1 200 OK", "Content-Type: text/html"]
+                           + headers) + "\r\n\r\n"
+        return warc_record_bytes("response", url, "2026-08-19T00:00:00Z",
+                                 rid, head.encode() + html.encode())
+
+    recs = [
+        resp("https://x.example.com/hdr", "x1",
+             ["X-Robots-Tag: noindex", "X-Robots-Tag: nofollow"],
+             "<p>header says no</p>"),
+        resp("https://x.example.com/meta", "x2", [],
+             '<meta name="robots" content="noindex"><p>meta says no</p>'),
+        resp("https://x.example.com/scoped", "x3",
+             ["X-Robots-Tag: googlebot: noindex"],
+             "<p>scoped to another agent</p>"),
+        resp("https://x.example.com/clean", "x4", [], "<p>welcome</p>"),
+        resp("https://x.example.com/none", "x5", ["X-Robots-Tag: none"],
+             "<p>none means both</p>"),
+    ]
+    # raw-parse surface: repeated headers accumulate comma-joined
+    parsed = {r["url"]: r["x_robots"] for r in
+              parse_warc_bytes(write_warc(recs, gzip_members=False))}
+    assert parsed["https://x.example.com/hdr"] == "noindex, nofollow"
+    assert parsed["https://x.example.com/clean"] == ""
+
+    (tmp_path / "x.warc.gz").write_bytes(write_warc(recs))
+    d = {r["doc_id"]: (r["noindex"], r["nofollow"])
+         for r in directives_from_warc(spark, str(tmp_path)).collect()}
+    assert d["https://x.example.com/hdr"] == (True, True)
+    assert d["https://x.example.com/meta"] == (True, False)
+    assert d["https://x.example.com/scoped"] == (False, False)
+    assert d["https://x.example.com/clean"] == (False, False)
+    assert d["https://x.example.com/none"] == (True, True)
+
+    kept = {r["doc_id"] for r in
+            span_docs_from_warc(spark, str(tmp_path),
+                                drop_noindex=True).collect()}
+    assert kept == {"https://x.example.com/scoped",
+                    "https://x.example.com/clean"}
+    # default keeps everything (archival ingest is lossless)
+    assert len(span_docs_from_warc(spark, str(tmp_path)).collect()) == 5
