@@ -23,6 +23,13 @@ per-page loop); both are standard components of a web-scale crawler that a
   groupBy dst, one shuffle pair per iteration; degrees are computed once.
   Dangling-node mass is dropped (not redistributed) — documented choice,
   identical on both engines.
+
+Also here, same integer-exact discipline: `hits_fixed_point` (hubs &
+authorities with an in-plan broadcast rescale), `opic_fixed_rounds`
+(batch OPIC — the ONLINE importance measure the crawl loop's
+rank_boost_every wiring schedules by), `host_link_graph` (page anchors
+aggregated to host granularity), and `host_triangles` (link-farm clique
+signal).
 """
 
 from __future__ import annotations
