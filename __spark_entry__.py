@@ -755,6 +755,35 @@ def q_page_directives(spark, sf_dir):
         docs.select(did.cast("string").alias("doc_id"), html.alias("html")))
 
 
+def q_x_robots_flags(spark, sf_dir):
+    """X-Robots-Tag header interpretation (sources.warc._hdr_flag, pure
+    JVM higher-order functions): comma-separated directive lists with
+    mixed case, whitespace, agent-scoped segments ('googlebot: noindex'
+    — ignored for the generic-agent model), 'none' implying both flags,
+    and empty headers. Header strings are synthesized deterministically
+    from doc_id; the oracle replays the same tokenization in SQL."""
+    from smartcrawler_spark.sources.warc import _hdr_flag
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 600)
+    did = F.col("doc_id")
+    hdr = (
+        F.when(did % 8 == 0, F.lit("noindex, nofollow"))
+        .when(did % 8 == 1, F.lit(" NOINDEX "))
+        .when(did % 8 == 2, F.lit("none"))
+        .when(did % 8 == 3, F.lit("googlebot: noindex, nofollow"))
+        .when(did % 8 == 4, F.lit("nofollow, noarchive"))
+        .when(did % 8 == 5, F.lit("noindex\ngooglebot: nofollow"))
+        .when(did % 8 == 6,
+              F.lit("unavailable_after: 25 Jun 2026, noindex"))
+        .otherwise(F.lit(""))
+    )
+    return docs.select(
+        "doc_id",
+        _hdr_flag(hdr, "noindex", "none").alias("noindex"),
+        _hdr_flag(hdr, "nofollow", "none").alias("nofollow"),
+    )
+
+
 def q_charset_decode(spark, sf_dir):
     """Charset sniff+decode (sources.charset.decode_payloads, one Arrow
     pandas UDF, map-only): fixed byte vectors covering the WHATWG
@@ -2040,6 +2069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_containment": q_shingle_containment,
         "page_directives": q_page_directives,
         "charset_decode": q_charset_decode,
+        "x_robots_flags": q_x_robots_flags,
         "datacard": q_datacard,
         "incremental_dedup": q_incremental_dedup,
         "uniform_sample": q_uniform_sample,
@@ -2695,6 +2725,40 @@ def oracle_sql() -> dict[str, str]:
         "charset_decode": """
             SELECT case_id, text, encoding
             FROM read_parquet('/root/repo/fixtures/golden/charset_decode.parquet')
+        """,
+        "x_robots_flags": """
+            WITH h AS (
+              SELECT doc_id,
+                     CASE doc_id % 8
+                       WHEN 0 THEN 'noindex, nofollow'
+                       WHEN 1 THEN ' NOINDEX '
+                       WHEN 2 THEN 'none'
+                       WHEN 3 THEN 'googlebot: noindex, nofollow'
+                       WHEN 4 THEN 'nofollow, noarchive'
+                       WHEN 5 THEN 'noindex' || chr(10) || 'googlebot: nofollow'
+                       WHEN 6 THEN 'unavailable_after: 25 Jun 2026, noindex'
+                       ELSE '' END AS hdr
+              FROM documents WHERE doc_id < 600
+            ), toks AS (
+              -- per header line: drop agent-scoped values (first comma
+              -- segment bears ':' and is not unavailable_after), then
+              -- flatten the surviving lines' comma tokens
+              SELECT doc_id,
+                     flatten(list_transform(
+                       list_filter(string_split(hdr, chr(10)),
+                         ln -> NOT contains(trim(lower(string_split(ln, ',')[1])), ':')
+                               OR starts_with(trim(lower(string_split(ln, ',')[1])),
+                                              'unavailable_after')),
+                       ln -> list_transform(string_split(ln, ','),
+                                            t -> trim(lower(t))))) AS g
+              FROM h
+            )
+            SELECT doc_id,
+                   len(list_filter(g, t -> t IN ('noindex','none'))) > 0
+                     AS noindex,
+                   len(list_filter(g, t -> t IN ('nofollow','none'))) > 0
+                     AS nofollow
+            FROM toks
         """,
         "shingle_containment": r"""
             WITH toks AS (

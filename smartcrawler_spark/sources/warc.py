@@ -234,7 +234,7 @@ def _split_http(block: bytes) -> tuple[int | None, str | None, bytes, str]:
                 payload = zlib.decompress(payload, -zlib.MAX_WBITS)
             except zlib.error:
                 pass
-    return status, ctype, payload, ", ".join(x_robots)
+    return status, ctype, payload, "\n".join(x_robots)
 
 
 def parse_warc_bytes(data: bytes) -> list[dict]:
@@ -435,14 +435,31 @@ def span_docs_from_warc(spark, warc_dir: str,
 
 
 def _hdr_flag(x_robots, *names: str):
-    """Column predicate: any GENERIC (non-agent-scoped) X-Robots-Tag
-    token equals one of `names`. Agent-scoped segments ('googlebot:
-    noindex') contain ':' and are ignored — this engine models the
-    generic agent, same as its robots.txt default."""
-    toks = F.transform(F.split(F.coalesce(x_robots, F.lit("")), ","),
-                       lambda t: F.trim(F.lower(t)))
-    generic = F.filter(toks, lambda t: ~t.contains(":"))
-    return F.exists(generic, lambda t: t.isin(*names))
+    """Column predicate: any GENERIC X-Robots-Tag directive equals one
+    of `names`. Headers are newline-joined by the parser (one element
+    per X-Robots-Tag line); per the REP header spec, an agent token
+    before the first ':' scopes the WHOLE header value ('googlebot:
+    noindex, nofollow' applies only to googlebot — including the tokens
+    after the comma), and such headers are ignored entirely: this
+    engine models the generic agent, same as its robots.txt default.
+    The one colon-bearing first token that is NOT an agent scope is the
+    'unavailable_after: <date>' directive — those headers stay generic.
+    Pure JVM higher-order functions, no Python."""
+    headers = F.split(F.coalesce(x_robots, F.lit("")), "\n")
+
+    def _first_tok(h):
+        return F.trim(F.lower(F.element_at(F.split(h, ","), 1)))
+
+    generic = F.filter(
+        headers,
+        lambda h: ~_first_tok(h).contains(":")
+        | _first_tok(h).startswith("unavailable_after"),
+    )
+    toks = F.flatten(F.transform(
+        generic,
+        lambda h: F.transform(F.split(h, ","), lambda t: F.trim(F.lower(t))),
+    ))
+    return F.exists(toks, lambda t: t.isin(*names))
 
 
 def directives_from_warc(spark, warc_dir: str,

@@ -291,11 +291,19 @@ def test_x_robots_tag_header_and_merged_directives(spark, tmp_path):
         resp("https://x.example.com/clean", "x4", [], "<p>welcome</p>"),
         resp("https://x.example.com/none", "x5", ["X-Robots-Tag: none"],
              "<p>none means both</p>"),
+        # fully-scoped value: tokens AFTER the comma stay scoped too
+        resp("https://x.example.com/scoped2", "x6",
+             ["X-Robots-Tag: googlebot: noindex, nofollow"],
+             "<p>scoped incl. tail tokens</p>"),
+        # colon-bearing directive that is NOT an agent scope
+        resp("https://x.example.com/unavail", "x7",
+             ["X-Robots-Tag: unavailable_after: 25 Jun 2026, noindex"],
+             "<p>dated</p>"),
     ]
     # raw-parse surface: repeated headers accumulate comma-joined
     parsed = {r["url"]: r["x_robots"] for r in
               parse_warc_bytes(write_warc(recs, gzip_members=False))}
-    assert parsed["https://x.example.com/hdr"] == "noindex, nofollow"
+    assert parsed["https://x.example.com/hdr"] == "noindex\nnofollow"
     assert parsed["https://x.example.com/clean"] == ""
 
     (tmp_path / "x.warc.gz").write_bytes(write_warc(recs))
@@ -306,11 +314,14 @@ def test_x_robots_tag_header_and_merged_directives(spark, tmp_path):
     assert d["https://x.example.com/scoped"] == (False, False)
     assert d["https://x.example.com/clean"] == (False, False)
     assert d["https://x.example.com/none"] == (True, True)
+    assert d["https://x.example.com/scoped2"] == (False, False)
+    assert d["https://x.example.com/unavail"] == (True, False)
 
     kept = {r["doc_id"] for r in
             span_docs_from_warc(spark, str(tmp_path),
                                 drop_noindex=True).collect()}
     assert kept == {"https://x.example.com/scoped",
-                    "https://x.example.com/clean"}
+                    "https://x.example.com/clean",
+                    "https://x.example.com/scoped2"}
     # default keeps everything (archival ingest is lossless)
-    assert len(span_docs_from_warc(spark, str(tmp_path)).collect()) == 5
+    assert len(span_docs_from_warc(spark, str(tmp_path)).collect()) == 7
