@@ -430,30 +430,57 @@ CALIB_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "bench_runs", "probe_calibration.json")
 CALIB_HEADROOM = 1.15   # refuse when probe wall_1 > 1.15x calibration
 DRIFT_LIMIT = 1.20      # refuse when post wall_1 > 1.20x pre wall_1
+CALIB_KEEP = 10         # clean probes in the rolling calibration window
+
+
+def _calib_history() -> list[float]:
+    """Rolling history of clean-probe walls; legacy single-value files
+    ({"wall_1": x}, the r5 all-time-min format) read as one entry."""
+    try:
+        with open(CALIB_PATH) as f:
+            d = json.load(f)
+    except (OSError, ValueError):
+        return []
+    hist = d.get("history")
+    if hist is None:
+        hist = [d["wall_1"]] if "wall_1" in d else []
+    try:
+        return [float(x) for x in hist][-CALIB_KEEP:]
+    except (TypeError, ValueError):
+        return []
 
 
 def _load_calibration() -> float | None:
-    try:
-        with open(CALIB_PATH) as f:
-            return float(json.load(f)["wall_1"])
-    except (OSError, ValueError, KeyError):
+    """Calibration = MEDIAN of the last CALIB_KEEP clean-probe walls.
+
+    The original all-time-min ratchet over-refused: ONE hot-cache
+    outlier probe (1.26 s on this box) permanently set a bar that every
+    real window — including windows as clean as the round's suite of
+    record (probes 2.12/2.03 s) — failed by >15%. Over-refusal is the
+    mirror image of the r4 under-refusal hole: both decouple the gate
+    from what the box can representatively do. The median of recent
+    clean probes tracks current box capability, is immune to single
+    outliers in either direction, and still refuses the r4 failure mode
+    (its degraded window ran 1.8-2.4x the era's median; the drift and
+    eff_4 rules back it up). Delete the file to recalibrate."""
+    hist = sorted(_calib_history())
+    if not hist:
         return None
+    return hist[len(hist) // 2]
 
 
 def _maybe_update_calibration(probe: dict, min_eff4: float = 0.6) -> None:
-    """Lower (never raise) the persisted clean-box wall_1 whenever a
-    healthy-efficiency probe beats it; delete the file to recalibrate
-    after a hardware change."""
+    """Append a healthy-efficiency probe's wall to the rolling history
+    (bounded at CALIB_KEEP); contended probes never enter."""
     if probe["eff_4"] < min_eff4:
         return
-    cur = _load_calibration()
-    if cur is not None and probe["wall_1"] >= cur:
-        return
+    hist = (_calib_history() + [probe["wall_1"]])[-CALIB_KEEP:]
     os.makedirs(os.path.dirname(CALIB_PATH), exist_ok=True)
+    med = sorted(hist)[len(hist) // 2]
     with open(CALIB_PATH, "w") as f:
-        json.dump({"wall_1": probe["wall_1"], "updated": probe["ts"],
-                   "note": "best clean min-of-N single-process probe wall; "
-                           "delete to recalibrate"}, f)
+        json.dump({"history": hist, "wall_1": med, "updated": probe["ts"],
+                   "note": "rolling clean-probe walls; calibration = "
+                           "median; delete to recalibrate"}, f)
 
 
 def _probe_ok(probe: dict, calib: float | None,

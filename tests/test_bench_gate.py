@@ -82,3 +82,39 @@ def test_post_bar_never_exceeds_standard(monkeypatch, tmp_path):
                   [_probe(0.90, 1.0), _probe(0.80, 1.0)],
                   min_eff4=0.85, post_min_eff4=0.85, attempts=1)
     assert out["qualified"] is False  # 0.80 < explicit 0.85 post bar
+
+
+def test_calibration_median_resists_outliers(monkeypatch, tmp_path):
+    """The rolling-median calibration: one hot-cache outlier must not
+    set a bar that refuses every representative window (the r5
+    over-refusal hole), and contended probes never enter the history."""
+    monkeypatch.setattr(bench, "CALIB_PATH", str(tmp_path / "calib.json"))
+    # one outlier fast probe, then a stream of representative ~2.0s ones
+    bench._maybe_update_calibration(_probe(0.9, 1.26))
+    assert bench._load_calibration() == 1.26  # single entry = itself
+    for w in (2.02, 2.03, 2.12, 1.98):
+        bench._maybe_update_calibration(_probe(0.9, w))
+    calib = bench._load_calibration()
+    assert calib is not None and calib >= 1.98  # median, not the 1.26 min
+    # a representative window now QUALIFIES against the median bar...
+    assert bench._probe_ok(_probe(0.9, 2.1), calib) == []
+    # ...while a genuinely slow window still refuses
+    assert bench._probe_ok(_probe(0.9, calib * 1.3), calib)
+    # contended probes are never admitted to the history
+    before = bench._calib_history()
+    bench._maybe_update_calibration(_probe(0.3, 0.5))
+    assert bench._calib_history() == before
+    # history is bounded
+    for w in [2.0] * 20:
+        bench._maybe_update_calibration(_probe(0.9, w))
+    assert len(bench._calib_history()) == bench.CALIB_KEEP
+
+
+def test_calibration_reads_legacy_single_value_file(monkeypatch, tmp_path):
+    import json as _json
+    path = tmp_path / "calib.json"
+    path.write_text(_json.dumps({"wall_1": 1.26, "updated": 0}))
+    monkeypatch.setattr(bench, "CALIB_PATH", str(path))
+    assert bench._load_calibration() == 1.26
+    bench._maybe_update_calibration(_probe(0.9, 2.0))
+    assert bench._calib_history() == [1.26, 2.0]
