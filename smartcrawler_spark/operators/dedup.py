@@ -1175,3 +1175,171 @@ def dedup_against_corpus(new_docs: DataFrame, corpus: DataFrame,
                 .select(id_col).distinct()
         out = out.join(hit, id_col, "left_anti")
     return out
+
+
+# ---------------------------------------------------------------------------
+# exact-substring dedup (Lee, Ippolito et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better")
+# ---------------------------------------------------------------------------
+
+def _gram_positions(df: DataFrame, k: int, text_col: str, id_col: str,
+                    portable: bool) -> DataFrame:
+    """(doc_id, pos, gh): one row per token position 1..m (m = tokens-k+1)
+    with the hash of the k-token gram starting there. Pure JVM
+    higher-order functions (tokenizer shared via textops.word_tokens);
+    docs shorter than k tokens emit nothing. `portable=True` keys grams
+    by their full md5 hex (128-bit, collision-free for gate purposes and
+    replayable in DuckDB); production uses xxhash64 (8-byte shuffle
+    keys; a 64-bit collision mislabels one position in ~1e19 grams)."""
+    from ..functions.textops import word_tokens
+
+    toks = word_tokens(F.col(text_col))
+    m = F.size(toks) - k + 1
+    gram = lambda i: F.concat_ws(" ", F.slice(toks, i, k))  # noqa: E731
+    hash_fn = (lambda g: F.md5(g)) if portable else (lambda g: F.xxhash64(g))
+    grams = F.when(
+        m >= 1,
+        F.transform(F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+                    lambda i: F.struct(i.cast("long").alias("pos"),
+                                       hash_fn(gram(i)).alias("gh"))),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), grams.alias("_g"))
+        .filter(F.col("_g").isNotNull())
+        .select("doc_id", F.explode("_g").alias("g"))
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+    )
+
+
+def _merge_islands(dup_pos: DataFrame, k: int) -> DataFrame:
+    """Maximal duplicated spans from duplicated gram-start positions:
+    positions p_prev < p start a NEW span when p - p_prev > k (their
+    k-token intervals neither overlap nor touch); otherwise they merge.
+    Classic gaps-and-islands: lag -> break flag -> running sum -> group.
+    The window partitions by doc_id, so its state is bounded by document
+    length (the same per-doc bound line_dedup_corpus's reassembly relies
+    on), never by corpus size. Spans within a doc are disjoint by
+    construction (next start > prev end + 1).
+
+    Returns (doc_id, start_tok, end_tok, span_tokens, n_grams), token
+    positions 1-based inclusive."""
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) > k, 1).otherwise(0)
+    grp = F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        dup_pos.withColumn("_grp", grp)
+        .groupBy("doc_id", "_grp")
+        .agg(F.min("pos").alias("start_tok"),
+             (F.max("pos") + k - 1).cast("long").alias("end_tok"),
+             F.count(F.lit(1)).alias("n_grams"))
+        .select("doc_id", "start_tok", "end_tok",
+                (F.col("end_tok") - F.col("start_tok") + 1).alias("span_tokens"),
+                "n_grams")
+    )
+
+
+def exact_substring_spans(df: DataFrame, k: int = 10,
+                          min_occurrences: int = 2,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          portable: bool = False) -> DataFrame:
+    """Exact-substring duplication map (Lee et al. 2022 §3.1): every
+    token position whose k-gram occurs >= min_occurrences times in the
+    WHOLE corpus (occurrence semantics — a doc repeating itself counts)
+    is duplicated; maximal runs of duplicated positions merge into
+    spans. The union of the reported [start_tok, end_tok] intervals is
+    exactly the set of tokens inside some >=k-token substring that
+    appears >= min_occurrences times — the same artifact the paper's
+    suffix array computes, re-expressed as a position-level k-gram
+    join (their ExactSubstr definition, without the suffix-array
+    machinery Spark has no use for).
+
+    Returns (doc_id, start_tok, end_tok, span_tokens, n_grams).
+
+    Scale shape (100 TB): one explode to (doc, pos, 8-byte gh) rows; one
+    groupBy(gh) count with map-side combine (hot grams ARE the
+    duplicates, collapsed to one partial row per map task before the
+    exchange); one semi-join back; one per-doc window bounded by doc
+    length. No all-pairs stage anywhere — cost is linear in corpus
+    tokens plus the duplicated-position volume."""
+    pos = _gram_positions(df, k, text_col, id_col, portable)
+    hot = (pos.groupBy("gh").agg(F.count(F.lit(1)).alias("_n"))
+           .filter(F.col("_n") >= min_occurrences).select("gh"))
+    dup = pos.join(hot, "gh", "left_semi").select("doc_id", "pos")
+    return _merge_islands(dup, k)
+
+
+def exact_substring_removal(df: DataFrame, k: int = 10,
+                            text_col: str = "text", id_col: str = "doc_id",
+                            portable: bool = False) -> DataFrame:
+    """Exact-substring dedup, removal form: duplicated spans are CUT
+    from every occurrence except the corpus-first one (lowest
+    (doc_id, pos) per gram — the deterministic survivor rule shared
+    with line_dedup_corpus), and documents are reassembled from their
+    surviving tokens. Lee et al. remove "all but one" copy; first-
+    occurrence is the arbitrary-but-reproducible choice every gate can
+    replay.
+
+    Returns (doc_id, text_deduped, n_tokens, n_tokens_kept) for EVERY
+    input row (token-less docs keep a (doc, '', 0, 0) row rather than
+    disappearing).
+
+    Scale shape: the gram aggregation carries (count, min(struct(doc,
+    pos))) — still one map-side-combined shuffle on the 8-byte gram key;
+    covered positions come from exploding the (disjoint) spans, never
+    from a range join; reassembly is the bounded per-doc collect_list
+    contract of line_dedup_corpus."""
+    pos = _gram_positions(df, k, text_col, id_col, portable)
+    occ = pos.groupBy("gh").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min(F.struct(F.col("doc_id").alias("d"),
+                       F.col("pos").alias("p"))).alias("_first"),
+    )
+    dup = (
+        pos.join(occ, "gh")
+        .filter((F.col("_n") >= 2)
+                & ~((F.col("doc_id") == F.col("_first.d"))
+                    & (F.col("pos") == F.col("_first.p"))))
+        .select("doc_id", "pos")
+    )
+    spans = _merge_islands(dup, k)
+    covered = spans.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("start_tok"), F.col("end_tok"))).alias("tpos"),
+    ).withColumn("_cov", F.lit(True))
+    from ..functions.textops import word_tokens
+
+    tokens = (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.posexplode(word_tokens(F.col(text_col))).alias("_p0", "tok"))
+        .select("doc_id", (F.col("_p0") + 1).cast("long").alias("tpos"), "tok")
+    )
+    agg = (
+        tokens.join(covered, ["doc_id", "tpos"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("_cov").isNull(), 1)).alias("n_tokens_kept"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("_cov").isNull(),
+                           F.struct(F.col("tpos").alias("tpos"),
+                                    F.col("tok").alias("tok"))))
+            ).alias("_a"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.expr("transform(_a, x -> x.tok)"))
+            .alias("text_deduped"),
+            "n_tokens", "n_tokens_kept",
+        )
+    )
+    base = df.select(F.col(id_col).alias("doc_id"))
+    return (
+        base.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_tokens_kept", F.lit(0)).cast("long").alias("n_tokens_kept"),
+        )
+    )

@@ -492,3 +492,102 @@ def test_shingle_containment_df_cap_mirrors_oracle(spark):
            for r in shingle_containment_pairs(df, min_pct=10, df_cap=3)
                .collect()}
     assert got == _py_containment(docs, min_pct=10, df_cap=3)
+
+
+# ---------------------------------------------------------------------------
+# exact-substring dedup (Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+
+def _ess_python_oracle(rows, k, min_occ=2):
+    """Brute-force exact-substring spans: hash every k-gram, count
+    occurrences corpus-wide, mark positions, merge runs with gap <= k."""
+    import re
+
+    pos_by_doc, gram_count = {}, {}
+    toks_by_doc = {}
+    for did, text in rows:
+        toks = [t for t in re.sub(r"\s+", " ", text.strip()).lower().split(" ") if t]
+        toks_by_doc[did] = toks
+        for i in range(1, len(toks) - k + 2):
+            g = " ".join(toks[i - 1:i - 1 + k])
+            gram_count[g] = gram_count.get(g, 0) + 1
+            pos_by_doc.setdefault(did, []).append((i, g))
+    spans = []
+    for did, plist in pos_by_doc.items():
+        dups = sorted(p for p, g in plist if gram_count[g] >= min_occ)
+        run = []
+        for p in dups:
+            if run and p - run[-1] > k:
+                spans.append((did, run[0], run[-1] + k - 1, run[-1] + k - run[0], len(run)))
+                run = []
+            run.append(p)
+        if run:
+            spans.append((did, run[0], run[-1] + k - 1, run[-1] + k - run[0], len(run)))
+    return sorted(spans)
+
+
+def test_exact_substring_spans_matches_python_oracle(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        # doc 1 shares the 6-token run "beta gamma delta epsilon zeta eta"
+        (1, "prefix words beta gamma delta epsilon zeta eta suffix trailer"),
+        # doc 2 repeats ITSELF (occurrence semantics: self-repeat counts)
+        (2, "one two three four five six one two three four five six"),
+        (3, "totally unrelated content with no shared runs at all here"),
+        (4, ""),  # token-less
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    k = 4
+    got = sorted(
+        tuple(r) for r in DD.exact_substring_spans(df, k=k).collect()
+    )
+    assert got == _ess_python_oracle(rows, k)
+    # sanity: doc 3 and the empty doc emit nothing
+    assert not [g for g in got if g[0] in (3, 4)]
+    # doc 0/1's shared 6-token run => span of 6 tokens, 3 grams, both docs
+    d01 = [g for g in got if g[0] in (0, 1)]
+    assert all(g[3] == 6 and g[4] == 3 for g in d01) and len(d01) == 2
+
+
+def test_exact_substring_spans_portable_twin_identical(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "xx beta gamma delta epsilon zeta yy zz"),
+        (2, "beta gamma delta epsilon zeta eta theta iota"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, DD.exact_substring_spans(df, k=5).collect()))
+    b = sorted(map(tuple, DD.exact_substring_spans(df, k=5, portable=True).collect()))
+    assert a == b
+
+
+def test_exact_substring_removal_first_occurrence_survives(spark):
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (0, shared + " unique zero tail"),
+        (1, "leading words " + shared + " other ending"),
+        (2, "no overlap here at all with anything else whatsoever"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in DD.exact_substring_removal(df, k=10).collect()}
+    # doc 0 is the corpus-first occurrence: fully kept
+    assert out[0]["text_deduped"] == rows[0][1]
+    assert out[0]["n_tokens"] == out[0]["n_tokens_kept"] == 13
+    # doc 1 loses exactly the 10 shared tokens
+    assert out[1]["text_deduped"] == "leading words other ending"
+    assert out[1]["n_tokens"] == 14 and out[1]["n_tokens_kept"] == 4
+    # untouched and empty docs keep full/empty rows
+    assert out[2]["text_deduped"] == rows[2][1]
+    assert out[3]["text_deduped"] == "" and out[3]["n_tokens"] == 0
+
+
+def test_exact_substring_removal_self_repeat(spark):
+    # a doc that repeats its own 6-gram: the FIRST copy survives, the
+    # second is cut (k=6 exactly spans the repeat)
+    rows = [(0, "a b c d e f a b c d e f tail")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = DD.exact_substring_removal(df, k=6).collect()[0]
+    assert r["text_deduped"] == "a b c d e f tail"
+    assert r["n_tokens"] == 13 and r["n_tokens_kept"] == 7
