@@ -1532,6 +1532,32 @@ def q_duplicate_passages(spark, sf_dir):
     return DD.duplicate_passages(docs, k=8, window=4)
 
 
+def q_exact_substring_spans(spark, sf_dir):
+    """Exact-substring duplication map (Lee et al. 2022 ExactSubstr,
+    position-level k-gram re-expression): maximal spans of tokens whose
+    10-gram occurs >= 2 times corpus-wide. One map-side-combined shuffle
+    on gram hashes + a per-doc-bounded window; never all-pairs. The
+    DuckDB oracle replays the gram/island arithmetic on gram STRINGS
+    (same equivalence classes as the portable md5 keying)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return DD.exact_substring_spans(docs, k=10, portable=True)
+
+
+def q_exact_substring_removal(spark, sf_dir):
+    """Exact-substring dedup, removal form: duplicated >=10-gram spans
+    are cut from all but the corpus-first occurrence (deterministic
+    (doc_id,pos)-min survivor) and documents reassembled from surviving
+    tokens. md5 of the deduped text keeps the gate row narrow."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    out = DD.exact_substring_removal(docs, k=10, portable=True)
+    return out.select(
+        "doc_id",
+        F.md5("text_deduped").alias("deduped_md5"),
+        "n_tokens",
+        "n_tokens_kept",
+    )
+
+
 def q_hll_registers(spark, sf_dir):
     """HyperLogLog register table per source (operators.sketches): md5-48bit
     hash -> top-8-bit register routing -> leading-zero rank, aggregated by
@@ -2102,6 +2128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "winnow_fingerprints": q_winnow_fingerprints,
         "duplicate_passages": q_duplicate_passages,
+        "exact_substring_spans": q_exact_substring_spans,
+        "exact_substring_removal": q_exact_substring_removal,
         "hll_registers": q_hll_registers,
         "cms_registers": q_cms_registers,
         "kmv_registers": q_kmv_registers,
@@ -3367,6 +3395,83 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (fp IN (SELECT fp FROM shared)) AS BIGINT) AS n_shared,
                    CAST((10000 * count(*) FILTER (fp IN (SELECT fp FROM shared))) // count(*) AS BIGINT) AS share_bp
             FROM fps GROUP BY doc_id
+        """,
+        "exact_substring_spans": rf"""
+            WITH toks AS (
+              SELECT doc_id, {words} AS w FROM documents WHERE doc_id < 500
+            ), pos AS (
+              SELECT doc_id, i AS pos, array_to_string(w[i:i+9], ' ') AS g
+              FROM toks, UNNEST(range(1, greatest(len(w) - 10 + 1, 0) + 1)) AS t(i)
+            ), hot AS (
+              SELECT g FROM pos GROUP BY g HAVING count(*) >= 2
+            ), dup AS (
+              SELECT doc_id, pos FROM pos WHERE g IN (SELECT g FROM hot)
+            ), brk AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 10
+                          THEN 1 ELSE 0 END AS b
+              FROM dup
+            ), grp AS (
+              SELECT doc_id, pos,
+                     sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+              FROM brk
+            )
+            SELECT doc_id,
+                   CAST(min(pos) AS BIGINT) AS start_tok,
+                   CAST(max(pos) + 9 AS BIGINT) AS end_tok,
+                   CAST(max(pos) + 9 - min(pos) + 1 AS BIGINT) AS span_tokens,
+                   CAST(count(*) AS BIGINT) AS n_grams
+            FROM grp GROUP BY doc_id, gid
+        """,
+        "exact_substring_removal": rf"""
+            WITH toks AS (
+              SELECT doc_id, {words} AS w FROM documents WHERE doc_id < 500
+            ), pos AS (
+              SELECT doc_id, i AS pos, array_to_string(w[i:i+9], ' ') AS g
+              FROM toks, UNNEST(range(1, greatest(len(w) - 10 + 1, 0) + 1)) AS t(i)
+            ), rn AS (
+              SELECT doc_id, pos,
+                     row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+              FROM pos
+            ), dup AS (
+              SELECT doc_id, pos FROM rn WHERE rn >= 2
+            ), brk AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 10
+                          THEN 1 ELSE 0 END AS b
+              FROM dup
+            ), grp AS (
+              SELECT doc_id, pos,
+                     sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+              FROM brk
+            ), spans AS (
+              SELECT doc_id, min(pos) AS s, max(pos) + 9 AS e
+              FROM grp GROUP BY doc_id, gid
+            ), cov AS (
+              SELECT DISTINCT doc_id, unnest(range(s, e + 1)) AS tpos FROM spans
+            ), tk AS (
+              SELECT doc_id, unnest(w) AS tok,
+                     unnest(range(1, len(w) + 1)) AS tpos
+              FROM toks
+            ), kept AS (
+              SELECT tk.doc_id, tk.tpos, tk.tok,
+                     cov.tpos IS NOT NULL AS covd
+              FROM tk LEFT JOIN cov
+                ON tk.doc_id = cov.doc_id AND tk.tpos = cov.tpos
+            ), agg AS (
+              SELECT doc_id,
+                     md5(coalesce(string_agg(CASE WHEN NOT covd THEN tok END,
+                                             ' ' ORDER BY tpos), '')) AS deduped_md5,
+                     count(*) AS n_tokens,
+                     count(*) FILTER (WHERE NOT covd) AS n_tokens_kept
+              FROM kept GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   coalesce(agg.deduped_md5, md5('')) AS deduped_md5,
+                   CAST(coalesce(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(agg.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept
+            FROM (SELECT DISTINCT doc_id FROM toks) t
+            LEFT JOIN agg USING (doc_id)
         """,
         "minhash_lsh_portable": r"""
             WITH toks AS (
