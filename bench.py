@@ -394,27 +394,38 @@ def _probe_procs(n: int, it: int, k: int) -> float:
     return round(time.time() - t0, 2)
 
 
-def _quick_probe(reps_1: int = 3, reps_4: int = 2) -> dict:
+def _quick_probe(reps_1: int = 3, reps_4: int = 2, reps_16: int = 2) -> dict:
     """DRAM-contention check (subset of --probe-bandwidth): the
-    bandwidth-bound streaming kernel at 1 and 4 processes. On an unloaded
-    box eff_4 ~= 1.0; co-tenant DRAM contention (what invalidated the
-    round-2 wide measurements) collapses it (0.18 observed).
+    bandwidth-bound streaming kernel at 1, 4, and 16 processes. On an
+    unloaded box eff_4 ~= 1.0; co-tenant DRAM contention (what
+    invalidated the round-2 wide measurements) collapses it (0.18
+    observed).
 
     wall_1/wall_4 are best-of-N: the r4 artifacts show single-shot wall_1
     spanning 6.4-27 s inside the SAME minute on windows that produced the
     best frontier numbers ever, so one-shot absolutes are pure noise —
     min-of-N estimates the box's clean capability and is what the
-    calibration gate below compares against."""
+    calibration gate below compares against.
+
+    wall_16 (r5-late fix): the suite runs 32 Spark threads, and the r5
+    late window proved narrow probes can read clean (2.08/2.13 s) while
+    32-wide throughput is HALVED — wide-concurrency bandwidth varies
+    independently of 1/4-process state on this box. The 16-process run
+    (1/4 the per-proc work, so aggregate traffic = 4x the wall_1
+    kernel) samples the wide regime the suite actually lives in and is
+    gated against its own rolling calibration below."""
     # warm-up (untimed): the first probe process on a cold page cache pays
     # numpy import + .so paging — observed 129 s vs 2.2 s warm — which is
     # not the DRAM signal this probe exists to measure
     _probe_procs(1_000_000, 1, 1)
     runs_1 = [_probe_procs(64_000_000, 4, 1) for _ in range(reps_1)]
     runs_4 = [_probe_procs(64_000_000, 4, 4) for _ in range(reps_4)]
-    w1, w4 = min(runs_1), min(runs_4)
+    runs_16 = [_probe_procs(16_000_000, 4, 16) for _ in range(reps_16)]
+    w1, w4, w16 = min(runs_1), min(runs_4), min(runs_16)
     return {"ts": round(time.time(), 1), "wall_1": w1, "wall_4": w4,
-            "eff_4": round(w1 / w4, 3),
-            "wall_1_runs": runs_1, "wall_4_runs": runs_4}
+            "wall_16": w16, "eff_4": round(w1 / w4, 3),
+            "wall_1_runs": runs_1, "wall_4_runs": runs_4,
+            "wall_16_runs": runs_16}
 
 
 # ---------------------------------------------------------------------------
@@ -429,21 +440,26 @@ def _quick_probe(reps_1: int = 3, reps_4: int = 2) -> dict:
 CALIB_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "bench_runs", "probe_calibration.json")
 CALIB_HEADROOM = 1.15   # refuse when probe wall_1 > 1.15x calibration
+WIDE_HEADROOM = 1.35    # refuse when probe wall_16 > 1.35x wide calibration
 DRIFT_LIMIT = 1.20      # refuse when post wall_1 > 1.20x pre wall_1
 CALIB_KEEP = 10         # clean probes in the rolling calibration window
 
 
-def _calib_history() -> list[float]:
-    """Rolling history of clean-probe walls; legacy single-value files
-    ({"wall_1": x}, the r5 all-time-min format) read as one entry."""
+def _calib_doc() -> dict:
     try:
         with open(CALIB_PATH) as f:
-            d = json.load(f)
+            return json.load(f)
     except (OSError, ValueError):
-        return []
-    hist = d.get("history")
+        return {}
+
+
+def _calib_history(key: str = "history") -> list[float]:
+    """Rolling history of clean-probe walls; legacy single-value files
+    ({"wall_1": x}, the r5 all-time-min format) read as one entry."""
+    d = _calib_doc()
+    hist = d.get(key)
     if hist is None:
-        hist = [d["wall_1"]] if "wall_1" in d else []
+        hist = [d["wall_1"]] if (key == "history" and "wall_1" in d) else []
     try:
         return [float(x) for x in hist][-CALIB_KEEP:]
     except (TypeError, ValueError):
@@ -469,18 +485,37 @@ def _load_calibration() -> float | None:
     return hist[len(hist) // 2]
 
 
+def _load_calibration_16() -> float | None:
+    """Median of the last CALIB_KEEP clean-probe wall_16 runs (the
+    wide-concurrency twin of `_load_calibration`; None until the first
+    wall_16-bearing clean probe is recorded)."""
+    hist = sorted(_calib_history("history_16"))
+    if not hist:
+        return None
+    return hist[len(hist) // 2]
+
+
 def _maybe_update_calibration(probe: dict, min_eff4: float = 0.6) -> None:
-    """Append a healthy-efficiency probe's wall to the rolling history
-    (bounded at CALIB_KEEP); contended probes never enter."""
+    """Append a healthy-efficiency probe's walls to the rolling
+    histories (bounded at CALIB_KEEP); contended probes never enter.
+    wall_16 feeds its own history so the wide bar tracks wide-regime
+    capability, not narrow-probe state."""
     if probe["eff_4"] < min_eff4:
         return
     hist = (_calib_history() + [probe["wall_1"]])[-CALIB_KEEP:]
+    hist16 = _calib_history("history_16")
+    if probe.get("wall_16") is not None:
+        hist16 = (hist16 + [probe["wall_16"]])[-CALIB_KEEP:]
     os.makedirs(os.path.dirname(CALIB_PATH), exist_ok=True)
     med = sorted(hist)[len(hist) // 2]
+    doc = {"history": hist, "wall_1": med, "updated": probe["ts"],
+           "note": "rolling clean-probe walls; calibration = "
+                   "median; delete to recalibrate"}
+    if hist16:
+        doc["history_16"] = hist16
+        doc["wall_16"] = sorted(hist16)[len(hist16) // 2]
     with open(CALIB_PATH, "w") as f:
-        json.dump({"history": hist, "wall_1": med, "updated": probe["ts"],
-                   "note": "rolling clean-probe walls; calibration = "
-                           "median; delete to recalibrate"}, f)
+        json.dump(doc, f)
 
 
 def _probe_ok(probe: dict, calib: float | None,
@@ -492,6 +527,14 @@ def _probe_ok(probe: dict, calib: float | None,
     if calib is not None and probe["wall_1"] > CALIB_HEADROOM * calib:
         why.append(f"wall_1 {probe['wall_1']} > {CALIB_HEADROOM}x "
                    f"calibration {calib} (box uniformly slow)")
+    # wide-regime bar (r5-late fix): the suite runs 32 threads; narrow
+    # probes passed a window whose wide throughput was HALVED.  Probes
+    # without wall_16 (legacy artifacts, stubbed tests) skip the rule.
+    w16, calib16 = probe.get("wall_16"), _load_calibration_16()
+    if w16 is not None and calib16 is not None and w16 > WIDE_HEADROOM * calib16:
+        why.append(f"wall_16 {w16} > {WIDE_HEADROOM}x wide calibration "
+                   f"{calib16} (wide-concurrency bandwidth degraded; "
+                   f"narrow probes can miss this)")
     return why
 
 
@@ -502,6 +545,11 @@ def _window_ok(pre: dict, post: dict, calib: float | None,
     if post["wall_1"] > DRIFT_LIMIT * pre["wall_1"]:
         why.append(f"drift: post wall_1 {post['wall_1']} > {DRIFT_LIMIT}x "
                    f"pre {pre['wall_1']} (box degraded mid-suite)")
+    if (pre.get("wall_16") is not None and post.get("wall_16") is not None
+            and post["wall_16"] > DRIFT_LIMIT * pre["wall_16"]):
+        why.append(f"wide drift: post wall_16 {post['wall_16']} > "
+                   f"{DRIFT_LIMIT}x pre {pre['wall_16']} "
+                   f"(wide bandwidth degraded mid-suite)")
     return why
 
 

@@ -118,3 +118,69 @@ def test_calibration_reads_legacy_single_value_file(monkeypatch, tmp_path):
     assert bench._load_calibration() == 1.26
     bench._maybe_update_calibration(_probe(0.9, 2.0))
     assert bench._calib_history() == [1.26, 2.0]
+
+
+def _wprobe(eff_4: float, wall_1: float, wall_16: float | None) -> dict:
+    p = _probe(eff_4, wall_1)
+    if wall_16 is not None:
+        p["wall_16"] = wall_16
+        p["wall_16_runs"] = [wall_16]
+    return p
+
+
+def test_wide_rule_pins_the_r5_late_window(monkeypatch, tmp_path):
+    """The r5-late failure mode: narrow probes clean (wall_1 at
+    calibration, eff_4 healthy) while 32-wide throughput is halved.
+    The wall_16 bar must refuse exactly that window."""
+    monkeypatch.setattr(bench, "CALIB_PATH", str(tmp_path / "calib.json"))
+    for w16 in (3.0, 3.1, 2.9, 3.0):
+        bench._maybe_update_calibration(_wprobe(0.9, 2.1, w16))
+    calib = bench._load_calibration()
+    # narrow-clean + wide-clean -> qualifies
+    assert bench._probe_ok(_wprobe(0.9, 2.1, 3.2), calib) == []
+    # narrow-clean + wide 2x calibration -> refused on the wide bar
+    why = bench._probe_ok(_wprobe(0.9, 2.1, 6.0), calib)
+    assert why and "wall_16" in why[0]
+
+
+def test_wide_rule_skips_probes_and_calibrations_without_wall_16(
+        monkeypatch, tmp_path):
+    """Back-compat: legacy probes (no wall_16) and fresh boxes (no wide
+    calibration yet) must not trip the wide bar."""
+    monkeypatch.setattr(bench, "CALIB_PATH", str(tmp_path / "calib.json"))
+    # no calibration at all: wall_16-bearing probe passes
+    assert bench._probe_ok(_wprobe(0.9, 2.0, 99.0), None) == []
+    # narrow-only calibration: legacy probe passes, wide probe passes
+    bench._maybe_update_calibration(_probe(0.9, 2.0))
+    calib = bench._load_calibration()
+    assert bench._probe_ok(_probe(0.9, 2.0), calib) == []
+    assert bench._probe_ok(_wprobe(0.9, 2.0, 99.0), calib) == []
+
+
+def test_wide_calibration_accumulates_only_from_clean_probes(
+        monkeypatch, tmp_path):
+    monkeypatch.setattr(bench, "CALIB_PATH", str(tmp_path / "calib.json"))
+    bench._maybe_update_calibration(_wprobe(0.9, 2.0, 3.0))
+    assert bench._load_calibration_16() == 3.0
+    # contended probe: neither history advances
+    bench._maybe_update_calibration(_wprobe(0.3, 2.0, 1.0))
+    assert bench._calib_history("history_16") == [3.0]
+    # narrow-only probe: wide history untouched, narrow advances
+    bench._maybe_update_calibration(_probe(0.9, 2.2))
+    assert bench._calib_history("history_16") == [3.0]
+    assert len(bench._calib_history()) == 2
+    # bounded
+    for _ in range(20):
+        bench._maybe_update_calibration(_wprobe(0.9, 2.0, 3.0))
+    assert len(bench._calib_history("history_16")) == bench.CALIB_KEEP
+
+
+def test_wide_drift_refusal(monkeypatch, tmp_path):
+    monkeypatch.setattr(bench, "CALIB_PATH", str(tmp_path / "calib.json"))
+    pre, post = _wprobe(0.9, 2.0, 3.0), _wprobe(0.9, 2.0, 3.0)
+    assert bench._window_ok(pre, post, None) == []
+    post = _wprobe(0.9, 2.0, 3.0 * bench.DRIFT_LIMIT * 1.05)
+    why = bench._window_ok(pre, post, None)
+    assert why and "wide drift" in why[0]
+    # legacy pre without wall_16: rule inactive
+    assert bench._window_ok(_probe(0.9, 2.0), post, None) == []
