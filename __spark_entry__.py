@@ -949,6 +949,97 @@ def q_image_stream_info(spark, sf_dir):
     return MM.image_stream_info_table(raw)
 
 
+# Mirrors tools/gen_golden.py IMAGE_DHASH_CASES / _dhash_case_pixels
+# literally (pixel SYNTHESIS is shared input data; the dHash oracle there
+# is an independent per-box double loop, vs the engine's integral-image
+# kernel). Encodings here are LOSSLESS (PNG/PPM) so the golden can derive
+# every hash from known pixel truth without running the engine decoder.
+_IMAGE_DHASH_CASES = [
+    ("img00.png", 0, 48, 36, None), ("img01.ppm", 1, 64, 48, None),
+    ("img02.png", 2, 32, 24, None), ("img03.ppm", 3, 80, 60, None),
+    ("img04.png", 4, 40, 40, None), ("img05.ppm", 5, 56, 42, None),
+    ("img06.png", 6, 72, 54, None), ("img07.ppm", 7, 24, 20, None),
+    ("img08.png", 8, 60, 44, None), ("img09.ppm", 9, 36, 28, None),
+    ("img10.png", 10, 52, 38, None), ("img11.ppm", 11, 44, 34, None),
+    ("img00_twin.ppm", 0, 48, 36, None), ("img03_twin.png", 3, 80, 60, None),
+    ("img01_near.png", 1, 64, 48, 24), ("img04_near.ppm", 4, 40, 40, 24),
+    ("img06_near.png", 6, 72, 54, 32), ("img08_near.ppm", 8, 60, 44, 24),
+    ("img02_far.png", 2, 32, 24, 120), ("img05_far.ppm", 5, 56, 42, 120),
+]
+
+
+def _dhash_case_pixels(seed, w, h, variant_amp):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = (xx * 255 // max(w - 1, 1)).astype(np.int64)
+    g = (yy * 255 // max(h - 1, 1)).astype(np.int64)
+    b = ((xx + yy) * 127 // max(w + h - 2, 1)).astype(np.int64)
+    px = np.stack([r, g, b], axis=-1)
+    for _ in range(5):
+        x0 = int(rng.integers(0, max(w - 4, 1)))
+        y0 = int(rng.integers(0, max(h - 4, 1)))
+        bw = int(rng.integers(3, max(w // 3, 4)))
+        bh = int(rng.integers(3, max(h // 3, 4)))
+        val = rng.integers(0, 256, 3)
+        px[y0:y0 + bh, x0:x0 + bw] = (px[y0:y0 + bh, x0:x0 + bw] + val) // 2
+    if variant_amp is not None and variant_amp <= 32:
+        vrng = np.random.default_rng(1000 + seed)
+        bh, bw = max(h // 8, 1), max(w // 9, 1)
+        for _ in range(2):
+            y0 = int(vrng.integers(0, max(h - bh, 1)))
+            x0 = int(vrng.integers(0, max(w - bw, 1)))
+            px[y0:y0 + bh, x0:x0 + bw] += variant_amp
+    elif variant_amp is not None:
+        px[: h // 2, : w // 2] += variant_amp
+        px[h // 2:, w // 2:] -= variant_amp
+    return px.clip(0, 255).astype(np.uint8)
+
+
+def _image_dhash_raw(spark):
+    import numpy as np
+
+    from smartcrawler_spark import multimodal as MM
+
+    rows = []
+    for ref, seed, w, h, amp in _IMAGE_DHASH_CASES:
+        px = _dhash_case_pixels(seed, w, h, amp)
+        enc = MM.encode_png if ref.endswith(".png") else MM.encode_ppm
+        rows.append((ref, bytearray(enc(px))))
+    # undecodable / sub-grid payloads: the operator must DROP these
+    rows.append(("junk0.bin", bytearray(b"\x00\x01 not an image")))
+    rows.append(("tiny0.ppm", bytearray(MM.encode_ppm(
+        np.zeros((6, 6, 3), dtype=np.uint8)))))
+    return spark.createDataFrame(rows, "media_ref string, payload binary")
+
+
+def q_image_dhash(spark, sf_dir):
+    """Perceptual 64-bit difference hash per image (operators.imagedup):
+    decode (in-repo PNG/PPM codecs here; JPEG/GIF/BMP in pytest) ->
+    integer luma -> 8x9 integer box-mean grid -> horizontal gradient
+    sign bits. Map-only, zero Exchange. Oracle: golden parquet whose
+    hashes derive from KNOWN pixel truth via an independent per-box
+    double-loop dHash (tools/gen_golden.py golden_image_dhash); junk and
+    sub-grid inputs must be dropped."""
+    from smartcrawler_spark.operators import imagedup as ID
+
+    return ID.image_dhash_table(_image_dhash_raw(spark))
+
+
+def q_image_dhash_pairs(spark, sf_dir):
+    """Image near-dup pairs at hamming <= 6 via exact multi-index
+    banding (8 disjoint 8-bit bands -> equi-join -> bit_count filter;
+    pigeonhole makes recall perfect for k <= 7). The banded exchange
+    carries (id64, dhash, band) longs only; refs join back once. Oracle:
+    brute-force O(n^2) hamming over the golden known-truth hashes
+    (tools/gen_golden.py golden_image_dhash_pairs)."""
+    from smartcrawler_spark.operators import imagedup as ID
+
+    hashes = ID.image_dhash_table(_image_dhash_raw(spark))
+    return ID.dhash_near_dup(hashes, max_hamming=6)
+
+
 # Mirrors tools/gen_golden.py _cdc_payload / CDC_REFS literally (payload
 # SYNTHESIS is shared input data; the chunking oracle there is the scalar
 # Gear recurrence, independent of the engine's vectorized kernel).
@@ -2102,6 +2193,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_templates": q_url_templates,
         "host_graph": q_host_graph,
         "image_stream_info": q_image_stream_info,
+        "image_dhash": q_image_dhash,
+        "image_dhash_pairs": q_image_dhash_pairs,
         "cdc_chunks": q_cdc_chunks,
         "cdc_stats": q_cdc_stats,
         "robots_sitemap_discovery": q_robots_sitemap_discovery,
@@ -2908,6 +3001,15 @@ def oracle_sql() -> dict[str, str]:
                    progressive, orientation
             FROM read_parquet(
                 '/root/repo/fixtures/golden/image_stream_info.parquet')
+        """,
+        "image_dhash": """
+            SELECT media_ref, dhash, width, height
+            FROM read_parquet('/root/repo/fixtures/golden/image_dhash.parquet')
+        """,
+        "image_dhash_pairs": """
+            SELECT ref_a, ref_b, hamming
+            FROM read_parquet(
+                '/root/repo/fixtures/golden/image_dhash_pairs.parquet')
         """,
         "mp3_decode": """
             SELECT media_ref, sample_rate, channels, n_samples, line0, line1

@@ -54,6 +54,8 @@ def _table_rows(t, cols):
                            "bit_depth", "n_frames", "progressive",
                            "orientation"]),
     ("charset_decode", ["case_id", "text", "encoding"]),
+    ("image_dhash", ["media_ref", "dhash", "width", "height"]),
+    ("image_dhash_pairs", ["ref_a", "ref_b", "hamming"]),
 ])
 def test_generator_matches_kernel_on_other_sf(spark, sf_dir, name, cols):
     import __spark_entry__ as E

@@ -564,6 +564,125 @@ def golden_charset_decode(sf_dir: str) -> pa.Table:  # sf-independent
     })
 
 
+# ---------------------------------------------------------------------------
+# image_dhash / image_dhash_pairs: perceptual image near-dup. The golden
+# derives every hash from KNOWN pixel truth — the same deterministic
+# integer pixel recipe the gate encodes LOSSLESSLY (PNG/PPM), so decode
+# must reproduce the exact arrays and the dHash kernel is re-computed
+# here with an independent straightforward implementation (per-box
+# double loop, no integral image). Pairs are brute-force O(n^2) at this
+# scale. Case list + pixel recipe are mirrored literally in
+# __spark_entry__._IMAGE_DHASH_CASES / _dhash_case_pixels;
+# tests/test_golden.py keeps them in lockstep.
+# ---------------------------------------------------------------------------
+
+# (ref, seed, w, h, variant_amp) — variant_amp None = base image from
+# seed; an int = perturbation of the SAME seed's base (3 seeded 3x3
+# patches shifted by +amp). Duplicate (ref, seed) rows with distinct
+# refs are exact pixel twins encoded in different lossless formats.
+IMAGE_DHASH_CASES = [
+    ("img00.png", 0, 48, 36, None), ("img01.ppm", 1, 64, 48, None),
+    ("img02.png", 2, 32, 24, None), ("img03.ppm", 3, 80, 60, None),
+    ("img04.png", 4, 40, 40, None), ("img05.ppm", 5, 56, 42, None),
+    ("img06.png", 6, 72, 54, None), ("img07.ppm", 7, 24, 20, None),
+    ("img08.png", 8, 60, 44, None), ("img09.ppm", 9, 36, 28, None),
+    ("img10.png", 10, 52, 38, None), ("img11.ppm", 11, 44, 34, None),
+    # exact pixel twins of img00/img03 in the other container
+    ("img00_twin.ppm", 0, 48, 36, None), ("img03_twin.png", 3, 80, 60, None),
+    # light perturbations (near-dups if few grid bits flip)
+    ("img01_near.png", 1, 64, 48, 24), ("img04_near.ppm", 4, 40, 40, 24),
+    ("img06_near.png", 6, 72, 54, 32), ("img08_near.ppm", 8, 60, 44, 24),
+    # heavy perturbations (should fall outside max_hamming)
+    ("img02_far.png", 2, 32, 24, 120), ("img05_far.ppm", 5, 56, 42, 120),
+]
+IMAGE_DHASH_JUNK = [("junk0.bin", b"\x00\x01 not an image"),
+                    ("tiny0.ppm", None)]  # 6x6 PPM, below the 8x9 grid
+
+
+def _dhash_case_pixels(seed: int, w: int, h: int,
+                       variant_amp: int | None) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = (xx * 255 // max(w - 1, 1)).astype(np.int64)
+    g = (yy * 255 // max(h - 1, 1)).astype(np.int64)
+    b = ((xx + yy) * 127 // max(w + h - 2, 1)).astype(np.int64)
+    px = np.stack([r, g, b], axis=-1)
+    for _ in range(5):
+        x0 = int(rng.integers(0, max(w - 4, 1)))
+        y0 = int(rng.integers(0, max(h - 4, 1)))
+        bw = int(rng.integers(3, max(w // 3, 4)))
+        bh = int(rng.integers(3, max(h // 3, 4)))
+        val = rng.integers(0, 256, 3)
+        px[y0:y0 + bh, x0:x0 + bw] = (px[y0:y0 + bh, x0:x0 + bw] + val) // 2
+    if variant_amp is not None and variant_amp <= 32:
+        # near variant: nudge two grid-box-sized regions — flips a few
+        # adjacent-mean comparisons, leaving the rest of the hash intact
+        vrng = np.random.default_rng(1000 + seed)
+        bh, bw = max(h // 8, 1), max(w // 9, 1)
+        for _ in range(2):
+            y0 = int(vrng.integers(0, max(h - bh, 1)))
+            x0 = int(vrng.integers(0, max(w - bw, 1)))
+            px[y0:y0 + bh, x0:x0 + bw] += variant_amp
+    elif variant_amp is not None:
+        # far variant: shove opposite quadrants apart — flips gradient
+        # signs across much of the grid
+        px[: h // 2, : w // 2] += variant_amp
+        px[h // 2:, w // 2:] -= variant_amp
+    return px.clip(0, 255).astype(np.uint8)
+
+
+def _golden_dhash64(px: np.ndarray) -> int:
+    """Independent dHash: per-box double loop, integer means."""
+    h, w = px.shape[:2]
+    luma = [[(77 * int(px[y, x, 0]) + 150 * int(px[y, x, 1])
+              + 29 * int(px[y, x, 2])) >> 8 for x in range(w)]
+            for y in range(h)]
+    grid = []
+    for r in range(8):
+        row = []
+        for c in range(9):
+            y0, y1 = r * h // 8, (r + 1) * h // 8
+            x0, x1 = c * w // 9, (c + 1) * w // 9
+            s = sum(luma[y][x] for y in range(y0, y1) for x in range(x0, x1))
+            row.append(s // ((y1 - y0) * (x1 - x0)))
+        grid.append(row)
+    bits = 0
+    for r in range(8):
+        for c in range(8):
+            bits = (bits << 1) | (1 if grid[r][c] > grid[r][c + 1] else 0)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def golden_image_dhash(sf_dir: str) -> pa.Table:  # sf-independent
+    rows = [(ref, _golden_dhash64(_dhash_case_pixels(seed, w, h, amp)), w, h)
+            for ref, seed, w, h, amp in IMAGE_DHASH_CASES]
+    rows.sort()
+    return pa.table({
+        "media_ref": pa.array([r[0] for r in rows], pa.string()),
+        "dhash": pa.array([r[1] for r in rows], pa.int64()),
+        "width": pa.array([r[2] for r in rows], pa.int32()),
+        "height": pa.array([r[3] for r in rows], pa.int32()),
+    })
+
+
+def golden_image_dhash_pairs(sf_dir: str, max_hamming=6) -> pa.Table:
+    hashes = [(ref, _golden_dhash64(_dhash_case_pixels(seed, w, h, amp)))
+              for ref, seed, w, h, amp in IMAGE_DHASH_CASES]
+    pairs = []
+    for i in range(len(hashes)):
+        for j in range(i + 1, len(hashes)):
+            ham = bin((hashes[i][1] ^ hashes[j][1]) & ((1 << 64) - 1)).count("1")
+            if ham <= max_hamming:
+                a, b = sorted((hashes[i][0], hashes[j][0]))
+                pairs.append((a, b, ham))
+    pairs.sort()
+    return pa.table({
+        "ref_a": pa.array([p[0] for p in pairs], pa.string()),
+        "ref_b": pa.array([p[1] for p in pairs], pa.string()),
+        "hamming": pa.array([p[2] for p in pairs], pa.int32()),
+    })
+
+
 GOLDENS = {
     "dedup_minhash": golden_dedup_minhash,
     "dedup_simhash": golden_dedup_simhash,
@@ -575,6 +694,8 @@ GOLDENS = {
     "cdc_chunks": golden_cdc_chunks,
     "image_stream_info": golden_image_stream_info,
     "charset_decode": golden_charset_decode,
+    "image_dhash": golden_image_dhash,
+    "image_dhash_pairs": golden_image_dhash_pairs,
 }
 
 
