@@ -1958,6 +1958,36 @@ def q_lm_buckets(spark, sf_dir):
     )
 
 
+def q_nb_model(spark, sf_dir):
+    """Hashed Naive-Bayes training (operators/nbclassifier.nb_train,
+    portable md5-bucket tier): label = source, seed corpus = even
+    doc_ids. Output (label, bucket, c) — the bounded labels x buckets
+    model artifact a 1000-executor scoring job broadcasts; training is
+    one map-side-combined groupBy. All-integer."""
+    from smartcrawler_spark.operators import nbclassifier as NB
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    feats, _ = NB.nb_train(docs, label_col="source", portable=True)
+    return feats.select("label", "bucket", F.col("c").cast("long").alias("c"))
+
+
+def q_nb_classify(spark, sf_dir):
+    """FineWeb/DCLM-style model-based filtering end-to-end: train the
+    hashed NB on even doc_ids (label = source), score odd doc_ids with
+    integer floor-log2 surprisal, and emit the argmin-bits prediction
+    per doc (ties to the lexicographically first label). Every decision
+    replayed by the DuckDB oracle from the same integer spec."""
+    from smartcrawler_spark.operators import nbclassifier as NB
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    feats, priors = NB.nb_train(train, label_col="source", portable=True)
+    scored = NB.nb_score_bits(test, feats, priors, portable=True)
+    return NB.nb_predict(scored).select(
+        "doc_id", "pred_label", F.col("bits").cast("long").alias("bits"))
+
+
 def q_change_rate(spark, sf_dir):
     """Per-host change-rate estimation + adaptive recrawl intervals
     (plans.analysis.change_rate_ppm / recrawl_intervals): a synthesized
@@ -2247,6 +2277,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_components": q_bm25_components,
         "change_rate": q_change_rate,
         "lm_score": q_lm_score,
+        "nb_model": q_nb_model,
+        "nb_classify": q_nb_classify,
         "lm_buckets": q_lm_buckets,
         "content_blocks": q_content_blocks,
         "bpe_pairs": q_bpe_pairs,
@@ -2323,6 +2355,27 @@ _LANG_MARKERS_SQL = {
 
 
 _WORDS_TEXT = _WORDS.format(col="text")
+
+# Hashed-NB oracle pieces: the portable md5 3-hex-digit bucket (Spark
+# instr == DuckDB strpos, both 1-based) and the shared training CTEs.
+_NB_BUCKET = (
+    "((strpos('0123456789abcdef', substr(md5({t}), 1, 1)) - 1) * 256"
+    " + (strpos('0123456789abcdef', substr(md5({t}), 2, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5({t}), 3, 1)) - 1)) % 4096"
+)
+
+_NB_TRAIN_SQL = rf"""
+              tr AS (
+                SELECT source AS label, {{words}} AS w
+                FROM documents WHERE doc_id % 2 = 0
+              ), tok AS (
+                SELECT label, unnest(w) AS tok FROM tr
+              ), feats AS (
+                SELECT label,
+                       CAST({_NB_BUCKET.format(t='tok')} AS BIGINT) AS bucket,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM tok GROUP BY 1, 2
+              )"""
 
 _LM_SCORE_SQL = rf"""
             WITH d AS (
@@ -4032,6 +4085,50 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         
+        "nb_model": f"""
+            WITH {_NB_TRAIN_SQL.format(words=_WORDS_TEXT)}
+            SELECT label, bucket, c FROM feats
+        """,
+        "nb_classify": f"""
+            WITH {_NB_TRAIN_SQL.format(words=_WORDS_TEXT)},
+            priors AS (
+              SELECT label, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(len(w)) AS BIGINT) AS n_tokens
+              FROM tr GROUP BY label
+            ), tot AS (
+              SELECT CAST(sum(n_docs) AS BIGINT) AS d FROM priors
+            ), pri AS (
+              SELECT label,
+                     (length(bin(n_tokens + 4096)) - 1) AS norm_per_tok,
+                     (length(bin(d)) - 1) - (length(bin(n_docs)) - 1)
+                       AS prior_bits
+              FROM priors, tot
+            ), te AS (
+              SELECT doc_id, {_WORDS_TEXT} AS w
+              FROM documents WHERE doc_id % 2 = 1
+            ), tb AS (
+              SELECT doc_id,
+                     {_NB_BUCKET.format(t='tok')} AS bucket
+              FROM (SELECT doc_id, unnest(w) AS tok FROM te)
+            ), evid AS (
+              SELECT doc_id, label,
+                     sum(length(bin(c + 1)) - 1) AS evidence
+              FROM tb JOIN feats USING (bucket) GROUP BY doc_id, label
+            ), base AS (
+              SELECT doc_id, len(w) AS n_toks FROM te
+            ), scored AS (
+              SELECT base.doc_id, pri.label,
+                     base.n_toks * pri.norm_per_tok
+                       - COALESCE(evid.evidence, 0) + pri.prior_bits AS bits
+              FROM base CROSS JOIN pri
+              LEFT JOIN evid ON evid.doc_id = base.doc_id
+                            AND evid.label = pri.label
+            )
+            SELECT doc_id, label AS pred_label, CAST(bits AS BIGINT) AS bits
+            FROM scored
+            QUALIFY row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY bits, label) = 1
+        """,
         "dup_content_hosts": """
             WITH pages AS (
               SELECT source AS host,
