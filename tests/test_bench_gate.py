@@ -179,7 +179,7 @@ def test_wide_drift_refusal(monkeypatch, tmp_path):
     monkeypatch.setattr(bench, "CALIB_PATH", str(tmp_path / "calib.json"))
     pre, post = _wprobe(0.9, 2.0, 3.0), _wprobe(0.9, 2.0, 3.0)
     assert bench._window_ok(pre, post, None) == []
-    post = _wprobe(0.9, 2.0, 3.0 * bench.DRIFT_LIMIT * 1.05)
+    post = _wprobe(0.9, 2.0, 3.0 * bench.WIDE_DRIFT_LIMIT * 1.05)
     why = bench._window_ok(pre, post, None)
     assert why and "wide drift" in why[0]
     # legacy pre without wall_16: rule inactive
