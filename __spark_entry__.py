@@ -1040,6 +1040,59 @@ def q_image_dhash_pairs(spark, sf_dir):
     return ID.dhash_near_dup(hashes, max_hamming=6)
 
 
+# Video gate corpus: MJPEG-AVIs whose scene structure (and therefore
+# shot table and frame-set overlap) is known by CONSTRUCTION — each
+# scene repeats one encoded JPEG byte-identically, scene images are the
+# dHash case pixels whose pairwise distance (>= 10 bits, measured and
+# pinned by the imagedup golden gate) clears the threshold (5) while
+# identical bytes decode to hamming 0. The oracles are literal
+# parameter tables, the image_stream_info convention.
+_VIDEO_SCENES = {  # ref -> list of (seed, n_frames) scenes, 48x36 q85
+    "vidA.avi": [(0, 4), (5, 3), (13, 5)],
+    "vidB.avi": [(5, 2), (0, 6)],
+    "vidC.avi": [(13, 3)],
+}
+
+
+def _video_raw(spark):
+    from smartcrawler_spark import multimodal as MM
+    from smartcrawler_spark.jpeg import encode_jpeg_baseline
+
+    rows = []
+    for ref, scenes in sorted(_VIDEO_SCENES.items()):
+        frames = []
+        for seed, n in scenes:
+            px = _dhash_case_pixels(seed, 48, 36, None)
+            frames.extend([px] * n)
+        rows.append((ref, bytearray(MM.encode_avi_mjpeg(frames, quality=85))))
+    rows.append(("junk.bin", bytearray(b"RIFFnope")))
+    return spark.createDataFrame(rows, "media_ref string, payload binary")
+
+
+def q_video_shots(spark, sf_dir):
+    """Video shot segmentation (operators/videodup.shot_bounds): MJPEG
+    frame decode -> per-frame integer dHash (map-only) -> one window per
+    video cutting where consecutive-frame hamming > 5. Within-scene
+    frames are byte-identical (hamming 0); cuts measure >= 10 bits —
+    the margin that makes the construction-parameter oracle exact."""
+    from smartcrawler_spark.operators import videodup as VD
+
+    frames = VD.frame_dhash_table(_video_raw(spark))
+    return VD.shot_bounds(frames, threshold=5)
+
+
+def q_video_frame_overlap(spark, sf_dir):
+    """Frame-set containment between videos (operators/videodup
+    .video_frame_overlap): distinct frame hashes per video, candidate
+    pairs via an exact equi-join on dhash longs (never all-pairs),
+    integer-div containment basis points. Shared scenes reuse the same
+    encoded bytes, so the overlap counts are construction parameters."""
+    from smartcrawler_spark.operators import videodup as VD
+
+    frames = VD.frame_dhash_table(_video_raw(spark))
+    return VD.video_frame_overlap(frames)
+
+
 # Mirrors tools/gen_golden.py _cdc_payload / CDC_REFS literally (payload
 # SYNTHESIS is shared input data; the chunking oracle there is the scalar
 # Gear recurrence, independent of the engine's vectorized kernel).
@@ -2225,6 +2278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_stream_info": q_image_stream_info,
         "image_dhash": q_image_dhash,
         "image_dhash_pairs": q_image_dhash_pairs,
+        "video_shots": q_video_shots,
+        "video_frame_overlap": q_video_frame_overlap,
         "cdc_chunks": q_cdc_chunks,
         "cdc_stats": q_cdc_stats,
         "robots_sitemap_discovery": q_robots_sitemap_discovery,
@@ -3063,6 +3118,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT ref_a, ref_b, hamming
             FROM read_parquet(
                 '/root/repo/fixtures/golden/image_dhash_pairs.parquet')
+        """,
+        "video_shots": """
+            SELECT * FROM (VALUES
+              ('vidA.avi', CAST(0 AS BIGINT), CAST(0 AS INT),
+               CAST(3 AS INT), CAST(4 AS BIGINT)),
+              ('vidA.avi', 1, 4, 6, 3),
+              ('vidA.avi', 2, 7, 11, 5),
+              ('vidB.avi', 0, 0, 1, 2),
+              ('vidB.avi', 1, 2, 7, 6),
+              ('vidC.avi', 0, 0, 2, 3)
+            ) AS t(media_ref, shot_idx, start_frame, end_frame, n_frames)
+        """,
+        "video_frame_overlap": """
+            SELECT * FROM (VALUES
+              ('vidA.avi', 'vidB.avi', CAST(2 AS BIGINT), CAST(3 AS BIGINT),
+               CAST(2 AS BIGINT), CAST(6666 AS BIGINT), CAST(10000 AS BIGINT)),
+              ('vidA.avi', 'vidC.avi', 1, 3, 1, 3333, 10000)
+            ) AS t(ref_a, ref_b, shared, a_total, b_total,
+                   containment_a_bp, containment_b_bp)
         """,
         "mp3_decode": """
             SELECT media_ref, sample_rate, channels, n_samples, line0, line1
