@@ -1069,6 +1069,86 @@ def _video_raw(spark):
     return spark.createDataFrame(rows, "media_ref string, payload binary")
 
 
+# Audio gate corpus: clips built from bin-centered tones — each segment
+# spans whole analysis frames (multiples of 256 samples) at an integer
+# number of cycles per frame, so the dominant rFFT bin per frame IS the
+# construction parameter and the landmark table is parameter-derived.
+# audC is byte-different (FLAC vs WAV) but sample-identical to audA:
+# the cross-codec near-dup case.
+_AUDIO_CLIPS = {  # ref -> [(bin, n_frames)], frame=256, rate=8000
+    "audA.wav": [(32, 8), (77, 8)],
+    "audB.wav": [(50, 6), (77, 10)],
+    "audC.flac": [(32, 8), (77, 8)],
+}
+_AUDIO_FRAME = 256
+
+
+def _audio_clip_samples(segments):
+    import numpy as np
+
+    parts = []
+    for b, n in segments:
+        i = np.arange(n * _AUDIO_FRAME)
+        parts.append(0.5 * np.sin(2 * np.pi * b * i / _AUDIO_FRAME))
+    # quantize to int16 once so WAV and FLAC encode IDENTICAL samples
+    x = np.concatenate(parts)
+    return np.round(x * 32767).astype(np.int64)
+
+
+def _audio_raw(spark):
+    from smartcrawler_spark import multimodal as MM
+    from smartcrawler_spark.flac import encode_flac
+
+    rows = []
+    for ref, segs in sorted(_AUDIO_CLIPS.items()):
+        q = _audio_clip_samples(segs)
+        if ref.endswith(".flac"):
+            payload = encode_flac(q, rate=8000, bps=16)
+        else:
+            payload = MM.encode_wav(q.astype("float64") / 32768.0, rate=8000)
+        rows.append((ref, bytearray(payload)))
+    rows.append(("junk.bin", bytearray(b"not audio")))
+    return spark.createDataFrame(rows, "media_ref string, payload binary")
+
+
+def _audio_peak_values():
+    """DuckDB VALUES table of per-frame peak bins, straight from the
+    clip construction parameters."""
+    rows = []
+    for ref, segs in sorted(_AUDIO_CLIPS.items()):
+        t = 0
+        for b, n in segs:
+            for _ in range(n):
+                rows.append(f"('{ref}', {t}, {b})")
+                t += 1
+    return "(VALUES " + ", ".join(rows) + ") AS pk(media_ref, t, b)"
+
+
+def q_audio_fingerprints(spark, sf_dir):
+    """Constellation audio fingerprints (operators/audiodup): decode
+    (WAV + FLAC paths both exercised) -> dominant rFFT bin per frame ->
+    landmark hash (b1<<20 | b2<<10 | dt). Map-only. Oracle: the peak
+    bins are construction parameters (bin-centered whole-frame tones),
+    so the landmark table is a self-join over a VALUES table."""
+    from smartcrawler_spark.operators import audiodup as AD
+
+    return AD.audio_fingerprint_table(
+        _audio_raw(spark), frame=_AUDIO_FRAME, fanout=1)
+
+
+def q_audio_overlap(spark, sf_dir):
+    """Audio near-dup: landmark-set containment between clips (the
+    generic videodup overlap over fp longs). audA (WAV) vs audC (FLAC)
+    carry identical samples -> containment 10000 bp both ways — the
+    cross-codec dedup case; A/B and B/C share one landmark (the common
+    77-bin segment's self-pair)."""
+    from smartcrawler_spark.operators import audiodup as AD
+
+    fps = AD.audio_fingerprint_table(
+        _audio_raw(spark), frame=_AUDIO_FRAME, fanout=1)
+    return AD.audio_overlap(fps)
+
+
 def q_video_shots(spark, sf_dir):
     """Video shot segmentation (operators/videodup.shot_bounds): MJPEG
     frame decode -> per-frame integer dHash (map-only) -> one window per
@@ -2280,6 +2360,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash_pairs": q_image_dhash_pairs,
         "video_shots": q_video_shots,
         "video_frame_overlap": q_video_frame_overlap,
+        "audio_fingerprints": q_audio_fingerprints,
+        "audio_overlap": q_audio_overlap,
         "cdc_chunks": q_cdc_chunks,
         "cdc_stats": q_cdc_stats,
         "robots_sitemap_discovery": q_robots_sitemap_discovery,
@@ -3118,6 +3200,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT ref_a, ref_b, hamming
             FROM read_parquet(
                 '/root/repo/fixtures/golden/image_dhash_pairs.parquet')
+        """,
+        "audio_fingerprints": f"""
+            WITH pk AS (SELECT * FROM {_audio_peak_values()})
+            SELECT p1.media_ref, CAST(p1.t AS INT) AS frame_idx,
+                   CAST(p1.b * 1048576 + p2.b * 1024 + 1 AS BIGINT) AS fp
+            FROM pk p1 JOIN pk p2
+              ON p1.media_ref = p2.media_ref AND p2.t = p1.t + 1
+        """,
+        "audio_overlap": f"""
+            WITH pk AS (SELECT * FROM {_audio_peak_values()}),
+            fps AS (
+              SELECT DISTINCT p1.media_ref AS ref,
+                     p1.b * 1048576 + p2.b * 1024 + 1 AS fp
+              FROM pk p1 JOIN pk p2
+                ON p1.media_ref = p2.media_ref AND p2.t = p1.t + 1
+            ), sizes AS (
+              SELECT ref, CAST(count(*) AS BIGINT) AS total
+              FROM fps GROUP BY ref
+            ), sh AS (
+              SELECT a.ref AS ra, b.ref AS rb,
+                     CAST(count(*) AS BIGINT) AS shared
+              FROM fps a JOIN fps b ON a.fp = b.fp AND a.ref < b.ref
+              GROUP BY 1, 2
+            )
+            SELECT ra AS ref_a, rb AS ref_b, shared,
+                   sa.total AS a_total, sb.total AS b_total,
+                   CAST(10000 * shared // sa.total AS BIGINT)
+                     AS containment_a_bp,
+                   CAST(10000 * shared // sb.total AS BIGINT)
+                     AS containment_b_bp
+            FROM sh
+            JOIN sizes sa ON sa.ref = ra
+            JOIN sizes sb ON sb.ref = rb
         """,
         "video_shots": """
             SELECT * FROM (VALUES

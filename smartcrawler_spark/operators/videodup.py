@@ -127,6 +127,7 @@ def shot_bounds(frames: DataFrame, threshold: int = 5,
 
 def video_frame_overlap(frames: DataFrame, min_shared: int = 1,
                         ref_col: str = "media_ref",
+                        hash_col: str = "dhash",
                         max_hash_bucket: int = 10_000) -> DataFrame:
     """Frame-set containment per video pair: candidates share >= 1
     exact frame dHash; containment_bp = 10000 * |A distinct-hash-set
@@ -138,8 +139,14 @@ def video_frame_overlap(frames: DataFrame, min_shared: int = 1,
     Scale: distinct (video, hash) first — re-encoded stills collapse —
     then an equi-join on dhash longs; hashes appearing in more than
     `max_hash_bucket` videos (black frames, test cards) are dropped
-    from candidate generation only, the documented hot-cap trade."""
-    sets = frames.select(F.col(ref_col).alias("ref"), "dhash").distinct()
+    from candidate generation only, the documented hot-cap trade.
+
+    Container-agnostic: any (ref, long-fingerprint) table works via
+    `hash_col` — operators/audiodup.py reuses it over audio
+    constellation fingerprints."""
+    sets = (frames.select(F.col(ref_col).alias("ref"),
+                          F.col(hash_col).alias("dhash"))
+            .distinct())
     sizes = sets.groupBy("ref").agg(F.count(F.lit(1)).alias("total"))
     if max_hash_bucket is not None:
         hot = (sets.groupBy("dhash").count()
