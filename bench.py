@@ -224,6 +224,11 @@ def headline_queries():
         # round-5 additions: online crawl importance, asymmetric
         # containment dedup, page-directive extraction
         "opic", "shingle_containment", "page_directives",
+        # round-5 late additions: exact-substring dedup, multimodal
+        # near-dup (image dHash banding, video shots, audio landmarks),
+        # NB model-based quality filtering
+        "exact_substring_removal", "image_dhash_pairs", "video_shots",
+        "audio_overlap", "nb_classify",
     ]
     return {k: qs[k] for k in names}
 

@@ -61,6 +61,14 @@ def main() -> int:
                     help="enable the C4 line/page gate (prose corpora)")
     ap.add_argument("--min-quality", type=float, default=0.05,
                     help="composite quality_score floor (0 disables)")
+    ap.add_argument("--nb-seed", default=None,
+                    help="labeled seed parquet (label, text): train the "
+                         "hashed Naive-Bayes classifier on it and keep only "
+                         "docs predicted --nb-keep (FineWeb/DCLM-style "
+                         "model-based quality filtering; the model is "
+                         "bounded by labels x buckets and broadcast)")
+    ap.add_argument("--nb-keep", default="clean",
+                    help="predicted label to keep with --nb-seed")
     ap.add_argument("--decontam-n", type=int, default=5,
                     help="n-gram size for decontamination (13 at real scale)")
     ap.add_argument("--budget", type=int, default=None,
@@ -147,6 +155,20 @@ def main() -> int:
     if args.min_quality > 0:
         docs = docs.filter(F.col("quality") >= args.min_quality)
     docs = stage(docs, "quality_gated")
+
+    if args.nb_seed:
+        # model-based quality filter: rule gates above are recall-cheap;
+        # the classifier catches what rules can't phrase (gated operator
+        # pair nb_model / nb_classify)
+        from smartcrawler_spark.operators import nbclassifier as NB
+
+        seed = spark.read.parquet(args.nb_seed)
+        feats, priors = NB.nb_train(seed)
+        pred = NB.nb_predict(NB.nb_score_bits(docs, feats, priors))
+        docs = docs.join(
+            pred.filter(F.col("pred_label") == args.nb_keep)
+            .select("doc_id"), "doc_id", "left_semi")
+        docs = stage(docs, "nb_filtered")
 
     if args.existing:
         existing = spark.read.parquet(args.existing)

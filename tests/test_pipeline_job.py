@@ -125,3 +125,36 @@ def test_pipeline_job_extract_content_from_span_corpus(
             [(want,)], "t string").select(
             T.redact_pii(T.clean_text(F.col("t"))).alias("x")
         ).collect()[0]["x"]
+
+
+def test_pipeline_job_nb_filter(spark, sf_dir, tmp_path, capsys):
+    """--nb-seed trains the hashed NB on a labeled seed and keeps only
+    docs predicted --nb-keep. The corpus is uniform word-salad, so the
+    test pins the WIRING property that holds regardless of how the
+    classifier splits it: every quality-gated doc gets exactly one
+    predicted label, so the keep-sets of the two labels PARTITION the
+    stage (a passthrough bug would double-count; an empty-join bug
+    would zero both)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    marker = F.lower(F.col("text")).contains(" the ")
+    seed = docs.select(
+        F.when(marker, "clean").otherwise("junk").alias("label"), "text")
+    seed_path = str(tmp_path / "seed")
+    seed.write.parquet(seed_path)
+    res = _run(capsys, ["--input", f"{sf_dir}/documents.parquet",
+                        "--output", str(tmp_path / "out"),
+                        "--nb-seed", seed_path, "--nb-keep", "clean"])
+    st = res["stages"]
+    assert 0 < st["nb_filtered"] <= st["quality_gated"]
+    res2 = _run(capsys, ["--input", f"{sf_dir}/documents.parquet",
+                         "--output", str(tmp_path / "out2"),
+                         "--nb-seed", seed_path, "--nb-keep", "junk"])
+    assert st["nb_filtered"] + res2["stages"]["nb_filtered"] == \
+        st["quality_gated"]
+    # determinism: the clean-side keep-set reproduces exactly
+    res3 = _run(capsys, ["--input", f"{sf_dir}/documents.parquet",
+                         "--output", str(tmp_path / "out3"),
+                         "--nb-seed", seed_path, "--nb-keep", "clean"])
+    assert res3["stages"]["nb_filtered"] == st["nb_filtered"]
