@@ -841,6 +841,19 @@ def q_uniform_sample(spark, sf_dir):
     return uniform_sample_k(docs, k=25, salt="gate")
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Exact stratified sampling (operators.sampling.stratified_sample):
+    largest-remainder apportionment of a 100-row budget across languages
+    (integer-exact, sum(quota) == 100 — frontier.apportion_budget) then
+    the quota smallest md5 draws per stratum (two-phase salted per-group
+    ranking). The 'sample exactly N docs stratified by lang' corpus-
+    assembly primitive; oracle replays apportionment + draws in SQL."""
+    from smartcrawler_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(docs, total=100, group_col="lang")
+
+
 def q_url_templates(spark, sf_dir):
     """URL template mining (functions.urls.url_template_stats): digit
     runs -> {n}, long hex runs -> {hex}, then a (template -> n_urls,
@@ -2353,6 +2366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datacard": q_datacard,
         "incremental_dedup": q_incremental_dedup,
         "uniform_sample": q_uniform_sample,
+        "stratified_sample": q_stratified_sample,
         "url_templates": q_url_templates,
         "host_graph": q_host_graph,
         "image_stream_info": q_image_stream_info,
@@ -3147,6 +3161,36 @@ def oracle_sql() -> dict[str, str]:
               FROM d
             )
             SELECT doc_id, lang FROM r WHERE rn <= 25
+        """,
+        "stratified_sample": """
+            WITH cnt AS (
+              SELECT lang, CAST(count(*) AS BIGINT) AS w
+              FROM documents GROUP BY lang
+            ), tot AS (
+              SELECT CAST(sum(w) AS BIGINT) AS tw FROM cnt
+            ), based AS (
+              SELECT lang, (100 * w) // tw AS base, (100 * w) % tw AS rem
+              FROM cnt, tot
+            ), lv AS (
+              SELECT CAST(100 - sum(base) AS BIGINT) AS l FROM based
+            ), q AS (
+              SELECT lang,
+                     base + CASE WHEN row_number()
+                                      OVER (ORDER BY rem DESC, lang ASC) <= l
+                                 THEN 1 ELSE 0 END AS quota
+              FROM based, lv
+            ), d AS (
+              SELECT doc_id, lang,
+                     md5(CAST(doc_id AS VARCHAR) || '|') AS draw
+              FROM documents
+            ), r AS (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY draw ASC, doc_id ASC) AS rn
+              FROM d
+            )
+            SELECT r.doc_id, r.lang FROM r JOIN q USING (lang)
+            WHERE rn <= quota
         """,
         "url_templates": """
             WITH u AS (

@@ -229,3 +229,62 @@ def uniform_sample_k(df: DataFrame, k: int, group_col: str = "lang",
         df.withColumn("_draw", draw), [group_col],
         [F.col("_draw").asc(), F.col(id_col).asc()], k=k,
     ).drop("_draw")
+
+
+def quota_sample(df: DataFrame, quotas: DataFrame, group_col: str = "lang",
+                 quota_col: str = "quota", id_col: str = "doc_id",
+                 salt: str = "", n_salts: int = 8) -> DataFrame:
+    """Exact per-stratum sampling: keep the `quota_g` smallest md5 draws
+    in each stratum g (all rows when the stratum is smaller than its
+    quota). `quotas` is a (group, quota) dim — typically
+    frontier.apportion_budget output — broadcast onto the corpus.
+
+    Same two-phase salted ranking as uniform_sample_k, generalized to a
+    PER-GROUP k: phase 1 ranks within (group, salt) and keeps each
+    salt's local top-quota (bounding any task to |g|/n_salts rows),
+    phase 2 re-ranks the <= n_salts*quota survivors. Deterministic,
+    engine-portable draws: membership is a pure function of
+    (id, salt-string), append-stable like every sampler here. Phase-2
+    groups hold up to n_salts*quota rows — sized for sample quotas well
+    under stratum size; for keep-most filtering use weighted_sample."""
+    dim = F.broadcast(quotas.select(
+        F.col(group_col).alias("_g"), F.col(quota_col).alias("_quota")))
+    draw = F.md5(F.concat(F.col(id_col).cast("string"), F.lit("|"),
+                          F.lit(salt)))
+    salted = (
+        df.join(dim, F.col(group_col) == F.col("_g"), "inner").drop("_g")
+        .withColumn("_draw", draw)
+        .withColumn("_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)))
+    )
+    w1 = Window.partitionBy(group_col, "_salt").orderBy(
+        F.col("_draw").asc(), F.col(id_col).asc())
+    phase1 = (salted.withColumn("_rn1", F.row_number().over(w1))
+              .filter(F.col("_rn1") <= F.col("_quota")))
+    w2 = Window.partitionBy(group_col).orderBy(
+        F.col("_draw").asc(), F.col(id_col).asc())
+    return (phase1.withColumn("_rn2", F.row_number().over(w2))
+            .filter(F.col("_rn2") <= F.col("_quota"))
+            .drop("_quota", "_draw", "_salt", "_rn1", "_rn2"))
+
+
+def stratified_sample(df: DataFrame, total: int, group_col: str = "lang",
+                      weights: DataFrame | None = None,
+                      id_col: str = "doc_id", salt: str = "") -> DataFrame:
+    """Sample EXACTLY `total` rows (when strata can supply them),
+    stratified over `group_col`: largest-remainder apportionment of the
+    budget across strata (frontier.apportion_budget — integer-exact,
+    sum(quota) == total) followed by quota_sample. `weights` defaults to
+    the stratum row counts (proportional allocation); pass any
+    (group, weight) dim for custom mixes (e.g. sqrt-damped counts from
+    temperature-style rebalancing). The "sample exactly 1M docs,
+    stratified by language" primitive of corpus assembly."""
+    from .frontier import apportion_budget
+
+    if weights is None:
+        weights = (df.groupBy(group_col)
+                   .agg(F.count(F.lit(1)).alias("weight")))
+    quotas = apportion_budget(weights, total, key_col=group_col,
+                              weight_col="weight")
+    quotas = quotas.select(F.col("key").alias(group_col), "quota")
+    return quota_sample(df, quotas, group_col=group_col,
+                        id_col=id_col, salt=salt)
