@@ -363,3 +363,54 @@ def test_shingle_containment_plan_stays_jvm_side(spark, sf_dir):
     plan = plan_of(shingle_containment_pairs(docs))
     assert "EvalPython" not in plan and "CartesianProduct" not in plan
     assert "LeftSemi" in plan or "left_semi" in plan.lower()
+
+
+def test_image_dhash_table_is_map_only(spark):
+    """Per-image hashing must carry zero Exchange at any corpus size —
+    decode + dHash run inside the row via mapInPandas."""
+    from smartcrawler_spark.operators import imagedup as ID
+
+    raw = spark.createDataFrame([("r", bytearray(b"x"))],
+                                "media_ref string, payload binary")
+    plan = plan_of(ID.image_dhash_table(raw))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan
+
+
+def test_dhash_near_dup_hot_filter_is_broadcast(spark):
+    """The hot-band exclusion list is register-sized — it must reach the
+    banded table as a broadcast anti-join, and the plan must contain no
+    cartesian product anywhere."""
+    from smartcrawler_spark.operators import imagedup as ID
+
+    df = spark.createDataFrame([(f"h{i}", i * 977) for i in range(20)],
+                               "media_ref string, dhash long")
+    plan = plan_of(ID.dhash_near_dup(df, max_band_bucket=5))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_nb_scoring_model_joins_are_broadcast(spark):
+    """The NB model (labels x buckets) is the dim side — scoring a
+    10^10-doc corpus must broadcast it, never shuffle the corpus twice."""
+    from smartcrawler_spark.operators import nbclassifier as NB
+
+    train = spark.createDataFrame(
+        [("a", "x y z"), ("b", "p q r")], "label string, text string")
+    docs = spark.createDataFrame([(1, "x p")], "doc_id long, text string")
+    feats, priors = NB.nb_train(train, portable=True)
+    plan = plan_of(NB.nb_score_bits(docs, feats, priors, portable=True))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_quota_sample_dim_is_broadcast(spark):
+    from smartcrawler_spark.operators.sampling import quota_sample
+
+    df = spark.createDataFrame([(i, "abc"[i % 3]) for i in range(30)],
+                               "doc_id long, lang string")
+    qd = spark.createDataFrame([("a", 2), ("b", 2), ("c", 2)],
+                               "lang string, quota long")
+    plan = plan_of(quota_sample(df, qd))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
