@@ -854,6 +854,20 @@ def q_stratified_sample(spark, sf_dir):
     return stratified_sample(docs, total=100, group_col="lang")
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Fixed-size token-window chunking with overlap (operators.sampling
+    .chunk_documents): 32-token windows every 24 tokens (8-token
+    overlap), ragged tail kept, token-less docs emit nothing. Pure
+    Column expressions (tokenize once, explode a chunk-index sequence,
+    slice + rejoin); chunk text gated as md5 to keep rows narrow."""
+    from smartcrawler_spark.operators.sampling import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    out = chunk_documents(docs, chunk_tokens=32, overlap=8)
+    return out.select("doc_id", "chunk_idx",
+                      F.md5("text").alias("chunk_md5"), "n_tokens")
+
+
 def q_url_templates(spark, sf_dir):
     """URL template mining (functions.urls.url_template_stats): digit
     runs -> {n}, long hex runs -> {hex}, then a (template -> n_urls,
@@ -2367,6 +2381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "uniform_sample": q_uniform_sample,
         "stratified_sample": q_stratified_sample,
+        "chunk_documents": q_chunk_documents,
         "url_templates": q_url_templates,
         "host_graph": q_host_graph,
         "image_stream_info": q_image_stream_info,
@@ -3191,6 +3206,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT r.doc_id, r.lang FROM r JOIN q USING (lang)
             WHERE rn <= quota
+        """,
+        "chunk_documents": f"""
+            WITH t AS (
+              SELECT doc_id, {_WORDS_TEXT} AS w, len({_WORDS_TEXT}) AS n
+              FROM documents WHERE doc_id < 300
+            ), nn AS (
+              SELECT doc_id, w, n,
+                     CASE WHEN n <= 32 THEN 1
+                          ELSE 1 + (n - 32 + 24 - 1) // 24 END AS nc
+              FROM t WHERE n > 0
+            ), ch AS (
+              SELECT doc_id, w, c AS chunk_idx,
+                     w[c * 24 + 1 : c * 24 + 32] AS chunk
+              FROM nn, UNNEST(range(nc)) AS g(c)
+            )
+            SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                   md5(array_to_string(chunk, ' ')) AS chunk_md5,
+                   CAST(len(chunk) AS BIGINT) AS n_tokens
+            FROM ch
         """,
         "url_templates": """
             WITH u AS (

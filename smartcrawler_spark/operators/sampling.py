@@ -288,3 +288,58 @@ def stratified_sample(df: DataFrame, total: int, group_col: str = "lang",
     quotas = quotas.select(F.col("key").alias(group_col), "quota")
     return quota_sample(df, quotas, group_col=group_col,
                         id_col=id_col, salt=salt)
+
+
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 2048,
+                    overlap: int = 0, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Split documents into fixed-size token windows — the sequence-prep
+    step between corpus assembly and training: (id, chunk_idx, text,
+    n_tokens) with whitespace-token windows of `chunk_tokens`, starting
+    every `chunk_tokens - overlap` tokens. The final window is the
+    ragged tail (>= 1 token); token-less docs emit no chunks. Pure
+    Column expressions (tokenize once, one explode of a chunk-index
+    sequence, slice + rejoin per chunk) — whole-stage codegen, no UDF,
+    no shuffle beyond whatever the caller does next.
+
+    chunk_idx is 0-based and contiguous, so (id, chunk_idx) is a stable
+    training-example key; overlap > 0 repeats the last `overlap` tokens
+    of each window at the start of the next (contextual continuity for
+    long-document pretraining)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    from ..functions import textops as T
+
+    toks = docs.select(
+        F.col(id_col),
+        T.word_tokens(F.col(text_col)).alias("_toks"),
+    ).withColumn("_n", F.size("_toks")).filter(F.col("_n") > 0)
+    n_chunks = F.when(
+        F.col("_n") <= chunk_tokens, F.lit(1)
+    ).otherwise(
+        # ceil((n - chunk_tokens) / stride) extra windows past the first,
+        # integer-exact
+        F.lit(1) + F.expr(f"(_n - {chunk_tokens} + {stride} - 1) div {stride}")
+    )
+    out = (
+        toks.withColumn("_nc", n_chunks.cast("int"))
+        .select(
+            id_col, "_toks",
+            F.explode(F.sequence(F.lit(0), F.col("_nc") - 1))
+            .alias("chunk_idx"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.slice(F.col("_toks"),
+                    F.col("chunk_idx") * stride + 1,
+                    chunk_tokens).alias("_chunk"),
+        )
+    )
+    return out.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.array_join("_chunk", " ").alias(text_col),
+        F.size("_chunk").cast("long").alias("n_tokens"),
+    )

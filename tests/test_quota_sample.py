@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import hashlib
 
+import pytest
+
 from smartcrawler_spark.operators.sampling import (quota_sample,
                                                    stratified_sample)
 
@@ -85,3 +87,61 @@ def test_stratified_sample_custom_weights(spark):
         by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
     # 8 * (1,0,3)/4 = 2,0,6 exactly
     assert by_lang == {"a": 2, "c": 6}
+
+
+# --- chunk_documents (same module: corpus assembly) ---
+
+def _py_chunks(text, chunk, overlap):
+    toks = text.lower().split()
+    if not toks:
+        return []
+    stride = chunk - overlap
+    n = len(toks)
+    nc = 1 if n <= chunk else 1 + -(-(n - chunk) // stride)
+    return [" ".join(toks[c * stride: c * stride + chunk])
+            for c in range(nc)]
+
+
+def test_chunk_documents_matches_python_oracle(spark):
+    from smartcrawler_spark.operators.sampling import chunk_documents
+
+    cases = [
+        (1, "a b c d e f g h i j"),          # 10 toks
+        (2, " ".join(f"w{i}" for i in range(33))),  # just past one window
+        (3, "one"),                          # single token
+        (4, ""),                             # token-less: no chunks
+        (5, " ".join(f"t{i}" for i in range(64))),  # exact multiple
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    for chunk, overlap in ((8, 0), (8, 3), (32, 8)):
+        got = {}
+        out = chunk_documents(df, chunk_tokens=chunk, overlap=overlap)
+        for r in out.collect():
+            got.setdefault(r["doc_id"], []).append(
+                (r["chunk_idx"], r["text"], r["n_tokens"]))
+        for doc_id, text in cases:
+            want = _py_chunks(text, chunk, overlap)
+            rows = sorted(got.get(doc_id, []))
+            assert [t for _, t, _ in rows] == want, (doc_id, chunk, overlap)
+            assert [i for i, _, _ in rows] == list(range(len(want)))
+            assert all(n == len(t.split()) for _, t, n in rows)
+
+
+def test_chunk_documents_overlap_property(spark):
+    """With overlap o, consecutive chunks share exactly the last/first o
+    tokens (except the ragged tail, which may start deeper inside)."""
+    from smartcrawler_spark.operators.sampling import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(40)))], "doc_id long, text string")
+    rows = sorted((r["chunk_idx"], r["text"].split())
+                  for r in chunk_documents(df, 16, 4).collect())
+    for (_, a), (_, b) in zip(rows, rows[1:]):
+        assert a[12:16] == b[0:4]
+
+
+def test_chunk_documents_guard():
+    from smartcrawler_spark.operators.sampling import chunk_documents
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(None, chunk_tokens=8, overlap=8)
