@@ -73,6 +73,16 @@ def main() -> int:
                     help="n-gram size for decontamination (13 at real scale)")
     ap.add_argument("--budget", type=int, default=None,
                     help="per-language token budget (greedy quality-first pack)")
+    ap.add_argument("--sample-total", type=int, default=None,
+                    help="sample EXACTLY this many docs before splitting, "
+                         "stratified by language (largest-remainder quotas "
+                         "+ deterministic per-stratum draws)")
+    ap.add_argument("--chunk-tokens", type=int, default=None,
+                    help="emit fixed-size token windows of this many tokens "
+                         "instead of whole documents (sequence prep)")
+    ap.add_argument("--chunk-overlap", type=int, default=0,
+                    help="tokens shared between consecutive windows "
+                         "with --chunk-tokens")
     ap.add_argument("--train-pct", type=int, default=80)
     ap.add_argument("--val-pct", type=int, default=10)
     ap.add_argument("--extract-content", action="store_true",
@@ -193,6 +203,11 @@ def main() -> int:
             "doc_id", "left_semi")
         docs = stage(docs, "decontaminated")
 
+    if args.sample_total:
+        docs = SA.stratified_sample(docs, args.sample_total,
+                                    group_col="lang")
+        docs = stage(docs, "sampled")
+
     docs = SA.hash_split(docs, train_pct=args.train_pct, val_pct=args.val_pct)
 
     if args.budget:
@@ -200,6 +215,15 @@ def main() -> int:
             docs, args.budget, priority=F.col("quality"))
         docs = docs.join(packed.select("doc_id"), "doc_id", "left_semi")
         docs = stage(docs, "budget_packed")
+
+    if args.chunk_tokens:
+        # sequence prep LAST, so dedup/decontam/split all ran doc-level;
+        # chunks inherit the doc's split/lang/quality columns
+        chunks = SA.chunk_documents(docs, args.chunk_tokens,
+                                    args.chunk_overlap)
+        docs = (docs.drop("text", "n_tokens")
+                .join(chunks, "doc_id"))
+        docs = stage(docs, "chunked")
 
     if args.metrics:
         docs = docs.persist()

@@ -158,3 +158,24 @@ def test_pipeline_job_nb_filter(spark, sf_dir, tmp_path, capsys):
                          "--output", str(tmp_path / "out3"),
                          "--nb-seed", seed_path, "--nb-keep", "clean"])
     assert res3["stages"]["nb_filtered"] == st["nb_filtered"]
+
+
+def test_pipeline_job_sample_and_chunk(spark, sf_dir, tmp_path, capsys):
+    """--sample-total draws exactly N docs stratified by language;
+    --chunk-tokens re-emits them as token windows (the one stage allowed
+    to GROW counts), chunk rows inheriting the doc's split."""
+    res = _run(capsys, ["--input", f"{sf_dir}/documents.parquet",
+                        "--output", str(tmp_path / "out"),
+                        "--sample-total", "120",
+                        "--chunk-tokens", "32", "--chunk-overlap", "8"])
+    st = res["stages"]
+    assert st["sampled"] == 120
+    assert st["chunked"] >= st["sampled"]  # windows >= docs
+    assert st["written"] == st["chunked"]
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert {"doc_id", "chunk_idx", "text", "n_tokens",
+            "split"} <= set(out.columns)
+    assert out.count() == st["chunked"]
+    # every chunk respects the window size
+    assert out.filter("n_tokens > 32").count() == 0
+    assert out.select("doc_id").distinct().count() == 120
