@@ -1078,12 +1078,15 @@ _VIDEO_SCENES = {  # ref -> list of (seed, n_frames) scenes, 48x36 q85
     "vidA.avi": [(0, 4), (5, 3), (13, 5)],
     "vidB.avi": [(5, 2), (0, 6)],
     "vidC.avi": [(13, 3)],
+    # APNG twin of vidC: same scenes, LOSSLESS container — the
+    # cross-container video-dedup case (JPEG-tier dHash stability at
+    # this size/quality makes its hashes equal vidC's)
+    "vidC_apng.png": [(13, 3)],
 }
 
 
 def _video_raw(spark):
     from smartcrawler_spark import multimodal as MM
-    from smartcrawler_spark.jpeg import encode_jpeg_baseline
 
     rows = []
     for ref, scenes in sorted(_VIDEO_SCENES.items()):
@@ -1091,7 +1094,11 @@ def _video_raw(spark):
         for seed, n in scenes:
             px = _dhash_case_pixels(seed, 48, 36, None)
             frames.extend([px] * n)
-        rows.append((ref, bytearray(MM.encode_avi_mjpeg(frames, quality=85))))
+        if ref.endswith(".png"):
+            payload = MM.encode_apng(frames)
+        else:
+            payload = MM.encode_avi_mjpeg(frames, quality=85)
+        rows.append((ref, bytearray(payload)))
     rows.append(("junk.bin", bytearray(b"RIFFnope")))
     return spark.createDataFrame(rows, "media_ref string, payload binary")
 
@@ -3320,14 +3327,17 @@ def oracle_sql() -> dict[str, str]:
               ('vidA.avi', 2, 7, 11, 5),
               ('vidB.avi', 0, 0, 1, 2),
               ('vidB.avi', 1, 2, 7, 6),
-              ('vidC.avi', 0, 0, 2, 3)
+              ('vidC.avi', 0, 0, 2, 3),
+              ('vidC_apng.png', 0, 0, 2, 3)
             ) AS t(media_ref, shot_idx, start_frame, end_frame, n_frames)
         """,
         "video_frame_overlap": """
             SELECT * FROM (VALUES
               ('vidA.avi', 'vidB.avi', CAST(2 AS BIGINT), CAST(3 AS BIGINT),
                CAST(2 AS BIGINT), CAST(6666 AS BIGINT), CAST(10000 AS BIGINT)),
-              ('vidA.avi', 'vidC.avi', 1, 3, 1, 3333, 10000)
+              ('vidA.avi', 'vidC.avi', 1, 3, 1, 3333, 10000),
+              ('vidA.avi', 'vidC_apng.png', 1, 3, 1, 3333, 10000),
+              ('vidC.avi', 'vidC_apng.png', 1, 1, 1, 10000, 10000)
             ) AS t(ref_a, ref_b, shared, a_total, b_total,
                    containment_a_bp, containment_b_bp)
         """,

@@ -307,6 +307,191 @@ def _decode_png(payload: bytes) -> np.ndarray | None:
     return pal[idx]
 
 
+def _png_rgba8(samples: np.ndarray, depth: int, color: int,
+               plte: bytes | None) -> np.ndarray | None:
+    """(h, w, channels) uint16 PNG samples -> HxWx4 RGBA8 (the
+    alpha-preserving twin of _decode_png's output stage, needed for
+    APNG 'over' blending)."""
+    if depth == 16:
+        px = (samples >> 8).astype(np.uint8)
+    elif depth < 8 and color == 0:
+        px = (samples * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    else:
+        px = samples.astype(np.uint8)
+    h, w = px.shape[:2]
+    opaque = np.full((h, w, 1), 255, dtype=np.uint8)
+    if color == 2:
+        return np.concatenate([px, opaque], axis=2)
+    if color == 6:
+        return px.copy()
+    if color == 0:
+        return np.concatenate([np.repeat(px, 3, axis=2), opaque], axis=2)
+    if color == 4:
+        return np.concatenate(
+            [np.repeat(px[:, :, :1], 3, axis=2), px[:, :, 1:2]], axis=2)
+    pal = np.frombuffer(plte or b"", dtype=np.uint8)
+    pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3)
+    idx = px[:, :, 0]
+    if pal.size == 0 or idx.max(initial=0) >= len(pal):
+        return None
+    return np.concatenate([pal[idx], np.full((h, w, 1), 255, np.uint8)],
+                          axis=2)
+
+
+def decode_apng_frames(payload: bytes, max_frames: int = 256
+                       ) -> tuple[list[np.ndarray], list[int]] | None:
+    """ALL frames of an APNG (PNG with acTL animation control),
+    composited per the APNG spec -> ([HxWx3 uint8 canvas-sized frames],
+    [delay_ms]). Honors per-frame regions (fcTL x/y offsets), both
+    blend ops (0 SOURCE replaces the region, 1 OVER alpha-composites),
+    and all three dispose ops (0 none, 1 background = region cleared to
+    transparent black, 2 previous = canvas restored). The engine has no
+    alpha channel, so emitted frames drop alpha after compositing
+    against the transparent-black canvas. Returns None for non-PNG,
+    PNGs without acTL (stills are not videos), interlaced APNG (rare;
+    out of tier), or spec violations (bad sequence numbers, frame
+    regions outside the canvas, undecodable frame data)."""
+    import struct
+
+    if payload[:8] != _PNG_SIG:
+        return None
+    pos = 8
+    ihdr = plte = actl = None
+    frames_meta: list[tuple[tuple, list[bytes]]] = []  # (fcTL, data parts)
+    pending_fctl = None
+    seqs: list[int] = []
+    idat_parts: list[bytes] = []
+    idat_is_frame = False
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"acTL" and len(data) >= 8:
+            actl = struct.unpack_from(">II", data)
+        elif ctype == b"fcTL" and len(data) >= 26:
+            if pending_fctl is not None:
+                frames_meta.append(pending_fctl)
+            f = struct.unpack_from(">IIIIIHHBB", data)
+            seqs.append(f[0])
+            pending_fctl = (f, [])
+        elif ctype == b"IDAT":
+            idat_parts.append(data)
+            if pending_fctl is not None and not frames_meta:
+                idat_is_frame = True  # fcTL preceded IDAT: default image
+                pending_fctl[1].append(data)  # is animation frame 0
+        elif ctype == b"fdAT" and len(data) >= 4:
+            seqs.append(struct.unpack_from(">I", data)[0])
+            if pending_fctl is not None:
+                pending_fctl[1].append(data[4:])
+        elif ctype == b"IEND":
+            break
+    if pending_fctl is not None:
+        frames_meta.append(pending_fctl)
+    if ihdr is None or actl is None or not frames_meta:
+        return None
+    if seqs != list(range(len(seqs))):
+        return None  # spec: sequence numbers count 0..n contiguously
+    w, h, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13])
+    channels = _PNG_CHANNELS.get(color)
+    if (comp != 0 or filt != 0 or interlace != 0 or channels is None
+            or w == 0 or h == 0 or depth not in (1, 2, 4, 8, 16)):
+        return None
+    if not idat_is_frame and idat_parts:
+        pass  # default image outside the animation: skipped per spec
+    canvas = np.zeros((h, w, 4), dtype=np.uint8)
+    out: list[np.ndarray] = []
+    delays: list[int] = []
+    for i, (f, parts) in enumerate(frames_meta[:max_frames]):
+        _seq, fw, fh, x0, y0, dnum, dden, dispose, blend = f
+        if fw == 0 or fh == 0 or x0 + fw > w or y0 + fh > h:
+            return None
+        if dispose not in (0, 1, 2) or blend not in (0, 1):
+            return None
+        if dispose == 2 and i == 0:
+            dispose = 1  # spec: first-frame PREVIOUS acts as BACKGROUND
+        if not parts:
+            return None
+        try:
+            raw = zlib.decompress(b"".join(parts))
+        except zlib.error:
+            return None
+        samples, _ = _png_unfilter_pass(raw, 0, fh, fw, channels, depth)
+        if samples is None:
+            return None
+        rgba = _png_rgba8(samples, depth, color, plte)
+        if rgba is None:
+            return None
+        before = canvas.copy() if dispose == 2 else None
+        region = canvas[y0:y0 + fh, x0:x0 + fw]
+        if blend == 0:
+            region[:] = rgba
+        else:  # OVER, integer-exact per-channel compositing
+            a = rgba[:, :, 3:4].astype(np.uint32)
+            inv = 255 - a
+            region[:, :, :3] = ((rgba[:, :, :3].astype(np.uint32) * a
+                                 + region[:, :, :3].astype(np.uint32) * inv
+                                 + 127) // 255).astype(np.uint8)
+            region[:, :, 3:4] = (a + (region[:, :, 3:4].astype(np.uint32)
+                                      * inv + 127) // 255).clip(0, 255
+                                                                ).astype(np.uint8)
+        out.append(canvas[:, :, :3].copy())
+        delays.append(round(1000 * dnum / (dden or 100)))
+        if dispose == 1:
+            canvas[y0:y0 + fh, x0:x0 + fw] = 0
+        elif dispose == 2:
+            canvas = before
+    return out, delays
+
+
+def encode_apng(frames: list, delays_ms: list | None = None) -> bytes:
+    """Test-grade APNG encoder: full-canvas RGB8 frames, filter 0,
+    blend SOURCE, dispose none — spec-conformant streams any APNG
+    decoder accepts (for corpus synthesis and tests; lossless, so
+    decoded frames equal the input arrays exactly)."""
+    import struct
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    fr = [np.ascontiguousarray(f, dtype=np.uint8) for f in frames]
+    h, w = fr[0].shape[:2]
+    if any(f.shape != (h, w, 3) for f in fr):
+        raise ValueError("all frames must be HxWx3 and same-sized")
+    delays_ms = delays_ms or [100] * len(fr)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    def filtered(px: np.ndarray) -> bytes:
+        return b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+
+    def fctl(seq: int, delay: int) -> bytes:
+        return chunk(b"fcTL", struct.pack(
+            ">IIIIIHHBB", seq, w, h, 0, 0, delay, 1000, 0, 0))
+
+    out = bytearray(_PNG_SIG)
+    out += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+    out += chunk(b"acTL", struct.pack(">II", len(fr), 0))
+    seq = 0
+    out += fctl(seq, delays_ms[0])
+    seq += 1
+    out += chunk(b"IDAT", zlib.compress(filtered(fr[0])))
+    for i, f in enumerate(fr[1:], 1):
+        out += fctl(seq, delays_ms[i])
+        seq += 1
+        out += chunk(b"fdAT", struct.pack(">I", seq)
+                     + zlib.compress(filtered(f)))
+        seq += 1
+    out += chunk(b"IEND", b"")
+    return bytes(out)
+
+
 # -- WAV (RIFF PCM / IEEE-float): the audio modality's real decode tier ----
 #
 # WAV is to audio what PPM/BMP are to images: header + sample reshape, so

@@ -46,6 +46,14 @@ def _frames_of(payload: bytes, max_frames: int):
             return []
         frames, _delays = decoded
         return frames
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        # APNG only: still PNGs are images, not one-frame videos (unlike
+        # GIF, whose video ingest is the established r4 tier)
+        decoded = MM.decode_apng_frames(payload, max_frames=max_frames)
+        if decoded is None:
+            return []
+        frames, _delays = decoded
+        return frames
     if payload[:4] == b"RIFF":
         try:
             decoded = MM.decode_video_frames(payload)

@@ -119,3 +119,115 @@ def test_overlap_hot_cap_and_min_shared(spark):
     # uncapped: every pair among the 30 shares hash 7
     assert VD.video_frame_overlap(df, max_hash_bucket=None).count() == \
         30 * 29 // 2
+
+
+# --- APNG video tier (multimodal.decode_apng_frames) ---
+
+def _apng_chunks(w, h, color, frames):
+    """Hand-assembled APNG: frames = [(fw,fh,x0,y0,dispose,blend,rgba_or_rgb)].
+    Independent of the engine's encoder — built straight from the spec."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    out = bytearray(b"\x89PNG\r\n\x1a\n")
+    out += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+    out += chunk(b"acTL", struct.pack(">II", len(frames), 0))
+    seq = 0
+    for i, (fw, fh, x0, y0, dispose, blend, px) in enumerate(frames):
+        out += chunk(b"fcTL", struct.pack(
+            ">IIIIIHHBB", seq, fw, fh, x0, y0, 1, 10, dispose, blend))
+        seq += 1
+        raw = b"".join(b"\x00" + px[y].tobytes() for y in range(fh))
+        z = zlib.compress(raw)
+        if i == 0:
+            out += chunk(b"IDAT", z)
+        else:
+            out += chunk(b"fdAT", struct.pack(">I", seq) + z)
+            seq += 1
+    out += chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def test_apng_region_blend_dispose():
+    from smartcrawler_spark.multimodal import decode_apng_frames
+
+    base = np.full((8, 8, 4), [10, 20, 30, 255], dtype=np.uint8)
+    patch_src = np.full((4, 4, 4), [200, 0, 0, 255], dtype=np.uint8)
+    half = np.full((4, 4, 4), [0, 100, 0, 128], dtype=np.uint8)
+    apng = _apng_chunks(8, 8, 6, [
+        (8, 8, 0, 0, 0, 0, base),          # full canvas
+        (4, 4, 2, 2, 2, 0, patch_src),     # SOURCE patch, dispose PREVIOUS
+        (4, 4, 0, 0, 0, 1, half),          # OVER blend after restore
+    ])
+    frames, delays = decode_apng_frames(apng)
+    assert len(frames) == 3 and delays == [100, 100, 100]
+    # frame 0: the base everywhere
+    assert (frames[0] == [10, 20, 30]).all()
+    # frame 1: red patch replaces the 2..6 square
+    assert (frames[1][2:6, 2:6] == [200, 0, 0]).all()
+    assert (frames[1][0, 0] == [10, 20, 30]).all()
+    # frame 2: dispose PREVIOUS restored the base, then OVER at (0,0):
+    # out = (src*128 + dst*127 + 127)//255, exactly
+    want = ((np.array([0, 100, 0]) * 128
+             + np.array([10, 20, 30]) * 127 + 127) // 255)
+    assert (frames[2][0:4, 0:4] == want).all()
+    assert (frames[2][2:6, 4:6] == [10, 20, 30]).all()  # patch gone
+
+
+def test_apng_dispose_background_clears_region():
+    from smartcrawler_spark.multimodal import decode_apng_frames
+
+    base = np.full((6, 6, 4), [50, 50, 50, 255], dtype=np.uint8)
+    dot = np.full((2, 2, 4), [255, 255, 255, 255], dtype=np.uint8)
+    apng = _apng_chunks(6, 6, 6, [
+        (6, 6, 0, 0, 1, 0, base),   # dispose BACKGROUND: clears all
+        (2, 2, 1, 1, 0, 0, dot),
+    ])
+    frames, _ = decode_apng_frames(apng)
+    assert (frames[0] == 50).all()
+    # after clearing, only the dot is lit; rest is transparent black
+    assert (frames[1][1:3, 1:3] == 255).all()
+    assert (frames[1][0, 0] == 0).all() and (frames[1][5, 5] == 0).all()
+
+
+def test_apng_rejects_spec_violations():
+    from smartcrawler_spark import multimodal as MM
+
+    f = np.zeros((4, 4, 3), dtype=np.uint8)
+    good = MM.encode_apng([f, f])
+    assert MM.decode_apng_frames(good) is not None
+    # region outside canvas
+    bad = _apng_chunks(4, 4, 2, [(4, 4, 0, 0, 0, 0, f),
+                                 (4, 4, 2, 2, 0, 0, f)])
+    assert MM.decode_apng_frames(bad) is None
+    # still PNG (no acTL)
+    assert MM.decode_apng_frames(MM.encode_png(f)) is None
+    # bit-flip fuzz: exact-or-None, never garbage shapes
+    for pos in range(40, min(len(good), 140), 7):
+        mutated = bytearray(good)
+        mutated[pos] ^= 0xFF
+        dec = MM.decode_apng_frames(bytes(mutated))
+        if dec is not None:
+            frames, _ = dec
+            assert all(fr.shape == (4, 4, 3) for fr in frames)
+
+
+def test_frames_of_apng_path(spark):
+    from smartcrawler_spark import multimodal as MM
+
+    a, b = _px(0), _px(5)
+    apng = MM.encode_apng([a, a, b])
+    got = VD._frames_of(apng, 256)
+    assert len(got) == 3
+    assert (got[0] == a).all() and (got[2] == b).all()
+    # still PNG is an image, not a one-frame video
+    assert VD._frames_of(MM.encode_png(a), 256) == []
+    df = spark.createDataFrame([("v", bytearray(apng))],
+                               "media_ref string, payload binary")
+    rows = VD.frame_dhash_table(df).collect()
+    assert [r["dhash"] for r in sorted(rows, key=lambda r: r["frame_idx"])] \
+        == [dhash64(a), dhash64(a), dhash64(b)]
