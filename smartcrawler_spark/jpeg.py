@@ -347,6 +347,11 @@ def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac,
                     for bx in range(hs):
                         coefs = np.zeros(64, dtype=np.int64)
                         s = reader.huff(huff_dc[dc_t])
+                        if s > 15:
+                            # a corrupt DHT can map a code to any byte; a
+                            # "category" above 15 would receive() an
+                            # arbitrarily wide int and overflow int64
+                            raise ValueError("DC category out of range")
                         diff = _extend(reader.receive(s), s) if s else 0
                         preds[ci] += diff
                         coefs[0] = preds[ci]
@@ -522,6 +527,8 @@ class _ProgressiveState:
             if dc_table is None:
                 raise ValueError("DC scan without DC table")
             s = reader.huff(dc_table)
+            if s > 15:
+                raise ValueError("DC category out of range")  # see baseline
             diff = _extend(reader.receive(s), s) if s else 0
             preds[ci] += diff
             blk[0] = preds[ci] << al
