@@ -1183,6 +1183,55 @@ def q_audio_overlap(spark, sf_dir):
     return AD.audio_overlap(fps)
 
 
+# Archive gate corpus: member names/bodies are construction parameters,
+# so the oracle is a literal table (md5s computed from the same dict at
+# oracle-build time — oracle_sql() is python).
+_ARCHIVE_MEMBERS = {
+    "bundle1.zip": [("docs/a.txt", b"alpha alpha"), ("docs/b.txt", b"beta"),
+                    ("img/c.bin", bytes(range(64)))],
+    "bundle2.tar.gz": [("x.txt", b"xray"), ("deep/path/y.txt", b"yankee " * 9)],
+}
+
+
+def _archive_raw(spark):
+    import gzip
+    import io
+    import tarfile
+    import zipfile
+
+    rows = []
+    for ref, members in sorted(_ARCHIVE_MEMBERS.items()):
+        buf = io.BytesIO()
+        if ref.endswith(".zip"):
+            with zipfile.ZipFile(buf, "w") as zf:
+                for name, body in members:
+                    zf.writestr(name, body)
+            payload = buf.getvalue()
+        else:
+            with tarfile.open(fileobj=buf, mode="w") as tf:
+                for name, body in members:
+                    info = tarfile.TarInfo(name)
+                    info.size = len(body)
+                    tf.addfile(info, io.BytesIO(body))
+            payload = gzip.compress(buf.getvalue(), mtime=0)
+        rows.append((ref, bytearray(payload)))
+    rows.append(("junk.bin", bytearray(b"not an archive")))
+    return spark.createDataFrame(rows, "archive_ref string, payload binary")
+
+
+def q_archive_members(spark, sf_dir):
+    """Archive ingestion (sources/archive.archive_member_table): ZIP and
+    gzip-TAR payloads flatten to one row per member file, map-only,
+    damage-tolerant (the junk payload contributes nothing). Payload
+    gated as md5; the oracle is the construction-parameter member
+    table."""
+    from smartcrawler_spark.sources.archive import archive_member_table
+
+    out = archive_member_table(_archive_raw(spark))
+    return out.select("archive_ref", "member", "kind", "n_bytes",
+                      F.md5("payload").alias("member_md5"))
+
+
 def q_video_shots(spark, sf_dir):
     """Video shot segmentation (operators/videodup.shot_bounds): MJPEG
     frame decode -> per-frame integer dHash (map-only) -> one window per
@@ -2398,6 +2447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_overlap": q_video_frame_overlap,
         "audio_fingerprints": q_audio_fingerprints,
         "audio_overlap": q_audio_overlap,
+        "archive_members": q_archive_members,
         "cdc_chunks": q_cdc_chunks,
         "cdc_stats": q_cdc_stats,
         "robots_sitemap_discovery": q_robots_sitemap_discovery,
@@ -2595,6 +2645,18 @@ _LM_SCORE_SQL = rf"""
 
 
 def oracle_sql() -> dict[str, str]:
+    import hashlib as _hl
+
+    arch_rows = []
+    for _ref, _members in sorted(_ARCHIVE_MEMBERS.items()):
+        _kind = "zip" if _ref.endswith(".zip") else "tar"
+        for _name, _body in _members:
+            arch_rows.append(
+                f"('{_ref}', '{_name}', '{_kind}', "
+                f"CAST({len(_body)} AS BIGINT), "
+                f"'{_hl.md5(_body).hexdigest()}')")
+    archive_values = ", ".join(arch_rows)
+
     words = _WORDS.format(col="text")
     lang_case = "CASE "
     # mirror detect_language: sorted langs, strictly-greater switches
@@ -3285,6 +3347,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT ref_a, ref_b, hamming
             FROM read_parquet(
                 '/root/repo/fixtures/golden/image_dhash_pairs.parquet')
+        """,
+        "archive_members": f"""
+            SELECT * FROM (VALUES {archive_values})
+            AS t(archive_ref, member, kind, n_bytes, member_md5)
         """,
         "audio_fingerprints": f"""
             WITH pk AS (SELECT * FROM {_audio_peak_values()})
