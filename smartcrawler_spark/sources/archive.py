@@ -109,3 +109,39 @@ def archive_member_table(raw: DataFrame, ref_col: str = "archive_ref",
 
     return (raw.select(ref_col, payload_col)
             .mapInPandas(batches, ARCHIVE_MEMBER_SCHEMA))
+
+
+def span_docs_from_archive(raw: DataFrame, ref_col: str = "archive_ref",
+                           payload_col: str = "payload",
+                           html_suffixes: tuple = (".html", ".htm")
+                           ) -> DataFrame:
+    """Site-export ingest, end to end: archive members -> HTML files by
+    suffix -> charset sniff+decode (sources/charset.py) ->
+    reference-shaped span documents (sources/html_ingest.py), the same
+    three map-only Arrow stages as warc.span_docs_from_warc with
+    `archive_ref/member` as the doc id (the html stage canonicalizes it
+    URL-shaped — `https://<archive_ref>/<member>` — so the URL-minded
+    downstream: link resolution, host_of, dedup keys, all stay
+    well-defined with the archive name standing in as the host).
+    Point it at a directory of
+    site-dump zips/tars and the output is the engine's standard
+    (doc_id, host, spans, nodes) corpus."""
+    from pyspark.sql import functions as F
+
+    from .charset import decode_payloads
+    from .html_ingest import parse_html_docs
+
+    members = archive_member_table(raw, ref_col=ref_col,
+                                   payload_col=payload_col)
+    suffix_pred = None
+    for s in html_suffixes:
+        p = F.lower(F.col("member")).endswith(s)
+        suffix_pred = p if suffix_pred is None else (suffix_pred | p)
+    html = members.filter(suffix_pred).select(
+        F.concat_ws("/", "archive_ref", "member").alias("doc_id"),
+        "payload",
+        F.lit("text/html").alias("content_type"),
+    )
+    decoded = decode_payloads(html)
+    return parse_html_docs(
+        decoded.select("doc_id", F.col("text").alias("html")))

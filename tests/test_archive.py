@@ -88,3 +88,27 @@ def test_tar_special_members_skipped(spark):
     got = archive_member_table(df).collect()
     assert [(r["member"], bytes(r["payload"])) for r in got] == \
         [("f.txt", b"file")]
+
+
+def test_span_docs_from_archive(spark):
+    """Site-export ingest: HTML members decode and parse into the
+    engine's standard span-document corpus; non-HTML members are
+    filtered before any payload crosses a stage boundary."""
+    from smartcrawler_spark.sources.archive import span_docs_from_archive
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("site/index.html",
+                    '<html><body><h1>Hello</h1><p>world text here</p>'
+                    '<a href="/x">link</a></body></html>')
+        zf.writestr("site/data.json", "{}")
+        zf.writestr("site/page2.HTM", "<html><body><p>two</p></body></html>")
+    df = spark.createDataFrame([("dump.zip", bytearray(buf.getvalue()))],
+                               "archive_ref string, payload binary")
+    rows = {r["doc_id"]: r for r in span_docs_from_archive(df).collect()}
+    assert set(rows) == {"https://dump.zip/site/index.html",
+                         "https://dump.zip/site/page2.HTM"}
+    idx = rows["https://dump.zip/site/index.html"]
+    assert idx["host"] == "dump.zip"
+    assert [(s["kind"], s["text"]) for s in idx["spans"]] == [
+        ("h1", "Hello"), ("p", "world text here"), ("a", "link")]
