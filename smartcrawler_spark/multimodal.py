@@ -2146,17 +2146,79 @@ def _ppm_stream_info(payload: bytes):
             "progressive": False, "orientation": 0}
 
 
+def _tiff_stream_info(payload: bytes):
+    """TIFF (both byte orders): dims/bit-depth/orientation from IFD0
+    tags, page count from the IFD chain (multi-page TIFF = n_frames).
+    Header-only — tag VALUES are read, strip data never is."""
+    import struct
+
+    if payload[:4] == b"II*\x00":
+        end = "<"
+    elif payload[:4] == b"MM\x00*":
+        end = ">"
+    else:
+        return None
+
+    def u16(pos):
+        return struct.unpack_from(end + "H", payload, pos)[0]
+
+    def u32(pos):
+        return struct.unpack_from(end + "I", payload, pos)[0]
+
+    def tag_value(pos):
+        # (tag, type, count, value/offset); SHORT(3)/LONG(4) scalars only
+        ttype, count = u16(pos + 2), u32(pos + 4)
+        if ttype == 3:
+            off = pos + 8 if count <= 2 else u32(pos + 8)
+            return u16(off) if off + 2 <= len(payload) else None
+        if ttype == 4:
+            off = pos + 8 if count <= 1 else u32(pos + 8)
+            return u32(off) if off + 4 <= len(payload) else None
+        return None
+
+    width = height = bits = orientation = None
+    n_pages = 0
+    ifd_off = u32(4)
+    seen = set()
+    while ifd_off and ifd_off + 2 <= len(payload) and ifd_off not in seen:
+        seen.add(ifd_off)  # cycle guard on damaged chains
+        n = u16(ifd_off)
+        if ifd_off + 2 + 12 * n + 4 > len(payload):
+            break
+        n_pages += 1
+        if n_pages == 1:
+            for i in range(n):
+                epos = ifd_off + 2 + 12 * i
+                tag = u16(epos)
+                if tag == 256:
+                    width = tag_value(epos)
+                elif tag == 257:
+                    height = tag_value(epos)
+                elif tag == 258:
+                    bits = tag_value(epos)  # first sample's depth
+                elif tag == 274:
+                    orientation = tag_value(epos)
+        ifd_off = u32(ifd_off + 2 + 12 * n)
+    if n_pages == 0 or width is None or height is None:
+        return None
+    return {"format": "tiff", "width": width, "height": height,
+            "bit_depth": bits, "n_frames": n_pages, "progressive": False,
+            "orientation": orientation}
+
+
 def image_stream_info(payload: bytes) -> dict | None:
     """Image payload bytes -> header-only metadata {format, width, height,
     bit_depth, n_frames, progressive, orientation} for JPEG (SOF dims +
     SOF2 progressive flag + EXIF IFD0 orientation), PNG (IHDR + APNG
     acTL frame count), GIF (screen dims + image-descriptor count), BMP,
-    PPM — no pixel decode, so it runs at manifest speed over 100 TB of
-    media where full decode is the expensive tier. None for anything
-    unrecognizable; never raises on damaged bytes."""
+    PPM, TIFF (IFD0 tags + multi-page count) — no pixel decode, so it
+    runs at manifest speed over 100 TB of media where full decode is
+    the expensive tier. None for anything unrecognizable; never raises
+    on damaged bytes."""
     try:
         for probe in (_png_stream_info, _gif_stream_info, _bmp_stream_info,
-                      _ppm_stream_info, _jpeg_stream_info):
+                      _ppm_stream_info, _tiff_stream_info,
+                      _jpeg_stream_info):
             info = probe(payload)
             if info is not None:
                 return info

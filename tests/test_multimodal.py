@@ -1240,3 +1240,66 @@ def test_image_stream_info_table(spark):
     assert got["a.png"]["format"] == "png" and got["a.png"]["width"] == 8
     assert got["b.ppm"]["format"] == "ppm"
     assert got["junk"]["format"] == "unknown" and got["junk"]["width"] is None
+
+
+# --- TIFF stream info (header-only tier) ---
+
+def _ref_tiff(w, h, bits=8, orientation=None, pages=1, end="<"):
+    """Minimal spec-built TIFF: one or more chained IFDs, SHORT values
+    inline. Independent of the engine parser."""
+    import struct
+
+    def u16(v):
+        return struct.pack(end + "H", v)
+
+    def u32(v):
+        return struct.pack(end + "I", v)
+
+    out = bytearray(b"II*\x00" if end == "<" else b"MM\x00*")
+    out += u32(8)
+    pos = 8
+    for p in range(pages):
+        tags = [(256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, bits)]
+        if orientation is not None and p == 0:
+            tags.append((274, 3, 1, orientation))
+        tags.sort()
+        ifd = u16(len(tags))
+        for tag, ttype, count, val in tags:
+            ifd += u16(tag) + u16(ttype) + u32(count) + u16(val) + u16(0)
+        next_off = 0 if p == pages - 1 else pos + 2 + 12 * len(tags) + 4
+        ifd += u32(next_off)
+        out += ifd
+        pos += len(ifd)
+    return bytes(out)
+
+
+def test_tiff_stream_info_both_endians_and_pages():
+    from smartcrawler_spark.multimodal import image_stream_info
+
+    for end in ("<", ">"):
+        got = image_stream_info(_ref_tiff(640, 480, bits=16,
+                                          orientation=6, end=end))
+        assert got == {"format": "tiff", "width": 640, "height": 480,
+                       "bit_depth": 16, "n_frames": 1,
+                       "progressive": False, "orientation": 6}
+    multi = image_stream_info(_ref_tiff(32, 16, pages=3))
+    assert multi["n_frames"] == 3 and multi["width"] == 32
+    assert multi["orientation"] is None
+
+
+def test_tiff_stream_info_damage_tolerant():
+    from smartcrawler_spark.multimodal import image_stream_info
+
+    good = _ref_tiff(100, 50, pages=2)
+    # truncations: None or a sane partial answer, never an exception
+    for cut in range(4, len(good), 5):
+        got = image_stream_info(good[:cut])
+        assert got is None or got["format"] == "tiff"
+    # IFD cycle (next-IFD pointer back to itself) terminates
+    import struct
+
+    cyc = bytearray(_ref_tiff(10, 10))
+    n = struct.unpack_from("<H", cyc, 8)[0]
+    struct.pack_into("<I", cyc, 8 + 2 + 12 * n, 8)
+    got = image_stream_info(bytes(cyc))
+    assert got is not None and got["n_frames"] == 1
