@@ -37,17 +37,36 @@ from pyspark.sql import DataFrame
 AUDIO_FP_SCHEMA = "media_ref string, frame_idx int, fp long"
 
 
-def peak_bins(samples: np.ndarray, frame: int = 1024,
-              hop: int | None = None) -> list[int]:
-    """Dominant rFFT bin (DC excluded) per full frame; ties resolve to
-    the lowest bin (argmax first-occurrence). The integer quantizer the
-    fingerprint spec is built on."""
+def peak_bins_scalar(samples: np.ndarray, frame: int = 1024,
+                     hop: int | None = None) -> list[int]:
+    """Reference kernel (one rfft per frame) — the pytest oracle for
+    the vectorized `peak_bins` below; same spec, loop form."""
     hop = hop or frame
     out = []
     for start in range(0, len(samples) - frame + 1, hop):
         mag = np.abs(np.fft.rfft(samples[start:start + frame]))
         out.append(int(np.argmax(mag[1:])) + 1)
     return out
+
+
+def peak_bins(samples: np.ndarray, frame: int = 1024,
+              hop: int | None = None) -> list[int]:
+    """Dominant rFFT bin (DC excluded) per full frame; ties resolve to
+    the lowest bin (argmax first-occurrence). The integer quantizer the
+    fingerprint spec is built on.
+
+    Vectorized (r6, guide §4.2): all frames are materialized as one
+    (n_frames, frame) view via sliding_window_view and transformed with
+    a single batched rfft(axis=1) + one argmax — numpy computes each
+    row with the same FFT kernel as the per-frame call, so the emitted
+    integer bins are identical to `peak_bins_scalar`
+    (tests/test_audiodup.py asserts equality)."""
+    hop = hop or frame
+    if len(samples) < frame:
+        return []
+    frames = np.lib.stride_tricks.sliding_window_view(samples, frame)[::hop]
+    mag = np.abs(np.fft.rfft(frames, axis=1))
+    return [int(b) + 1 for b in np.argmax(mag[:, 1:], axis=1)]
 
 
 def landmarks(peaks: list[int], fanout: int = 2) -> list[tuple[int, int]]:

@@ -387,41 +387,243 @@ def topk_ivf_portable(
     )
 
 
+def _near_dup_pairs_numpy_bcast(sigs: DataFrame, threshold: float,
+                                tables: int, vec_col: str,
+                                id_col: str) -> DataFrame:
+    """Map-side numpy kernel for `embedding_near_dup_pairs` (guide §4.2:
+    hand whole batches to vectorized native code), bit-identical to the
+    JVM expression plan:
+
+    * the signature table (UDF output — the exact same sig values the
+      JVM plan uses) is collected and broadcast: ids, (n, tables) sig
+      matrix, (n, dim) vector matrix, per-id norms;
+    * work is distributed by (table, bucket) GROUP; each task generates
+      its groups' id-ordered pairs (a < b), keeps a pair only at the
+      FIRST table where the signatures agree (distinct-by-construction,
+      no dropDuplicates), and computes the raw cosine with the JVM's
+      exact float semantics — products in the array's element dtype
+      (float32 for array<float>, float64 for array<double>, matching
+      Spark's `x * y` on the element type), accumulated SEQUENTIALLY
+      into float64 in index order (matching `aggregate(zip_with(...),
+      0.0D, acc + v)`), norms the same way + IEEE sqrt, one float64
+      divide.  Zero-padding ragged vectors is exact: f64 `acc + 0.0`
+      is the identity (up to -0.0 normalization, invisible above any
+      positive threshold), and unequal-length pairs are dropped — the
+      JVM zip_with null-padding drops them too.
+    * only a conservative prefilter runs in Python: keep sim_raw >=
+      threshold - 1e-5.  Any row the exact filter could accept has
+      round(sim_raw, 6) >= threshold, hence sim_raw >= threshold -
+      5e-7 > threshold - 1e-5 — no false drops.  The authoritative
+      HALF_UP `round(.., 6) >= threshold` stays in the JVM, applied to
+      the bit-identical raw doubles.
+    """
+    spark = sigs.sparkSession
+    id_type = sigs.schema[id_col].dataType
+    pdf = sigs.select(id_col, vec_col, "sig").toPandas()
+    n = len(pdf)
+    empty = (
+        sigs.select(F.col(id_col).alias("a"), F.col(id_col).alias("b"),
+                    F.lit(0.0).alias("sim")).limit(0)
+    )
+    if n == 0:
+        return empty
+    ids = pdf[id_col].to_numpy().astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    sigmat = np.stack(pdf["sig"].to_numpy()[order]).astype(np.int64)
+    vec_cells = pdf[vec_col].to_numpy()[order]
+    lens = np.fromiter((len(v) for v in vec_cells), dtype=np.int64, count=n)
+    d = int(lens.max(initial=0))
+    uniform = bool((lens == d).all())
+    elem = np.asarray(vec_cells[0]).dtype
+    if elem not in (np.dtype(np.float32), np.dtype(np.float64)):
+        elem = np.dtype(np.float64)
+    vecmat = np.zeros((n, d), dtype=elem)
+    for i, v in enumerate(vec_cells):
+        vecmat[i, : len(v)] = v
+    sq = vecmat * vecmat
+    accn = np.zeros(n, np.float64)
+    for c in range(d):
+        accn += sq[:, c]
+    norms = np.sqrt(accn)
+    groups: list[tuple[int, np.ndarray]] = []
+    for t in range(tables):
+        col = sigmat[:, t]
+        o = np.argsort(col, kind="stable")
+        _vals, starts = np.unique(col[o], return_index=True)
+        bounds = np.append(starts, n)
+        for gi in range(len(starts)):
+            members = o[bounds[gi]:bounds[gi + 1]]
+            if len(members) > 1:
+                groups.append((t, np.sort(members)))
+    if not groups:
+        return empty
+    bc = spark.sparkContext.broadcast(
+        {"ids": ids, "sigmat": sigmat, "vecmat": vecmat, "norms": norms,
+         "lens": lens, "uniform": uniform, "groups": groups})
+    prefilter = threshold - 1e-5
+
+    def compute(it):
+        b = bc.value
+        for pdf_in in it:
+            out_a: list[np.ndarray] = []
+            out_b: list[np.ndarray] = []
+            out_s: list[np.ndarray] = []
+            for g in pdf_in["id"]:
+                t, members = b["groups"][int(g)]
+                S = b["sigmat"][members]
+                m = len(members)
+                iu, ju = np.triu_indices(m, 1)
+                if t > 0:
+                    eq = np.zeros(len(iu), dtype=bool)
+                    for j in range(t):
+                        eq |= S[iu, j] == S[ju, j]
+                    iu, ju = iu[~eq], ju[~eq]
+                x_all, y_all = members[iu], members[ju]
+                strict = b["ids"][x_all] < b["ids"][y_all]  # dup-id guard
+                if not b["uniform"]:
+                    strict &= b["lens"][x_all] == b["lens"][y_all]
+                x_all, y_all = x_all[strict], y_all[strict]
+                for s0 in range(0, len(x_all), 200_000):
+                    x = x_all[s0:s0 + 200_000]
+                    y = y_all[s0:s0 + 200_000]
+                    prods = b["vecmat"][x] * b["vecmat"][y]
+                    acc = np.zeros(len(x), np.float64)
+                    for c in range(prods.shape[1]):
+                        acc += prods[:, c]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        sim = acc / (b["norms"][x] * b["norms"][y])
+                    keep = sim >= prefilter  # False for NaN, like the JVM
+                    out_a.append(b["ids"][x[keep]])
+                    out_b.append(b["ids"][y[keep]])
+                    out_s.append(sim[keep])
+            yield pd.DataFrame({
+                "a": np.concatenate(out_a) if out_a else np.array([], np.int64),
+                "b": np.concatenate(out_b) if out_b else np.array([], np.int64),
+                "sim_raw": (np.concatenate(out_s) if out_s
+                            else np.array([], np.float64)),
+            })
+
+    par = max(1, min(len(groups), spark.sparkContext.defaultParallelism * 2))
+    mapped = (
+        spark.range(len(groups)).repartition(par)
+        .mapInPandas(compute, "a long, b long, sim_raw double")
+    )
+    return (
+        mapped.select(
+            F.col("a").cast(id_type).alias("a"),
+            F.col("b").cast(id_type).alias("b"),
+            F.round(F.col("sim_raw"), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame, threshold: float = 0.95, dim: int = 64,
     bits: int = 10, tables: int = 6,
     vec_col: str = "embedding", id_col: str = "vec_id",
+    broadcast_max_ids: int = 1_000_000,
 ) -> DataFrame:
     """All pairs (a < b) with cosine >= threshold, found via same-table
     bucket self-join + exact cosine verification. Only bucket collisions
     are ever compared.
 
-    Shuffle discipline (r4): the bucket self-join and the pair dedup move
-    ONLY (id, bucket) longs — ids fan out x`tables`, but the `dim`-float
-    embedding arrays never enter that exchange. Vectors join back by id
-    (each shuffled once, not x tables) onto the DEDUPED candidate pairs,
-    so the expensive cosine runs exactly once per distinct candidate
-    pair. At 10^10 x 1024-dim the difference is ~tables x vec_bytes of
-    exchange volume on the fattest stage."""
+    Result-identical plans, picked by the materialized id count
+    (scale-adaptive, not a local[32] constant):
+
+    Candidate pairs are distinct BY CONSTRUCTION (r6): a colliding pair
+    is emitted only at the FIRST table index where the signatures agree
+    — so the quadratic candidate volume never pays a dropDuplicates
+    exchange + hash aggregate (the r5 profile's dominant cost: ~1e8
+    candidate rows aggregated to ~8e7 distinct keys before any cosine
+    ran), and the exact cosine runs exactly once per distinct pair.
+
+    * n <= broadcast_max_ids AND integral ids — numpy kernel
+      (`_near_dup_pairs_numpy_bcast`): the signature table is broadcast
+      and each task computes its (table, bucket) groups' pairs + raw
+      cosines vectorized; the authoritative round/threshold filter
+      stays in the JVM on bit-identical doubles.  ~8 us/pair of
+      interpreted JVM higher-order-function cosine becomes ~10 ns/pair
+      of numpy.
+    * n <= broadcast_max_ids, non-integral ids — JVM map-side plan:
+      band rows carry the whole signature (first-collision filter via
+      array_position over zip_with equality), the band table and the
+      (id, vec, norm) projection are broadcast; candidate generation,
+      vector attach and cosine run in one map stage with ZERO exchange
+      of candidates.  Per-vector norms are computed once in the
+      projection instead of re-aggregated per pair (same expression on
+      the same input — bit-identical division).
+    * n > broadcast_max_ids — SHUFFLE plan: the bucket self-join moves
+      (id, sig, bucket) rows (tables+2 longs each — still metadata, the
+      `dim`-float vectors never fan out), vectors join back by id onto
+      the born-distinct pairs, nothing driver-sized is broadcast or
+      collected.  At 10^10 x 1024-dim this is the only viable shape;
+      broadcast_max_ids=1M caps the driver/broadcast footprint at
+      ~1M x (8B id + 4B*dim vec) — a few hundred MB at dim<=64,
+      parameterise down for fat vectors."""
+    from pyspark.sql.types import ByteType, IntegerType, ShortType
+
     sigs = lsh_signatures(df, dim, bits, tables, vec_col, id_col)
     sigs = sigs.persist()  # branch point: bucket explode + two vec joins
-    buckets = sigs.select(
+    n_ids = sigs.count()  # materializes the persisted signatures once
+    integral_ids = isinstance(
+        sigs.schema[id_col].dataType,
+        (LongType, IntegerType, ShortType, ByteType))
+    if n_ids <= broadcast_max_ids and integral_ids:
+        return _near_dup_pairs_numpy_bcast(
+            sigs, threshold, tables, vec_col, id_col)
+    # band rows CARRY the whole signature array so a colliding pair can
+    # recognise its FIRST shared table locally: the pair is emitted at
+    # (and only at) the band whose index equals the first position where
+    # the two signatures agree — distinct-by-construction, so no
+    # dropDuplicates pass over the (potentially quadratic) candidate
+    # volume, and the exact cosine runs once per distinct pair.
+    bands = sigs.select(
         F.col(id_col).alias("_id"),
-        F.explode(
+        F.col("sig"),
+        F.posexplode(
             F.transform(F.col("sig"), lambda s, i: s * tables + i.cast("long"))
-        ).alias("bucket"),
+        ).alias("_bidx", "bucket"),
     )
-    a = buckets.select(F.col("_id").alias("a"), "bucket")
-    b = buckets.select(F.col("_id").alias("b"), "bucket")
+    first_shared = (
+        F.array_position(
+            F.zip_with(F.col("_sa"), F.col("_sb"), lambda x, y: x == y),
+            F.lit(True),
+        ) == F.col("_bidx") + 1
+    )
+    norm = l2_norm(F.col(vec_col))
+    va = sigs.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"),
+                     norm.alias("_na"))
+    vb = sigs.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"),
+                     norm.alias("_nb"))
+    sim = F.round(dot(F.col("_va"), F.col("_vb"))
+                  / (F.col("_na") * F.col("_nb")), 6)
+    if n_ids <= broadcast_max_ids:
+        par = df.sparkSession.sparkContext.defaultParallelism * 2
+        a = bands.repartition(par).select(
+            F.col("_id").alias("a"), F.col("sig").alias("_sa"),
+            "_bidx", "bucket")
+        b = bands.select(F.col("_id").alias("b"), F.col("sig").alias("_sb"),
+                         "bucket")
+        return (
+            a.join(F.broadcast(b), "bucket")
+            .filter((F.col("a") < F.col("b")) & first_shared)
+            .join(F.broadcast(va), "a")
+            .join(F.broadcast(vb), "b")
+            .withColumn("sim", sim)
+            .filter(F.col("sim") >= threshold)
+            .select("a", "b", "sim")
+        )
+    a = bands.select(F.col("_id").alias("a"), F.col("sig").alias("_sa"),
+                     "_bidx", "bucket")
+    b = bands.select(F.col("_id").alias("b"), F.col("sig").alias("_sb"),
+                     "bucket")
     pairs = (
         a.join(b, "bucket")
-        .filter(F.col("a") < F.col("b"))
+        .filter((F.col("a") < F.col("b")) & first_shared)
         .select("a", "b")
-        .dropDuplicates(["a", "b"])  # a pair may collide in several buckets
     )
-    va = sigs.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
-    vb = sigs.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
-    sim = F.round(cosine(F.col("_va"), F.col("_vb")), 6)
     out = (
         pairs.join(va, "a").join(vb, "b")
         .withColumn("sim", sim)

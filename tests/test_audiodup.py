@@ -65,3 +65,17 @@ def test_g711_companding_keeps_landmarks(spark):
     assert len(ov) == 1
     assert ov[0]["containment_a_bp"] == 10000
     assert ov[0]["containment_b_bp"] == 10000
+
+
+def test_peak_bins_vectorized_equals_scalar_oracle():
+    """r6 vectorization (sliding_window_view + one batched rfft) must
+    emit exactly the per-frame loop's integer bins — every frame size,
+    hop (overlapping, aligned, and non-dividing), tail remainder, and
+    the sub-frame empty case."""
+    rng = np.random.default_rng(42)
+    for n in [0, 255, 256, 257, 1024, 5000, 44100]:
+        for frame in [256, 1024, 2047]:
+            for hop in [None, frame // 2, frame + 7]:
+                x = rng.standard_normal(n)
+                assert AD.peak_bins(x, frame, hop) == AD.peak_bins_scalar(
+                    x, frame, hop), (n, frame, hop)

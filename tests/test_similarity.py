@@ -263,3 +263,26 @@ def test_semdedup_hot_cluster_raises(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="max_cluster"):
         SIM.semdedup(df, dim=8, n_centroids=2, threshold=0.99, max_cluster=5)
+
+
+def test_near_dup_pairs_three_branches_identical(spark, emb):
+    """r6 plan split: the numpy-kernel broadcast branch (default at
+    sandbox scale), the JVM map-side branch (forced via a string id
+    column), and the JVM shuffle branch (broadcast_max_ids=-1) must
+    produce identical (a, b, sim) rows — same pair set, same rounded
+    doubles."""
+    df, _ = emb
+    kw = dict(threshold=0.3, dim=64, bits=4, tables=8)
+    numpy_b = SIM.embedding_near_dup_pairs(df, **kw)
+    shuffle_b = SIM.embedding_near_dup_pairs(df, broadcast_max_ids=-1, **kw)
+    assert numpy_b.exceptAll(shuffle_b).count() == 0
+    assert shuffle_b.exceptAll(numpy_b).count() == 0
+    # string ids route to the JVM map-side branch; compare pair sets
+    sdf = df.withColumn("sid", F.concat(F.lit("v"), F.lpad(
+        F.col("vec_id").cast("string"), 6, "0")))
+    jvm_b = SIM.embedding_near_dup_pairs(
+        sdf, vec_col="embedding", id_col="sid", **kw)
+    got = {(r["a"], r["b"], r["sim"]) for r in jvm_b.collect()}
+    want = {(f"v{r['a']:06d}", f"v{r['b']:06d}", r["sim"])
+            for r in numpy_b.collect()}
+    assert got == want
