@@ -49,17 +49,18 @@ def with_url_columns(df: DataFrame, url_col: str, keywords: dict[str, float],
                      score_impl: str | None = None) -> DataFrame:
     """url -> (url_canon, url_hash, host, is_root, score), dropping the raw col.
 
-    score_impl: 'arrow' (default) scores with the vectorized pandas UDF —
-    the surface the north star names, kernel shared with the pure-Python
-    oracle; 'jvm' uses the equivalent whole-stage-codegen column expression
-    (zero Python in the round — the 100 TB hot path). Both are proven equal
-    in tests/test_relevance.py; override globally with
-    SPARK_GRAFT_SCORE_IMPL=jvm."""
+    score_impl: 'jvm' (default since r6 — measured ~2-3 s/round at 30M
+    URLs over the Arrow path once GC headroom is right; zero Python in
+    the round, the 100 TB hot path) uses the whole-stage-codegen column
+    expression; 'arrow' scores with the vectorized pandas UDF — the
+    surface the north star names, kernel shared with the pure-Python
+    oracle. Both are proven equal in tests/test_relevance.py; override
+    globally with SPARK_GRAFT_SCORE_IMPL=arrow."""
     import os
 
     from ..functions.relevance import relevance_score_expr
 
-    impl = score_impl or os.environ.get("SPARK_GRAFT_SCORE_IMPL", "arrow")
+    impl = score_impl or os.environ.get("SPARK_GRAFT_SCORE_IMPL", "jvm")
     canon = U.canonicalize_url(F.col(url_col))
     out = (
         df.withColumn("url_canon", canon)
@@ -94,7 +95,7 @@ def with_url_columns_deduped(df: DataFrame, url_col: str,
 
     from ..functions.relevance import relevance_score_expr
 
-    impl = score_impl or os.environ.get("SPARK_GRAFT_SCORE_IMPL", "arrow")
+    impl = score_impl or os.environ.get("SPARK_GRAFT_SCORE_IMPL", "jvm")
     canon = (
         df.select(U.canonicalize_url(F.col(url_col)).alias("url_canon"))
         .dropDuplicates(["url_canon"])

@@ -6,6 +6,10 @@ local[32]):
 * AQE on (runtime re-plan, skew-join splitting, partition coalescing)
 * Arrow on (all our Python is vectorized pandas UDFs)
 * shuffle partitions sized by env (32 in sandbox; thousands on a cluster)
+* driver memory 20 GiB by default (SPARK_GRAFT_DRIVER_MEM overrides): in
+  local mode the driver JVM hosts every executor thread, and the r6
+  measurement showed the 30M-URL frontier round spending ~25% of its wall
+  in GC at 8 GiB (40s -> 27-29s at 16-28 GiB, flat beyond 20)
 * broadcast threshold left default — small dims (robots rules, dup sets)
   are broadcast explicitly with F.broadcast where we *know* they are small.
 """
@@ -42,9 +46,17 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # prefer shuffled-hash over sort-merge when a build side fits its
+        # partition (guide §3.1): the frontier's (url_hash, url_canon) joins
+        # pay two big string sorts under SMJ for nothing; r6 A/B at a 30M-URL
+        # round: 27-29s -> 24.5-25.3s.  The AQE threshold converts SMJ to
+        # SHJ at runtime when every post-shuffle partition is < 64 MB —
+        # partition-local sizing, valid at any cluster scale.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.executorEnv.PYTHONPATH", exec_pythonpath)
