@@ -49,6 +49,10 @@ from ..functions import textops as T
 
 _HEX = "0123456789abcdef"
 _PORTABLE_SPACE = 4096  # 3 md5 hex digits
+# dense-model scoring kernel guard: labels x n_buckets int64 cells the
+# driver + every executor hold (1<<24 cells = 128 MB); above it the
+# join-based plan is used instead
+_DENSE_MODEL_MAX_CELLS = 1 << 24
 
 
 def _bucket_expr(tok_col: str, n_buckets: int, portable: bool):
@@ -66,6 +70,16 @@ def _bucket_expr(tok_col: str, n_buckets: int, portable: bool):
         f"({digit.format(i=1)} * 256 + {digit.format(i=2)} * 16 "
         f"+ {digit.format(i=3)}) % {n_buckets}"
     ).cast("long")
+
+
+def _bucket_of(tok, n_buckets: int, portable: bool):
+    """Column-level twin of `_bucket_expr` usable inside higher-order
+    lambdas (the element has no SQL name to string-format). Identical
+    values: the portable tier's 3-hex-digit value is conv(base16) of the
+    md5 prefix — the same integer as the instr() digit arithmetic."""
+    if not portable:
+        return F.pmod(F.xxhash64(tok), F.lit(n_buckets))
+    return F.conv(F.substring(F.md5(tok), 1, 3), 16, 10).cast("long") % n_buckets
 
 
 def _token_rows(docs: DataFrame, id_cols: list[str], text_col: str,
@@ -89,9 +103,21 @@ def nb_train(docs: DataFrame, label_col: str = "label",
     Both all-integer and bounded by labels x n_buckets (+ labels rows):
     the model artifact a 1000-executor scoring job broadcasts."""
     lab = F.col(label_col).alias("label")
-    toks = _token_rows(docs.select(lab, text_col), ["label"], text_col,
-                       n_buckets, portable)
-    feats = toks.groupBy("label", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    # count per DISTINCT (label, token) first — the map-side-combined
+    # exchange carries vocabulary-sized rows, and the bucket hash runs
+    # once per distinct token instead of once per token OCCURRENCE
+    # (guide §2.3 "aggregate before you shuffle"; corpus token count /
+    # vocabulary size is the saved factor). Summing the counts per
+    # (label, bucket) afterwards is the same integer total.
+    toks = docs.select(
+        lab, F.explode(T.word_tokens(F.col(text_col))).alias("_tok"))
+    feats = (
+        toks.groupBy("label", "_tok").agg(F.count(F.lit(1)).alias("_n"))
+        .select("label",
+                _bucket_expr("_tok", n_buckets, portable).alias("bucket"),
+                "_n")
+        .groupBy("label", "bucket").agg(F.sum("_n").alias("c"))
+    )
     priors = (
         docs.select(lab, F.size(T.word_tokens(F.col(text_col))).alias("_n"))
         .groupBy("label")
@@ -112,7 +138,24 @@ def nb_score_bits(docs: DataFrame, feats: DataFrame, priors: DataFrame,
     """(id, label, n_toks, bits) for every doc x trained label — the
     integer NB surprisal of the module docstring; smaller = more
     label-like. Token-less docs keep their rows (prior-only bits), the
-    no-silent-disappearance contract shared with lm_score_bits."""
+    no-silent-disappearance contract shared with lm_score_bits.
+
+    Default path (broadcast_model=True, model under
+    _DENSE_MODEL_MAX_CELLS): the bounded model is collected into a dense
+    (n_buckets x labels) int64 evidence matrix and broadcast; documents
+    compute their token-bucket arrays map-side (HOF transform — no
+    explode, no shuffle) and a vectorized numpy kernel gather-sums the
+    evidence per label. All arithmetic stays int64, bit-identical to the
+    join plan (pytest-proven equality); the corpus is never exchanged
+    and the old token⋈model join's |tokens| x |labels| intermediate
+    (the r5 bench's 13.5M-row stage) disappears. broadcast_model=False
+    keeps the pure-DataFrame join plan (the model-too-big-to-collect
+    regime)."""
+    if broadcast_model:
+        pri_rows = priors.select("label", "n_docs", "n_tokens").collect()
+        if len(pri_rows) * n_buckets <= _DENSE_MODEL_MAX_CELLS:
+            return _nb_score_bits_dense(docs, feats, pri_rows, n_buckets,
+                                        id_col, text_col, portable)
     if broadcast_model:
         feats, priors = F.broadcast(feats), F.broadcast(priors)
     total_docs = priors.select(
@@ -147,6 +190,102 @@ def nb_score_bits(docs: DataFrame, feats: DataFrame, priors: DataFrame,
              - F.coalesce(F.col("_evidence"), F.lit(0))
              + F.col("_prior_bits")).alias("bits"),
         )
+    )
+
+
+def _floor_log2_py(v: int) -> int:
+    return int(v).bit_length() - 1
+
+
+def _nb_score_bits_dense(docs: DataFrame, feats: DataFrame, pri_rows,
+                         n_buckets: int, id_col: str, text_col: str,
+                         portable: bool) -> DataFrame:
+    """Dense broadcast-matrix scoring kernel (see nb_score_bits). The
+    model is bounded by contract (labels x n_buckets); collecting it is
+    the same driver traffic as the broadcast the join plan shipped."""
+    import numpy as np
+
+    pri_rows = sorted(pri_rows, key=lambda r: str(r["label"]))
+    labels = [r["label"] for r in pri_rows]
+    n_labels = len(labels)
+    spark = docs.sparkSession
+    id_type = docs.schema[id_col].dataType.simpleString()
+
+    if n_labels == 0:  # no trained labels -> no rows (docs x empty dim)
+        return (docs.select(F.col(id_col),
+                            F.lit(None).cast("string").alias("label"),
+                            F.lit(0).cast("long").alias("n_toks"),
+                            F.lit(0).cast("long").alias("bits"))
+                .where(F.lit(False)))
+
+    total_docs = sum(int(r["n_docs"]) for r in pri_rows)
+    npt = [_floor_log2_py(int(r["n_tokens"]) + n_buckets) for r in pri_rows]
+    pb = [_floor_log2_py(total_docs) - _floor_log2_py(int(r["n_docs"]))
+          for r in pri_rows]
+    lab_idx = {lab: i for i, lab in enumerate(labels)}
+
+    ev_mat = np.zeros((n_buckets, n_labels), dtype=np.int64)
+    for r in feats.select("label", "bucket", "c").collect():
+        i = lab_idx.get(r["label"])
+        b = r["bucket"]
+        if i is not None and 0 <= b < n_buckets:  # out-of-range buckets
+            ev_mat[b, i] = _floor_log2_py(int(r["c"]) + 1)  # never match
+    b_ev = spark.sparkContext.broadcast(ev_mat)
+
+    toks = T.word_tokens(F.col(text_col))
+    sel = docs.select(
+        F.col(id_col).alias("_id"),
+        F.size(toks).cast("long").alias("n_toks"),
+        F.transform(toks, lambda t: _bucket_of(t, n_buckets, portable))
+        .alias("_bk"),
+    )
+
+    def _score(batches):
+        import pandas as pd
+
+        E = b_ev.value
+        nl = E.shape[1]
+        for pdf in batches:
+            bl = pdf["_bk"]
+            lens = np.fromiter(
+                (0 if b is None else len(b) for b in bl), np.int64,
+                count=len(bl))
+            total = int(lens.sum())
+            if total == 0:
+                ev = np.zeros((len(bl), nl), dtype=np.int64)
+            else:
+                flat = np.concatenate(
+                    [np.asarray(b, dtype=np.int64)
+                     for b in bl if b is not None and len(b)])
+                csum = np.vstack([np.zeros((1, nl), np.int64),
+                                  np.cumsum(E[flat], axis=0, dtype=np.int64)])
+                off = np.zeros(len(bl) + 1, np.int64)
+                np.cumsum(lens, out=off[1:])
+                ev = csum[off[1:]] - csum[off[:-1]]
+            yield pd.DataFrame({"_id": pdf["_id"],
+                                "n_toks": pdf["n_toks"],
+                                "_ev": list(ev)})
+
+    mapped = sel.mapInPandas(
+        _score, schema=f"_id {id_type}, n_toks long, _ev array<bigint>")
+
+    lab_lit = F.array(*[F.lit(lab) for lab in labels])
+    npt_lit = F.array(*[F.lit(int(v)) for v in npt])
+    pb_lit = F.array(*[F.lit(int(v)) for v in pb])
+    per_label = F.transform(
+        F.sequence(F.lit(1), F.lit(n_labels)),
+        lambda i: F.struct(
+            F.element_at(lab_lit, i).alias("label"),
+            (F.col("n_toks") * F.element_at(npt_lit, i)
+             - F.element_at(F.col("_ev"), i)
+             + F.element_at(pb_lit, i)).cast("long").alias("bits"),
+        ),
+    )
+    return (
+        mapped.select(F.col("_id").alias(id_col), "n_toks",
+                      F.explode(per_label).alias("_s"))
+        .select(id_col, F.col("_s.label").alias("label"), "n_toks",
+                F.col("_s.bits").alias("bits"))
     )
 
 

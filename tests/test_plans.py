@@ -390,9 +390,12 @@ def test_dhash_near_dup_hot_filter_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
 
 
-def test_nb_scoring_model_joins_are_broadcast(spark):
+def test_nb_scoring_corpus_is_never_shuffled(spark):
     """The NB model (labels x buckets) is the dim side — scoring a
-    10^10-doc corpus must broadcast it, never shuffle the corpus twice."""
+    10^10-doc corpus must broadcast it, never shuffle the corpus. The
+    r6 dense kernel goes further than the old broadcast join: the
+    corpus plan is map-only (scan -> bucket HOF -> numpy gather-sum ->
+    per-label explode) with ZERO Exchange and no join at all."""
     from smartcrawler_spark.operators import nbclassifier as NB
 
     train = spark.createDataFrame(
@@ -400,8 +403,13 @@ def test_nb_scoring_model_joins_are_broadcast(spark):
     docs = spark.createDataFrame([(1, "x p")], "doc_id long, text string")
     feats, priors = NB.nb_train(train, portable=True)
     plan = plan_of(NB.nb_score_bits(docs, feats, priors, portable=True))
-    assert "BroadcastHashJoin" in plan, plan
+    assert "Exchange" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+    # the model-too-big regime keeps the broadcast-join plan
+    plan_join = plan_of(NB.nb_score_bits(docs, feats, priors,
+                                         portable=True,
+                                         broadcast_model=False))
+    assert "Join" in plan_join, plan_join
 
 
 def test_quota_sample_dim_is_broadcast(spark):
