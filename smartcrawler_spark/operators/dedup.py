@@ -704,11 +704,18 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
                         df_cap: int | None = 1000) -> DataFrame:
     """Exact Jaccard over word n-gram sets for pairs sharing >= 1 shingle.
 
-    Plan: doc -> distinct shingle hashes (JVM transform+xxhash64) -> explode
-    -> drop shingles with doc-frequency > df_cap (the quadratic-blowup
-    stopword shingles; at 100 TB this cap is what keeps the self-join
-    linear-ish) -> self-join on shingle -> groupBy pair count(intersection)
-    -> jaccard = inter / (|A| + |B| - inter)."""
+    Plan (df_cap set — the scale path): doc -> distinct shingle hashes
+    (JVM transform+xxhash64) -> explode -> ONE groupBy(shingle)
+    collecting the member list -> drop shingles with more than df_cap
+    members (the quadratic-blowup stopword shingles; at 100 TB this cap
+    is what keeps pair volume linear-ish) -> pairs exploded per shingle
+    group (distinct by construction within a group; <= df_cap^2/2 per
+    shingle) -> groupBy pair count(intersection) -> jaccard = inter /
+    (|A| + |B| - inter). One evaluation of the shingling and one
+    corpus-sized exchange, where the r5 self-join plan evaluated the
+    shingling three times (df filter + both join sides) and shuffled it
+    twice more. df_cap=None keeps the plain self-join (a member-list
+    collect without the cap would be unbounded per group)."""
     toks = F.split(F.lower(clean_text(F.col(text_col))), " ")
     n_sh = F.greatest(F.size(toks) - (n - 1), F.lit(1))
     shingles = F.array_distinct(
@@ -722,18 +729,37 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     )
     exploded = docs.select("id", "set_size", F.explode("sh").alias("shingle"))
     if df_cap is not None:
-        freq = exploded.groupBy("shingle").agg(F.count("*").alias("_df"))
-        exploded = exploded.join(
-            freq.filter(F.col("_df") <= df_cap).select("shingle"), "shingle", "left_semi"
+        grouped = (
+            exploded.groupBy("shingle")
+            .agg(F.collect_list(
+                F.struct(F.col("id"), F.col("set_size").alias("ss"))
+            ).alias("_ms"))
+            .filter((F.size("_ms") >= 2) & (F.size("_ms") <= df_cap))
         )
-    a = exploded.select(F.col("id").alias("a"), F.col("set_size").alias("_na"), "shingle")
-    b = exploded.select(F.col("id").alias("b"), F.col("set_size").alias("_nb"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b", "_na", "_nb")
-        .agg(F.count("*").alias("_inter"))
-    )
+        prs = grouped.select(F.explode(F.flatten(F.transform(
+            F.col("_ms"),
+            lambda x: F.transform(
+                F.filter(F.col("_ms"), lambda y: x["id"] < y["id"]),
+                lambda y: F.struct(x["id"].alias("a"), y["id"].alias("b"),
+                                   x["ss"].alias("_na"),
+                                   y["ss"].alias("_nb")),
+            ),
+        ))).alias("_p"))
+        inter = (
+            prs.groupBy("_p.a", "_p.b", "_p._na", "_p._nb")
+            .agg(F.count(F.lit(1)).alias("_inter"))
+        )
+    else:
+        a = exploded.select(F.col("id").alias("a"),
+                            F.col("set_size").alias("_na"), "shingle")
+        b = exploded.select(F.col("id").alias("b"),
+                            F.col("set_size").alias("_nb"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b", "_na", "_nb")
+            .agg(F.count("*").alias("_inter"))
+        )
     jac = F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter"))
     return (
         inter.withColumn("jaccard", F.round(jac, 4))
@@ -780,19 +806,42 @@ def shingle_containment_pairs(df: DataFrame, text_col: str = "text",
     )
     exploded = docs.select("id", "set_size", F.explode("sh").alias("shingle"))
     if df_cap is not None:
-        freq = exploded.groupBy("shingle").agg(F.count("*").alias("_df"))
-        exploded = exploded.join(
-            freq.filter(F.col("_df") <= df_cap).select("shingle"),
-            "shingle", "left_semi",
+        # single-pass pair generation (see ngram_jaccard_pairs): one
+        # groupBy(shingle) member-list collect replaces the df filter +
+        # self-join's three evaluations of the shingling; ordered pairs
+        # (both directions) explode per capped group
+        grouped = (
+            exploded.groupBy("shingle")
+            .agg(F.collect_list(
+                F.struct(F.col("id"), F.col("set_size").alias("ss"))
+            ).alias("_ms"))
+            .filter((F.size("_ms") >= 2) & (F.size("_ms") <= df_cap))
         )
-    a = exploded.select(F.col("id").alias("inner_id"),
-                        F.col("set_size").alias("_ni"), "shingle")
-    b = exploded.select(F.col("id").alias("outer_id"), "shingle")
+        prs = grouped.select(F.explode(F.flatten(F.transform(
+            F.col("_ms"),
+            lambda x: F.transform(
+                F.filter(F.col("_ms"), lambda y: x["id"] != y["id"]),
+                lambda y: F.struct(x["id"].alias("inner_id"),
+                                   y["id"].alias("outer_id"),
+                                   x["ss"].alias("_ni")),
+            ),
+        ))).alias("_p"))
+        paired = (
+            prs.groupBy("_p.inner_id", "_p.outer_id", "_p._ni")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    else:
+        a = exploded.select(F.col("id").alias("inner_id"),
+                            F.col("set_size").alias("_ni"), "shingle")
+        b = exploded.select(F.col("id").alias("outer_id"), "shingle")
+        paired = (
+            a.join(b, "shingle")
+            .filter(F.col("inner_id") != F.col("outer_id"))
+            .groupBy("inner_id", "outer_id", "_ni")
+            .agg(F.count("*").alias("n_common"))
+        )
     return (
-        a.join(b, "shingle")
-        .filter(F.col("inner_id") != F.col("outer_id"))
-        .groupBy("inner_id", "outer_id", "_ni")
-        .agg(F.count("*").alias("n_common"))
+        paired
         .select(
             "inner_id", "outer_id",
             F.col("n_common").cast("long").alias("n_common"),

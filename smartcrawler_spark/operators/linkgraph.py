@@ -239,6 +239,7 @@ def opic_fixed_rounds(
     scale: int = 10**9,
     src_col: str = "src",
     dst_col: str = "dst",
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """Batch OPIC — On-line Page Importance Computation (Abiteboul,
     Preda & Cobena, WWW 2003) — in bit-exact integer arithmetic.
@@ -272,27 +273,66 @@ def opic_fixed_rounds(
     single metadata-scale count. For many rounds, checkpoint `state`
     every ~5 iterations to cut lineage. Returns (node, cash, hist, opic).
     """
-    e = edges.select(F.col(src_col).alias("src"),
-                     F.col(dst_col).alias("dst")).distinct()
+    # ADAPTIVE small-graph path (the connected_components driver_threshold
+    # discipline): every OPIC operation is deterministic nonnegative
+    # bigint arithmetic, so a bounded limit(threshold+1) collect + exact
+    # Python replay produces identical rows without the ~15 tiny
+    # distributed jobs the unrolled rounds cost (measured: the entire
+    # bench query was per-job overhead, not data). Above the threshold
+    # the distributed loop runs with persisted invariants and per-round
+    # localCheckpoints (linear work instead of 3^iters lineage
+    # re-evaluation).
+    spark = edges.sparkSession
+    e_small = edges.select(F.col(src_col).alias("src"),
+                           F.col(dst_col).alias("dst")).distinct()
+    if driver_threshold:
+        head = e_small.limit(driver_threshold + 1).collect()
+        if len(head) <= driver_threshold:
+            node_t = e_small.schema["src"].dataType.simpleString()
+            schema = (f"node {node_t}, cash long, hist long, opic long")
+            pairs = [(r["src"], r["dst"]) for r in head]
+            nodes_l = sorted({s for s, _ in pairs} | {d for _, d in pairs})
+            if not nodes_l:
+                return spark.createDataFrame([], schema)
+            n_nodes = len(nodes_l)
+            deg_m: dict = {}
+            for s, _ in pairs:
+                deg_m[s] = deg_m.get(s, 0) + 1
+            cash = {v: scale // n_nodes for v in nodes_l}
+            hist = {v: 0 for v in nodes_l}
+            for _ in range(iters):
+                pool = sum(c for v, c in cash.items() if v not in deg_m)
+                inflow: dict = {}
+                for s, d in pairs:
+                    inflow[d] = inflow.get(d, 0) + cash[s] // deg_m[s]
+                ret = pool // n_nodes
+                for v in nodes_l:
+                    hist[v] += cash[v]
+                    cash[v] = inflow.get(v, 0) + ret
+            return spark.createDataFrame(
+                [(v, cash[v], hist[v], cash[v] + hist[v]) for v in nodes_l],
+                schema)
+    e = e_small.persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    n = nodes.count()
+    n = nodes.count()  # also materializes the e cache
     if n == 0:
+        e.unpersist()
         return nodes.select(
             "node",
             F.lit(0).cast("long").alias("cash"),
             F.lit(0).cast("long").alias("hist"),
             F.lit(0).cast("long").alias("opic"),
         )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg")).persist()
     state = nodes.select(
         "node",
         F.lit(scale // n).cast("long").alias("cash"),
         F.lit(0).cast("long").alias("hist"),
-    )
+    ).localCheckpoint(eager=True)
     for _ in range(iters):
         pool = (
             state.join(deg.withColumnRenamed("src", "node"), "node", "left_anti")
@@ -315,7 +355,9 @@ def opic_fixed_rounds(
                  + F.expr(f"_pool div {n}L")).cast("long").alias("cash"),
                 (F.col("_oh") + F.col("_oc")).cast("long").alias("hist"),
             )
-        )
+        ).localCheckpoint(eager=True)
+    e.unpersist()
+    deg.unpersist()
     return state.select(
         "node", "cash", "hist",
         (F.col("cash") + F.col("hist")).cast("long").alias("opic"),

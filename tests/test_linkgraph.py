@@ -276,3 +276,18 @@ def test_opic_cash_is_conserved_up_to_division_dust(spark):
 def test_opic_empty_graph(spark):
     df = spark.createDataFrame([], "src long, dst long")
     assert LG.opic_fixed_rounds(df, iters=2).count() == 0
+    assert LG.opic_fixed_rounds(df, iters=2, driver_threshold=0).count() == 0
+
+
+def test_opic_driver_and_distributed_arms_agree(spark):
+    """The r6 adaptive small-graph fast path (bounded collect + exact
+    Python replay) must be row-identical to the distributed loop — the
+    same two-arm equality contract as connected_components."""
+    edges = [(i % 13, (i * 7 + 3) % 13) for i in range(40)]
+    edges += [(i, 0) for i in range(1, 6)] + [(3, 20), (5, 21)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    fast = LG.opic_fixed_rounds(df, iters=3)
+    slow = LG.opic_fixed_rounds(df, iters=3, driver_threshold=0)
+    assert fast.schema.simpleString() == slow.schema.simpleString()
+    assert fast.exceptAll(slow).count() == 0
+    assert slow.exceptAll(fast).count() == 0

@@ -350,9 +350,10 @@ def test_opic_dangling_pool_is_broadcast_not_driver(spark, sf_dir):
 
 
 def test_shingle_containment_plan_stays_jvm_side(spark, sf_dir):
-    """shingle_containment_pairs: shingling is JVM HOFs (no Python), the
-    self-join is a hash join on the 8-byte shingle key (no cartesian),
-    and the df-cap runs as a semi join."""
+    """shingle_containment_pairs: shingling is JVM HOFs (no Python), no
+    cartesian anywhere, and with df_cap set the r6 single-pass shape
+    holds — ONE evaluation of the shingling feeding one groupBy(shingle)
+    member-list collect (no self-join, no second scan of the corpus)."""
     from smartcrawler_spark.operators.dedup import shingle_containment_pairs
 
     docs = spark.range(50).select(
@@ -362,7 +363,7 @@ def test_shingle_containment_plan_stays_jvm_side(spark, sf_dir):
     )
     plan = plan_of(shingle_containment_pairs(docs))
     assert "EvalPython" not in plan and "CartesianProduct" not in plan
-    assert "LeftSemi" in plan or "left_semi" in plan.lower()
+    assert "Join" not in plan, plan  # pair gen is per-group explode now
 
 
 def test_image_dhash_table_is_map_only(spark):
