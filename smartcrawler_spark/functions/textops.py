@@ -67,14 +67,22 @@ def detect_language(text: Column) -> Column:
     """
     toks = word_tokens(text)
     scores = lang_scores(toks)
-    best_lang = F.lit("und")
-    best_score = F.lit(0)
-    for lang in sorted(scores):  # sorted => deterministic tie-break (first wins)
-        s = scores[lang]
-        switch = s > best_score
-        best_lang = F.when(switch, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(switch, s).otherwise(best_score)
-    return best_lang
+    # argmax via ONE array_max over (score, -index) structs: each score
+    # expression is evaluated once, where the r5 WHEN-chain re-evaluated
+    # every score twice (switch + value) and defeated codegen CSE.
+    # max picks the highest score, and on ties the highest -index = the
+    # alphabetically first language — the same strictly-greater-to-switch
+    # tie-break. Null text keeps null scores: the s>0 guard then falls
+    # through to 'und' exactly as the old chain did.
+    langs = sorted(scores)
+    packed = F.array(*[
+        F.struct(scores[lang].alias("s"), F.lit(-i).alias("ni"))
+        for i, lang in enumerate(langs)
+    ])
+    best = F.array_max(packed)
+    lang_lit = F.array(*[F.lit(lang) for lang in langs])
+    return F.when(best["s"] > 0,
+                  F.element_at(lang_lit, 1 - best["ni"])).otherwise("und")
 
 
 def quality_features(text: Column) -> dict[str, Column]:

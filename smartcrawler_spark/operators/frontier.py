@@ -521,7 +521,12 @@ def admit_with_cap(
         .join(counts, "host", "left")  # AQE picks broadcast when counts is small
         .withColumn("_room", F.lit(cap) - F.coalesce(F.col("_n"), F.lit(0)))
     )
-    elig = tagged.filter(F.col("eligible") & (F.col("_room") > 0))
+    # project the ranking input to the window's own columns before the
+    # exchange (guide §2.3): the two sorts otherwise carry every tag and
+    # metric column of the full candidate row for nothing — the winners
+    # join-back re-attaches them by key
+    elig = tagged.filter(F.col("eligible") & (F.col("_room") > 0)).select(
+        "url_hash", "url_canon", "host", "is_root", "score", "_room")
     salted = elig.withColumn("_salt", F.pmod(F.xxhash64("url_canon"), F.lit(n_salts)))
     w1 = Window.partitionBy("host", "_salt").orderBy(*_order())
     p1 = salted.withColumn("_rn1", F.row_number().over(w1)).filter(
