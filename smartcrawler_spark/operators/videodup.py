@@ -70,9 +70,12 @@ def frame_dhash_table(raw: DataFrame, ref_col: str = "media_ref",
                       payload_col: str = "payload",
                       max_frames: int = 256) -> DataFrame:
     """(media_ref, frame_idx, dhash) per decodable video frame. Frames
-    the JPEG layer rejects, or smaller than the 8x9 dHash grid, are
-    skipped (their frame_idx still advances — indices stay aligned with
-    the container). Map-only."""
+    smaller than the 8x9 dHash grid are skipped with their frame_idx
+    still advancing. NB (r6 ADVICE): frames the JPEG layer rejects are
+    filtered out by decode_video_frames BEFORE this table sees them, so
+    for a container with corrupt frames the indices are positions in
+    the DECODED frame sequence, not container frame numbers — shot
+    bounds are consistent within that sequence. Map-only."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
