@@ -69,8 +69,20 @@ def canonicalize_url(url: Column) -> Column:
 
 
 def url_host(url: Column) -> Column:
-    """Host (lowercased) of an already-canonical URL."""
-    return F.lower(F.parse_url(url, F.lit("HOST")))
+    """Host (lowercased) of an already-canonical URL.
+
+    Direct column transcription of the python spec oracle
+    (oracle.host_of): substring after the FIRST '://' (whole string if
+    absent), cut at the first of /?#, then before the first ':'. The r5
+    implementation called parse_url (a regex URI parse per row — ~3x
+    the cost at 30M URLs/round) which agrees with the oracle on the
+    crawl URL grammar; the transcription agrees BY CONSTRUCTION
+    (tests/test_fuzz.py asserts oracle parity over the fuzz corpus)."""
+    pos = F.instr(url, "://")
+    rest = F.when(pos > 0, F.substr(url, pos + 3)).otherwise(url)
+    auth = F.substring_index(
+        F.substring_index(F.substring_index(rest, "/", 1), "?", 1), "#", 1)
+    return F.lower(F.substring_index(auth, ":", 1))
 
 
 def url_path(url: Column) -> Column:
@@ -87,11 +99,21 @@ def url_hash(url_canon: Column) -> Column:
 
 
 def is_root_url(url_canon: Column) -> Column:
-    """Reference is_root: path in {'', '/'}, no query, no fragment."""
+    """Reference is_root: path in {'', '/'}, no query, no fragment.
+
+    Column transcription of the python spec oracle (oracle.is_root):
+    with no '?' and no '#' anywhere, the path is everything from the
+    first '/' after '://' — in {'', '/'} exactly when rest has no '/'
+    at all or its first '/' is the final character. Replaces two
+    parse_url regex parses per row (fuzz-parity-tested vs the oracle;
+    null input stays null through the conjunction like the old expr)."""
+    pos = F.instr(url_canon, "://")
+    rest = F.when(pos > 0, F.substr(url_canon, pos + 3)).otherwise(url_canon)
+    slash = F.instr(rest, "/")
     return (
-        url_path(url_canon).isin("", "/")
-        & url_query(url_canon).isNull()
+        ~url_canon.contains("?")
         & ~url_canon.contains("#")
+        & ((slash == 0) | (slash == F.length(rest)))
     )
 
 
