@@ -155,9 +155,13 @@ def video_frame_overlap(frames: DataFrame, min_shared: int = 1,
     Container-agnostic: any (ref, long-fingerprint) table works via
     `hash_col` — operators/audiodup.py reuses it over audio
     constellation fingerprints."""
+    # persist: the distinct (ref, hash) table feeds the size rollup, the
+    # hot-hash build and both join sides — uncached, each evaluation
+    # re-ran the upstream media DECODE (JPEG frames / audio FFT).
+    # Bounded at one row per distinct (video, hash): the sketch tier.
     sets = (frames.select(F.col(ref_col).alias("ref"),
                           F.col(hash_col).alias("dhash"))
-            .distinct())
+            .distinct().persist())
     sizes = sets.groupBy("ref").agg(F.count(F.lit(1)).alias("total"))
     if max_hash_bucket is not None:
         hot = (sets.groupBy("dhash").count()
