@@ -333,7 +333,12 @@ def opic_fixed_rounds(
         F.lit(scale // n).cast("long").alias("cash"),
         F.lit(0).cast("long").alias("hist"),
     ).localCheckpoint(eager=True)
-    for _ in range(iters):
+    for it in range(iters):
+        if it:  # truncate the PREVIOUS round's lineage (state is read
+            # three times per round); the final round stays lazy so the
+            # returned plan carries the round shape (and the consumer's
+            # action does the last round's work exactly once)
+            state = state.localCheckpoint(eager=True)
         pool = (
             state.join(deg.withColumnRenamed("src", "node"), "node", "left_anti")
             .agg(F.coalesce(F.sum("cash"), F.lit(0)).cast("long").alias("_pool"))
@@ -355,9 +360,10 @@ def opic_fixed_rounds(
                  + F.expr(f"_pool div {n}L")).cast("long").alias("cash"),
                 (F.col("_oh") + F.col("_oc")).cast("long").alias("hist"),
             )
-        ).localCheckpoint(eager=True)
-    e.unpersist()
-    deg.unpersist()
+        )
+    # e/deg stay persisted: the returned final round is lazy (see loop
+    # head) and still reads both; Spark evicts the blocks LRU once the
+    # consumer is done.
     return state.select(
         "node", "cash", "hist",
         (F.col("cash") + F.col("hist")).cast("long").alias("opic"),

@@ -336,15 +336,17 @@ def test_duplicate_content_hosts_single_host_exchange(spark, sf_dir):
 
 
 def test_opic_dangling_pool_is_broadcast_not_driver(spark, sf_dir):
-    """opic_fixed_rounds: the per-round dangling-cash pool must be an
-    in-plan broadcast of a 1-row aggregate (same device as the HITS
+    """opic_fixed_rounds DISTRIBUTED arm (driver_threshold=0 — small
+    graphs take the r6 exact driver-replay fast path and have no
+    distributed plan at all): the per-round dangling-cash pool must be
+    an in-plan broadcast of a 1-row aggregate (same device as the HITS
     rescale), never a driver collect; and nothing drops to Python."""
     from smartcrawler_spark.operators.linkgraph import opic_fixed_rounds
 
     e = spark.range(200).select(
         (F.col("id") % 23).alias("src"), ((F.col("id") * 9 + 1) % 23).alias("dst")
     ).filter(F.col("src") % 5 != 0)
-    plan = plan_of(opic_fixed_rounds(e, iters=2))
+    plan = plan_of(opic_fixed_rounds(e, iters=2, driver_threshold=0))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "EvalPython" not in plan
 
