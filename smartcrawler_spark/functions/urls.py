@@ -58,31 +58,72 @@ def canonicalize_url(url: Column) -> Column:
     # substring arithmetic — one regex (the scheme rlike inside
     # with_default_scheme) instead of seven per URL, same values (fuzz
     # parity vs the urllib twin + idempotency, tests/test_fuzz.py).
-    u = with_default_scheme(url)
-    pos = F.instr(u, "://")
-    scheme = F.lower(F.substring(u, F.lit(1), pos - 1))
-    tail = F.substr(u, pos + 3)
-    authority = F.substring_index(
-        F.substring_index(F.substring_index(tail, "/", 1), "?", 1), "#", 1)
-    rest = F.substr(tail, F.length(authority) + 1)
-    host = F.lower(F.substring_index(authority, ":", 1))
-    last = F.substring_index(authority, ":", -1)
-    port = F.when(
-        authority.contains(":") & (last != "")
-        & (F.translate(last, "0123456789", "") == ""),
-        last,
-    ).otherwise("")
-    keep_port = (port != "") & ~(
-        ((scheme == "https") & (port == "443")) | ((scheme == "http") & (port == "80"))
-    )
-    norm_auth = F.when(keep_port, F.concat(host, F.lit(":"), port)).otherwise(host)
-    first_rest = F.substring(rest, F.lit(1), F.lit(1))
-    norm_rest = F.when(rest == "", F.lit("/")).otherwise(
-        # ensure a path component exists before '?'/'#'
-        F.when(first_rest.isin("?", "#"), F.concat(F.lit("/"), rest))
-        .otherwise(rest)
-    )
-    return F.concat(scheme, F.lit("://"), norm_auth, norm_rest)
+    # Each derived piece is _let-bound so the expression tree stays
+    # LINEAR: the naive inline form re-references u/authority/rest many
+    # times, and a composition like url_host(canonicalize_url(x))
+    # multiplied that into a combinatorial tree (measured 6x slower on
+    # the url_canonicalize gate query than this form).
+    def _body(u: Column) -> Column:
+        def with_pos(pos: Column) -> Column:
+            scheme = F.lower(F.substring(u, F.lit(1), pos - 1))
+
+            def with_tail(tail: Column) -> Column:
+                def with_auth(authority: Column) -> Column:
+                    host = F.lower(F.substring_index(authority, ":", 1))
+                    last = F.substring_index(authority, ":", -1)
+                    port_e = F.when(
+                        authority.contains(":") & (last != "")
+                        & (F.translate(last, "0123456789", "") == ""),
+                        last,
+                    ).otherwise("")
+
+                    def with_port(port: Column) -> Column:
+                        keep_port = (port != "") & ~(
+                            ((scheme == "https") & (port == "443"))
+                            | ((scheme == "http") & (port == "80"))
+                        )
+                        norm_auth = F.when(
+                            keep_port, F.concat(host, F.lit(":"), port)
+                        ).otherwise(host)
+
+                        def with_rest(rest: Column) -> Column:
+                            first_rest = F.substring(rest, F.lit(1), F.lit(1))
+                            norm_rest = F.when(rest == "", F.lit("/")).otherwise(
+                                # ensure a path component exists before '?'/'#'
+                                F.when(first_rest.isin("?", "#"),
+                                       F.concat(F.lit("/"), rest))
+                                .otherwise(rest)
+                            )
+                            return F.concat(
+                                scheme, F.lit("://"), norm_auth, norm_rest)
+
+                        return _let(
+                            F.substr(tail, F.length(authority) + 1), with_rest)
+
+                    return _let(port_e, with_port)
+
+                return _let(
+                    F.substring_index(
+                        F.substring_index(
+                            F.substring_index(tail, "/", 1), "?", 1), "#", 1),
+                    with_auth)
+
+            return _let(F.substr(u, pos + 3), with_tail)
+
+        return _let(F.instr(u, "://"), with_pos)
+
+    return _let(with_default_scheme(url), _body)
+
+
+def _let(val: Column, body) -> Column:
+    """Expression-level let-binding: evaluate `val` once per row and
+    reference it many times, via a single-element array transform (the
+    lambda variable is a cheap slot reference, not a copy of the tree).
+    Without it, composing these substring transcriptions — e.g.
+    url_host(canonicalize_url(x)) — duplicates the inner expression per
+    reference and the tree grows combinatorially (measured 6x on the
+    url_canonicalize gate query); with it, composition is linear."""
+    return F.element_at(F.transform(F.array(val), body), 1)
 
 
 def url_host(url: Column) -> Column:
@@ -94,12 +135,17 @@ def url_host(url: Column) -> Column:
     implementation called parse_url (a regex URI parse per row — ~3x
     the cost at 30M URLs/round) which agrees with the oracle on the
     crawl URL grammar; the transcription agrees BY CONSTRUCTION
-    (tests/test_fuzz.py asserts oracle parity over the fuzz corpus)."""
-    pos = F.instr(url, "://")
-    rest = F.when(pos > 0, F.substr(url, pos + 3)).otherwise(url)
-    auth = F.substring_index(
-        F.substring_index(F.substring_index(rest, "/", 1), "?", 1), "#", 1)
-    return F.lower(F.substring_index(auth, ":", 1))
+    (tests/test_fuzz.py asserts oracle parity over the fuzz corpus).
+    The input is let-bound: an arbitrarily large url expression is
+    evaluated once per row however often the spec references it."""
+    def _body(u: Column) -> Column:
+        pos = F.instr(u, "://")
+        rest = F.when(pos > 0, F.substr(u, pos + 3)).otherwise(u)
+        auth = F.substring_index(
+            F.substring_index(F.substring_index(rest, "/", 1), "?", 1), "#", 1)
+        return F.lower(F.substring_index(auth, ":", 1))
+
+    return _let(url, _body)
 
 
 def url_path(url: Column) -> Column:
@@ -124,14 +170,17 @@ def is_root_url(url_canon: Column) -> Column:
     at all or its first '/' is the final character. Replaces two
     parse_url regex parses per row (fuzz-parity-tested vs the oracle;
     null input stays null through the conjunction like the old expr)."""
-    pos = F.instr(url_canon, "://")
-    rest = F.when(pos > 0, F.substr(url_canon, pos + 3)).otherwise(url_canon)
-    slash = F.instr(rest, "/")
-    return (
-        ~url_canon.contains("?")
-        & ~url_canon.contains("#")
-        & ((slash == 0) | (slash == F.length(rest)))
-    )
+    def _body(u: Column) -> Column:
+        pos = F.instr(u, "://")
+        rest = F.when(pos > 0, F.substr(u, pos + 3)).otherwise(u)
+        slash = F.instr(rest, "/")
+        return (
+            ~u.contains("?")
+            & ~u.contains("#")
+            & ((slash == 0) | (slash == F.length(rest)))
+        )
+
+    return _let(url_canon, _body)
 
 
 def root_url_for_host(host: Column) -> Column:
