@@ -96,6 +96,11 @@ def with_url_columns_deduped(df: DataFrame, url_col: str,
     from ..functions.relevance import relevance_score_expr
 
     impl = score_impl or os.environ.get("SPARK_GRAFT_SCORE_IMPL", "jvm")
+    # NB (r6, measured): deduping on (url_hash, url_canon) instead — so the
+    # exchange partitioning could be reused by the downstream seen join —
+    # was tried and REVERTED: the 8-byte random hash added ~270 MB of
+    # incompressible bytes to this exchange (+70 task-s) and cost more
+    # than the candidate-side join exchange it saved.
     canon = (
         df.select(U.canonicalize_url(F.col(url_col)).alias("url_canon"))
         .dropDuplicates(["url_canon"])
@@ -506,6 +511,17 @@ def admit_with_cap(
     top-room; phase 2 exactly re-ranks the <= n_salts*room survivors; the
     winners' keys join back onto the full tagged set (so every candidate
     keeps its fate tag for metrics).
+
+    r6 note (measured, REVERTED): a "small-host bypass" variant — hosts
+    whose eligible head-count fits their room skip the ranking windows,
+    only overflow hosts pay the sorts, winners join-back shrinks to
+    overflow winners — was measured at a 30M-URL round and LOST (22.2 s
+    -> 31.7 s): it needs three extra full passes over the persisted
+    candidate table (bypass agg + two broadcast-probe scans replacing
+    exchange-fused pipelines), and on a bandwidth-bound box a 30M-row
+    cached scan (~40 task-s) costs more than the narrow projected sort
+    exchanges it avoids (~190 MB). The two-phase salted windows over
+    §2.3-projected rows are already the cheap shape here.
 
     NB: the join-back reads `tagged` TWICE — persist it upstream."""
     counts = frontier.groupBy("host").agg(F.count("*").alias("_n"))

@@ -83,6 +83,58 @@ def test_politeness_two_phase_equals_single_window(spark):
     assert results[0] == results[1] == results[2]
 
 
+def test_admit_bypass_equals_single_window_rank(spark):
+    """admit_with_cap's two-phase salted ranking must match a plain
+    single-window rank<=room reference on a mix of under-room hosts
+    (eligible <= room), overflow hosts (eligible > room), exact-boundary
+    hosts (eligible == room), zero-room hosts, and a NULL host."""
+    import random
+
+    from pyspark.sql import Window
+
+    rng = random.Random(11)
+    rows = []
+    for host, n_cand in [("tiny.com", 2), ("edge.com", 5), ("hot.com", 40),
+                         ("full.com", 6), (None, 3)]:
+        for i in range(n_cand):
+            u = f"https://{host or 'x'}/p{i}"
+            rows.append((u, rng.getrandbits(60), host,
+                         i == 0, float(rng.randrange(5))))
+    batch = cands(spark, rows)
+    # frontier: full.com already holds cap rows; edge.com holds cap-5 so
+    # room == its 5 eligible rows (the <=/== boundary)
+    cap = 8
+    front_rows = [_row(f"https://full.com/old{i}", h="full.com") for i in range(cap)]
+    front_rows += [_row(f"https://edge.com/old{i}", h="edge.com") for i in range(cap - 5)]
+    frontier = cands(spark, front_rows)
+    t = tagged(spark, rows, frontier).persist()
+    try:
+        out = {(r["url_canon"], r["admitted"])
+               for r in FR.admit_with_cap(t, frontier, cap=cap).collect()}
+        # reference: plain single-window rank over eligible rows
+        counts = frontier.groupBy("host").agg(F.count("*").alias("_n"))
+        ref_t = (
+            t.withColumn("eligible", ~F.col("robots_blocked") & ~F.col("seen"))
+            .join(counts, "host", "left")
+            .withColumn("_room", F.lit(cap) - F.coalesce(F.col("_n"), F.lit(0)))
+        )
+        w = Window.partitionBy("host").orderBy(
+            F.col("is_root").desc(), F.col("score").desc(), F.col("url_canon").asc())
+        ref = (
+            ref_t.filter(F.col("eligible") & (F.col("_room") > 0))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= F.col("_room"))
+            .select("url_canon")
+        )
+        ref_admitted = {r["url_canon"] for r in ref.collect()}
+        assert out == {(u, u in ref_admitted)
+                       for (u, _) in out}
+        assert len(out) == len(rows)  # every candidate keeps its fate tag
+        assert any(a for (_, a) in out)
+    finally:
+        t.unpersist()
+
+
 def test_top_k_per_group_plan_is_two_phase(spark):
     """Plan audit: two Window nodes (salted then exact) — the skew guard is
     structural, not incidental."""
