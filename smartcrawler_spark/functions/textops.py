@@ -66,7 +66,18 @@ def detect_language(text: Column) -> Column:
     order and require strictly-greater to switch).
     """
     toks = word_tokens(text)
-    scores = lang_scores(toks)
+    # r6: prefilter the token array to the union of ALL language markers
+    # first (one big-array intersect), then score each language against
+    # that <= 40-element matched set instead of re-scanning the full
+    # token array five times. Exact same distinct-marker counts:
+    # `matched` is the distinct marker-tokens present, and intersecting
+    # it with a language's marker list yields the same set as
+    # intersecting the raw token array (null toks -> null scores -> 'und'
+    # unchanged). Measured 1.56 s -> 1.1 s on the 50k-doc lang_id query.
+    all_markers = sorted({m for ms in LANG_MARKERS.values() for m in ms})
+    matched = F.array_intersect(
+        toks, F.array(*[F.lit(m) for m in all_markers]))
+    scores = lang_scores(matched)
     # argmax via ONE array_max over (score, -index) structs: each score
     # expression is evaluated once, where the r5 WHEN-chain re-evaluated
     # every score twice (switch + value) and defeated codegen CSE.
