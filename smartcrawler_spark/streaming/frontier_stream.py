@@ -76,18 +76,25 @@ def run_frontier_ingest(
         if frontier is None:
             frontier = spark_b.createDataFrame([], FRONTIER_SCHEMA)
         gated = FR.robots_gate(batch, robots)
-        tagged = FR.tag_seen(gated, frontier)
-        admitted = FR.admit_with_cap(tagged, frontier, cap).filter("admitted")
-        new_rows = admitted.select(
-            "url_canon", "url_hash", "host", "is_root", "score",
-            F.lit("PENDING").alias("status"),
-            F.lit(int(batch_id)).cast("int").alias("round_added"),
-            F.lit(None).cast("int").alias("round_fetched"),
-            F.lit(None).cast("string").alias("title"),
-        )
-        frontier_table.commit(
-            frontier.unionByName(new_rows), meta={"stream_batch": batch_id}
-        )
+        # admit_with_cap reads its input TWICE (winners join-back) — the
+        # same persist-the-branch-point discipline as plans.crawl /
+        # bench._scheduled_plan, or the micro-batch's candidate chain is
+        # re-executed per read (r6; guide §5).
+        tagged = FR.tag_seen(gated, frontier).persist()
+        try:
+            admitted = FR.admit_with_cap(tagged, frontier, cap).filter("admitted")
+            new_rows = admitted.select(
+                "url_canon", "url_hash", "host", "is_root", "score",
+                F.lit("PENDING").alias("status"),
+                F.lit(int(batch_id)).cast("int").alias("round_added"),
+                F.lit(None).cast("int").alias("round_fetched"),
+                F.lit(None).cast("string").alias("title"),
+            )
+            frontier_table.commit(
+                frontier.unionByName(new_rows), meta={"stream_batch": batch_id}
+            )
+        finally:
+            tagged.unpersist()
 
     writer = (
         candidate_stream(spark, drop_dir)

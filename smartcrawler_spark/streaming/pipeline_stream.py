@@ -104,12 +104,21 @@ def run_document_ingest(
             kept = kept.join(
                 prev.select("fingerprint").distinct(), "fingerprint", "left_anti"
             )
+        # persist before the non-empty probe: a foreachBatch DataFrame
+        # re-executes its whole plan per action, so without this the
+        # enrichment chain (PII scrub + lang ID + repetition signals) plus
+        # the decontamination and corpus anti-joins run TWICE whenever the
+        # batch has output — once for the probe, once for the append (r6;
+        # guide §5).
         out = kept.select(
             "doc_id", "text", "fingerprint", "lang",
             "n_words", "stopword_ratio", "dup_2gram_frac",
-        )
-        if out.limit(1).count() > 0:
-            corpus_table.append(out)
+        ).persist()
+        try:
+            if out.limit(1).count() > 0:
+                corpus_table.append(out)
+        finally:
+            out.unpersist()
 
     writer = (
         stream.writeStream.foreachBatch(sink)
