@@ -63,9 +63,16 @@ def q_frontier_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("doc_id") % 3 == 0, "?view=full").otherwise(""),
         ).alias("url")
     )
-    cands = FR.with_url_columns(raw, "url", {"doc": 1.0, "view": 0.5, "en": 2.0})
+    # dedup-first (r6): canonicalize -> 1-column batch dedup -> derive
+    # hash/host/is_root/score on the survivors only — identical output to
+    # with_url_columns(...).dropDuplicates(["url_canon"]) (every derived
+    # column is a pure function of url_canon; operator docstring + plan
+    # test), with the dedup exchange carrying one column instead of five.
+    # This is the engine crawl loop's actual candidate shape.
+    cands = FR.with_url_columns_deduped(
+        raw, "url", {"doc": 1.0, "view": 0.5, "en": 2.0})
     top = FR.top_k_per_group(
-        cands.dropDuplicates(["url_canon"]),
+        cands,
         ["host"],
         [F.col("is_root").desc(), F.col("score").desc(), F.col("url_canon").asc()],
         k=5,
