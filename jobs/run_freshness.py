@@ -83,7 +83,10 @@ def main() -> int:
                             max_interval=args.max_interval)
     out = out.join(rates.select("key", "n_obs", "n_changed"), "key")
     out.write.mode("overwrite").parquet(args.out)
-    n = out.count()
+    # count the WRITTEN files, not the plan — re-counting `out` would
+    # re-execute the whole change-rate pipeline a second time (r6; the
+    # same footer style as run_rank_hosts / run_search)
+    n = spark.read.parquet(args.out).count()
     print(f"freshness: {n} hosts -> {args.out}")
     return 0
 
