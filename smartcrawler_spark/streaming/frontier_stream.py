@@ -26,6 +26,8 @@ anti-join in foreachBatch remains the seen-set authority.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -67,6 +69,11 @@ def run_frontier_ingest(
     Each micro-batch runs the batch admission operators against the current
     frontier snapshot and commits admitted rows — identical semantics to one
     plans.crawl admission step per micro-batch."""
+
+    if not isinstance(checkpoint_dir, (str, os.PathLike)):
+        raise TypeError(
+            f"checkpoint_dir must be a path, got {type(checkpoint_dir).__name__}"
+        )
 
     def admit_batch(batch: DataFrame, batch_id: int) -> None:
         from ..plans.crawl import FRONTIER_SCHEMA
@@ -183,6 +190,10 @@ def run_polite_schedule(
     into parquet. Budgets persist across invocations via the checkpoint's
     state store: re-running after new drops continues from `spent`, it does
     not reset."""
+    if not isinstance(checkpoint_dir, (str, os.PathLike)):
+        raise TypeError(
+            f"checkpoint_dir must be a path, got {type(checkpoint_dir).__name__}"
+        )
     sched = stateful_politeness(
         candidate_stream(spark, drop_dir), budgets, default_budget
     )

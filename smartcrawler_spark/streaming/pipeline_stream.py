@@ -22,6 +22,8 @@ batch pipeline's semantics, one implementation shared.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -86,6 +88,12 @@ def run_document_ingest(
     semi-join vs `eval_docs`) -> exact anti-join vs the committed corpus's
     fingerprints -> append-only snapshot commit (O(batch) bytes written).
     """
+    if not isinstance(checkpoint_dir, (str, os.PathLike)):
+        # guards the arg-order slip that once wrote a checkpoint into a
+        # directory named after a SnapshotTable's repr in the CWD
+        raise TypeError(
+            f"checkpoint_dir must be a path, got {type(checkpoint_dir).__name__}"
+        )
     stream = document_stream(spark, drop_dir)
 
     def sink(batch_df: DataFrame, _batch_id: int) -> None:

@@ -182,3 +182,21 @@ def test_streaming_document_pipeline_matches_oracle(spark, tmp_path):
     assert "<EMAIL>" in got[3]["text"]
     # cross-run + in-batch dups collapsed to the first arrival
     assert 2 not in got and 7 not in got and 9 not in got
+
+
+def test_checkpoint_dir_must_be_a_path(spark, tmp_path):
+    """A non-path checkpoint_dir (e.g. a SnapshotTable passed in the wrong
+    positional slot) must fail fast instead of silently writing a streaming
+    checkpoint into a repr-named directory under the CWD."""
+    from smartcrawler_spark.streaming import pipeline_stream as PS
+    from smartcrawler_spark.streaming.frontier_stream import run_polite_schedule
+
+    table = SnapshotTable(str(tmp_path / "t"), "frontier")
+    robots = spark.createDataFrame([], "host string, disallow_prefix string")
+    with pytest.raises(TypeError, match="checkpoint_dir"):
+        run_frontier_ingest(spark, str(tmp_path / "d"), table, table, robots)
+    with pytest.raises(TypeError, match="checkpoint_dir"):
+        PS.run_document_ingest(spark, str(tmp_path / "d"), table, table)
+    with pytest.raises(TypeError, match="checkpoint_dir"):
+        run_polite_schedule(spark, str(tmp_path / "d"), table,
+                            str(tmp_path / "out"), budgets={})
