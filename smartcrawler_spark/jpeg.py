@@ -242,6 +242,12 @@ def _decode_jpeg(payload: bytes) -> np.ndarray | None:
             if precision != 8:
                 return None
             h, w = struct.unpack_from(">HH", seg, 1)
+            if h * w > (1 << 28):
+                # decompression-bomb guard (same cap as
+                # multimodal.MAX_DECODE_PIXELS): the decoder materializes
+                # MCU-padded float64 planes per component, which corrupt
+                # 16-bit SOF dims would otherwise size at ~34 GB each
+                return None
             ncomp = seg[5]
             comps = []
             for c in range(ncomp):

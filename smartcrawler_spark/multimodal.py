@@ -69,6 +69,15 @@ def _fake_bytes(media_ref: str, n: int) -> bytes:
 # pure-numpy image codec (PPM P6 + uncompressed BMP) — the "real" decode tier
 # ---------------------------------------------------------------------------
 
+# Decompression-bomb guard shared by the image decoders: a header whose
+# declared canvas exceeds this many pixels is rejected before any canvas
+# allocation (same class of cap as PIL's MAX_IMAGE_PIXELS). PPM/BMP are
+# uncompressed so their payload-length checks already bound allocation;
+# PNG/GIF/APNG carry compressed pixel data, so a few corrupt header bytes
+# could otherwise demand an arbitrarily large canvas. Header-only stream
+# info is NOT capped — it reports dims without allocating.
+MAX_DECODE_PIXELS = 1 << 28  # 268 MP ≈ 0.8 GB as an RGB canvas
+
 
 def decode_image(payload: bytes) -> np.ndarray | None:
     """Decode JPEG (baseline + progressive), PNG (full profile incl. Adam7/16-bit/sub-byte
@@ -267,13 +276,28 @@ def _decode_png(payload: bytes) -> np.ndarray | None:
         return None  # no 16-bit palette indices
     if color == 3 and plte is None:
         return None
+    if w * h > MAX_DECODE_PIXELS:
+        return None  # bomb guard: corrupt/hostile IHDR dims (32-bit fields)
+    passes = [(0, 0, 1, 1)] if interlace == 0 else _ADAM7
+    # a valid stream carries exactly one filter byte + packed samples per
+    # scanline of every pass — `need` bytes in total. Inflating with
+    # max_length=need bounds the decompression at what the declared dims
+    # can use (a tiny IDAT otherwise inflates up to 1032x), and a stream
+    # that yields fewer than `need` bytes cannot be a valid image.
+    need = 0
+    for x0, y0, xs, ys in passes:
+        pw = (w - x0 + xs - 1) // xs
+        ph = (h - y0 + ys - 1) // ys
+        if pw > 0 and ph > 0:
+            need += ph * (1 + (pw * channels * depth + 7) // 8)
     try:
-        raw = zlib.decompress(b"".join(idat))
+        raw = zlib.decompressobj().decompress(b"".join(idat), need)
     except zlib.error:
+        return None
+    if len(raw) < need:
         return None
     samples = np.zeros((h, w, channels), dtype=np.uint16)
     pos = 0
-    passes = [(0, 0, 1, 1)] if interlace == 0 else _ADAM7
     for x0, y0, xs, ys in passes:
         pw = (w - x0 + xs - 1) // xs
         ph = (h - y0 + ys - 1) // ys
@@ -402,6 +426,8 @@ def decode_apng_frames(payload: bytes, max_frames: int = 256
     if (comp != 0 or filt != 0 or interlace != 0 or channels is None
             or w == 0 or h == 0 or depth not in (1, 2, 4, 8, 16)):
         return None
+    if w * h > MAX_DECODE_PIXELS:
+        return None  # bomb guard: corrupt/hostile IHDR dims (32-bit fields)
     if not idat_is_frame and idat_parts:
         pass  # default image outside the animation: skipped per spec
     canvas = np.zeros((h, w, 4), dtype=np.uint8)
@@ -417,9 +443,15 @@ def decode_apng_frames(payload: bytes, max_frames: int = 256
             dispose = 1  # spec: first-frame PREVIOUS acts as BACKGROUND
         if not parts:
             return None
+        # same bounded inflate as _decode_png: a frame region is exactly
+        # fh scanlines of (1 filter byte + packed samples) — never inflate
+        # past that, and fewer bytes cannot be a valid frame
+        need = fh * (1 + (fw * channels * depth + 7) // 8)
         try:
-            raw = zlib.decompress(b"".join(parts))
+            raw = zlib.decompressobj().decompress(b"".join(parts), need)
         except zlib.error:
+            return None
+        if len(raw) < need:
             return None
         samples, _ = _png_unfilter_pass(raw, 0, fh, fw, channels, depth)
         if samples is None:
@@ -1318,6 +1350,13 @@ def _gif_lzw_decode(data: bytes, min_code_size: int,
                     expected: int) -> list[int] | None:
     """GIF-variant LZW: LSB-first bit packing, variable code width starting
     at min_code_size+1, clear/EOI control codes, 12-bit cap."""
+    if min_code_size > 11:
+        # spec: code width starts at min_code_size+1 and is capped at 12
+        # bits, so 11 is the largest representable root size. A corrupt
+        # byte here otherwise sizes the root table at 2**min_code_size
+        # entries (up to 2**255) — an unbounded allocation before any
+        # data byte is read.
+        return None
     clear = 1 << min_code_size
     eoi = clear + 1
     out: list[int] = []
@@ -1386,7 +1425,9 @@ def _gif_header(payload: bytes):
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         return None
     w, h, flags, bg_idx, _ar = struct.unpack_from("<HHBBB", payload, 6)
-    if w == 0 or h == 0:
+    if w == 0 or h == 0 or w * h > MAX_DECODE_PIXELS:
+        # bomb guard: both decoders materialize the logical screen, which a
+        # 1x1 frame on corrupt 16-bit dims would otherwise size at ~13 GB
         return None
     pos = 13
     gct = None

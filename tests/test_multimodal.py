@@ -776,6 +776,70 @@ def test_decoders_never_raise_on_mutated_valid_files(data):
     MM.decode_audio(bytes(base))
 
 
+def test_decoders_reject_decompression_bombs():
+    """Corrupt/hostile header fields must be rejected BEFORE any canvas
+    allocation (r6: a mutated GIF min_code_size byte sized the LZW root
+    table at 2**min_code_size entries and OOM-killed the test run).
+    Every case here declares a canvas far beyond MAX_DECODE_PIXELS (or an
+    out-of-spec LZW root size) while carrying only a few payload bytes —
+    a decoder that allocates from the header would blow up on any of
+    them. Small-but-valid files around the guards stay decodable."""
+    rng = np.random.default_rng(7)
+
+    # GIF: out-of-spec LZW min_code_size (width cap is 12 bits -> max 11)
+    ok_gif = _ref_gif(rng.integers(0, 4, (5, 5), dtype=np.uint8),
+                      rng.integers(0, 256, (4, 3), dtype=np.uint8))
+    mcs_pos = ok_gif.index(b"\x2c") + 10  # descriptor + 9 header bytes
+    bad = bytearray(ok_gif)
+    bad[mcs_pos] = 255
+    assert MM.decode_image(bytes(bad)) is None
+
+    # GIF: 65535x65535 logical screen around a tiny frame (~12.9 GB canvas)
+    bad = bytearray(ok_gif)
+    _struct.pack_into("<HH", bad, 6, 65535, 65535)
+    assert MM.decode_image(bytes(bad)) is None
+    assert MM.decode_gif_frames(bytes(bad)) is None
+
+    # PNG: IHDR declares 2**30 x 2**30; IDAT holds 100 zero bytes
+    ihdr = _struct.pack(">IIBBBBB", 1 << 30, 1 << 30, 8, 2, 0, 0, 0)
+    bomb = (b"\x89PNG\r\n\x1a\n" + _ref_chunk(b"IHDR", ihdr)
+            + _ref_chunk(b"IDAT", _zlib.compress(b"\x00" * 100))
+            + _ref_chunk(b"IEND", b""))
+    assert MM.decode_image(bomb) is None
+
+    # PNG: plausible dims whose scanline bytes the IDAT cannot contain
+    # (4096x4096 RGB needs ~50 MB raw; the stream inflates to 100 bytes)
+    ihdr = _struct.pack(">IIBBBBB", 4096, 4096, 8, 2, 0, 0, 0)
+    short = (b"\x89PNG\r\n\x1a\n" + _ref_chunk(b"IHDR", ihdr)
+             + _ref_chunk(b"IDAT", _zlib.compress(b"\x00" * 100))
+             + _ref_chunk(b"IEND", b""))
+    assert MM.decode_image(short) is None
+
+    # APNG: same hostile IHDR through the animation decoder
+    actl = _ref_chunk(b"acTL", _struct.pack(">II", 1, 0))
+    fctl = _ref_chunk(b"fcTL", _struct.pack(
+        ">IIIIIHHBB", 0, 1, 1, 0, 0, 1, 10, 0, 0))
+    ihdr = _struct.pack(">IIBBBBB", 1 << 30, 1 << 30, 8, 2, 0, 0, 0)
+    abomb = (b"\x89PNG\r\n\x1a\n" + _ref_chunk(b"IHDR", ihdr) + actl + fctl
+             + _ref_chunk(b"IDAT", _zlib.compress(b"\x00" * 100))
+             + _ref_chunk(b"IEND", b""))
+    assert MM.decode_apng_frames(abomb) is None
+
+    # JPEG: SOF0 declaring 65535x65535 (~34 GB float64 plane per component)
+    from smartcrawler_spark.jpeg import encode_jpeg_baseline
+
+    ok_jpg = bytearray(encode_jpeg_baseline(
+        rng.integers(0, 256, (6, 5, 3), dtype=np.uint8), quality=90))
+    sof = ok_jpg.index(b"\xff\xc0")
+    _struct.pack_into(">HH", ok_jpg, sof + 5, 65535, 65535)
+    assert MM.decode_image(bytes(ok_jpg)) is None
+
+    # guards must not reject ordinary valid files
+    px = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    assert MM.decode_image(_ref_png(px, color=2, ftype=0)) is not None
+    assert MM.decode_image(ok_gif) is not None
+
+
 # ---------------------------------------------------------------------------
 # video: MJPEG-in-AVI real tier
 # ---------------------------------------------------------------------------
